@@ -1,0 +1,44 @@
+"""Pipeline configuration.
+
+The reference hardcodes its knobs as class attributes and magic numbers
+(confidence floor 0.35 at /root/reference/app/ocr_engine.py:126, column
+cuts at :196-198, uvicorn workers=2 at app/main.py:170). We surface the
+same knobs — plus Ray-specific sizing — in one frozen dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- extraction semantics ---
+    conf_floor: float = 0.35  # drop OCR tokens below (reference ocr_engine.py:126)
+    y_tol: int = 6  # y-clustering tolerance px (reference ocr_engine.py:200)
+    next_group_max_dy: int = 18  # total-lookahead window (reference ocr_engine.py:202)
+    # column cuts: "fixed" uses the pixel bands below; "auto" derives cuts
+    # from x-histogram valleys (XY-cut style) and falls back to fixed.
+    column_mode: str = "auto"
+    x_left_max: int = 620
+    x_mid_min: int = 620
+    x_right_min: int = 900
+
+    # --- Ray sizing ---
+    extract_batch_size: int = 64  # spans per batch into the extract actor pool
+    extract_concurrency: tuple = (2, 8)  # actor pool (min, max)
+    extract_num_cpus: float = 1.0
+    reassembly_num_partitions: int = 0  # 0 = let Ray pick
+    cost_repartition: bool = True  # pre-extract skew repartition on cost bucket
+    cost_bucket_quantum: int = 4096  # cost units per bucket
+    num_cost_buckets: int = 64
+
+    # --- blob lookup ---
+    blob_lookup_mode: str = "partition"  # "partition" (co-partitioned files) | "broadcast"
+    blob_cache_parts: int = 4  # per-actor LRU of blob partition dicts
+
+    # --- resume ---
+    wave_size: int = 0  # input partitions per committed wave; 0 = all remaining
+
+
+DEFAULT_CONFIG = PipelineConfig()

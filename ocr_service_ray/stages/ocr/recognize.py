@@ -1,0 +1,232 @@
+"""Layout segmentation + glyph recognition (the from-scratch "model").
+
+Tesseract-style stages over the binarized page: line segmentation by
+row-projection runs, word/glyph segmentation by column-gap analysis,
+recognition by template matching against the glyph bank. Plays the role
+of the PaddleOCR call in the reference (/root/reference/app/ocr_engine.py:100)
+and emits the same token record shape — (text, confidence, x, y) — as
+its normalizer (app/ocr_engine.py:112-139).
+
+Two match paths:
+- FAST: downsample the glyph patch back to the 5x7 font grid and hash it
+  into a dict of exact patterns (clean, unrotated glyphs hit this).
+- ROBUST: vectorized XOR template matching with +-1 px shift search for
+  glyphs degraded by deskew resampling or noise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import glyphs as G
+
+# Canonical match frame: glyph at scale 2 is 10x14; pad for shifts.
+_FRAME_H = 18
+_FRAME_W = 14
+_SHIFTS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+@dataclass
+class Word:
+    text: str
+    confidence: float
+    x: int  # leftmost ink column of the word (page coords)
+    y: int  # top ink row of the word's line band (page coords)
+
+
+class TemplateBank:
+    """Warm per-actor recognition state (built once in actor ``__init__``,
+    mirroring the once-per-worker model load at
+    /root/reference/app/ocr_engine.py:49-53)."""
+
+    def __init__(self, scale: int = 2):
+        self.scale = scale
+        bank = G.glyph_bank(scale)
+        self.chars: list[str] = list(bank.keys())
+        # centered template stack [T, FRAME_H, FRAME_W] + ink counts
+        stack = np.zeros((len(self.chars), _FRAME_H, _FRAME_W), dtype=np.uint8)
+        for i, ch in enumerate(self.chars):
+            stack[i] = _embed_centered(_crop_to_ink(bank[ch]))
+        self.stack = stack
+        self.ink = stack.reshape(len(self.chars), -1).sum(axis=1)
+        # exact-pattern dict on the 5x7 font grid
+        self.exact: dict[bytes, str] = {}
+        for ch in self.chars:
+            g = G.glyph_bitmap(ch)
+            self.exact[_crop_to_ink(g).tobytes() + bytes([_crop_to_ink(g).shape[1]])] = ch
+
+    # ------------------------------------------------------------------
+    def match_patches(self, patches: list[np.ndarray]) -> tuple[str, np.ndarray]:
+        """Recognize a word's glyph patches; returns (text, per-glyph scores)."""
+        out_chars: list[str] = []
+        scores = np.ones(len(patches))
+        robust_idx: list[int] = []
+        for i, p in enumerate(patches):
+            ch = self._match_fast(p)
+            if ch is None:
+                robust_idx.append(i)
+                out_chars.append("?")
+            else:
+                out_chars.append(ch)
+        if robust_idx:
+            sub = [patches[i] for i in robust_idx]
+            chars, subscores = self._match_robust(sub)
+            for j, i in enumerate(robust_idx):
+                out_chars[i] = chars[j]
+                scores[i] = subscores[j]
+        return "".join(out_chars), scores
+
+    def _match_fast(self, patch: np.ndarray) -> str | None:
+        s = self.scale
+        h, w = patch.shape
+        fh, fw = h // s, w // s
+        if fh * s != h or fw * s != w or fh == 0 or fw == 0:
+            return None
+        # block-reduce back to the font grid
+        grid = patch.reshape(fh, s, fw, s).sum(axis=(1, 3)) >= (s * s + 1) // 2
+        key = grid.tobytes() + bytes([grid.shape[1]])
+        return self.exact.get(key)
+
+    def _match_robust(self, patches: list[np.ndarray]) -> tuple[list[str], np.ndarray]:
+        n = len(patches)
+        obs = np.zeros((n, len(_SHIFTS), _FRAME_H, _FRAME_W), dtype=np.uint8)
+        obs_ink = np.zeros(n)
+        for i, p in enumerate(patches):
+            base = _embed_centered(p)
+            obs_ink[i] = int(base.sum())
+            for k, (dy, dx) in enumerate(_SHIFTS):
+                obs[i, k] = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
+        # mismatch[i, k, t] = xor popcount
+        x = obs[:, :, None, :, :] ^ self.stack[None, None, :, :, :]
+        mism = x.reshape(n, len(_SHIFTS), len(self.chars), -1).sum(axis=3)
+        best_over_shift = mism.min(axis=1)  # [n, T]
+        t_idx = best_over_shift.argmin(axis=1)
+        best = best_over_shift[np.arange(n), t_idx]
+        denom = np.maximum(obs_ink + self.ink[t_idx], 1)
+        score = 1.0 - best / denom
+        return [self.chars[t] for t in t_idx], score
+
+
+def _crop_to_ink(mask: np.ndarray) -> np.ndarray:
+    rows = np.flatnonzero(mask.any(axis=1))
+    cols = np.flatnonzero(mask.any(axis=0))
+    if rows.size == 0:
+        return mask[:1, :1]
+    return mask[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
+
+
+def _embed_centered(mask: np.ndarray) -> np.ndarray:
+    """Center an ink-cropped mask in the canonical frame (uint8)."""
+    out = np.zeros((_FRAME_H, _FRAME_W), dtype=np.uint8)
+    m = _crop_to_ink(np.asarray(mask, dtype=bool))
+    h, w = m.shape
+    h = min(h, _FRAME_H)
+    w = min(w, _FRAME_W)
+    r0 = (_FRAME_H - h) // 2
+    c0 = (_FRAME_W - w) // 2
+    out[r0 : r0 + h, c0 : c0 + w] = m[:h, :w]
+    return out
+
+
+# ----------------------------------------------------------------------
+# Segmentation
+
+
+def segment_lines(
+    ink: np.ndarray, min_gap: int = 4, min_row_ink: int = 3
+) -> list[tuple[int, int]]:
+    """(row_start, row_end) bands of text lines; merges gaps < ``min_gap``.
+
+    A row counts as inked only with >= ``min_row_ink`` pixels so that a
+    residual noise cluster between lines cannot bridge two bands.
+    """
+    prof = ink.sum(axis=1) >= min_row_ink
+    runs = _runs(prof)
+    merged: list[tuple[int, int]] = []
+    for r0, r1 in runs:
+        if merged and r0 - merged[-1][1] < min_gap:
+            merged[-1] = (merged[-1][0], r1)
+        else:
+            merged.append((r0, r1))
+    return merged
+
+
+def segment_words(
+    band: np.ndarray, scale: int = 2, word_gap_px: int | None = None
+) -> list[tuple[int, int, list[tuple[int, int]]]]:
+    """Split a line band into words and glyph column-runs.
+
+    Returns [(word_x0, word_x1, [(glyph_c0, glyph_c1), ...]), ...].
+    Glyphs split on blank column runs >= 2 px; words on gaps >= 7 font px.
+    """
+    if word_gap_px is None:
+        word_gap_px = 7 * scale
+    prof = band.any(axis=0)
+    cols = _runs(prof)
+    # merge column runs separated by 1 blank px (intra-glyph resampling holes)
+    glyph_runs: list[tuple[int, int]] = []
+    for c0, c1 in cols:
+        if glyph_runs and c0 - glyph_runs[-1][1] < 2:
+            glyph_runs[-1] = (glyph_runs[-1][0], c1)
+        else:
+            glyph_runs.append((c0, c1))
+    words: list[tuple[int, int, list[tuple[int, int]]]] = []
+    cur: list[tuple[int, int]] = []
+    for run in glyph_runs:
+        if cur and run[0] - cur[-1][1] >= word_gap_px:
+            words.append((cur[0][0], cur[-1][1], cur))
+            cur = []
+        cur.append(run)
+    if cur:
+        words.append((cur[0][0], cur[-1][1], cur))
+    return words
+
+
+def _runs(profile: np.ndarray) -> list[tuple[int, int]]:
+    """[start, end) runs of True in a 1-D boolean profile."""
+    idx = np.flatnonzero(profile)
+    if idx.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate(([idx[0]], idx[breaks + 1]))
+    ends = np.concatenate((idx[breaks] + 1, [idx[-1] + 1]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def recognize_page(
+    ink: np.ndarray, bank: TemplateBank, min_glyph_ink: int = 6
+) -> list[Word]:
+    """Full page -> word tokens with positions.
+
+    ``min_glyph_ink`` filters residual noise clusters that survived
+    despeckle (every real glyph has >= 8 ink px at scale 2).
+    """
+    words: list[Word] = []
+    for r0, r1 in segment_lines(ink):
+        band = ink[r0:r1]
+        for x0, _x1, glyph_runs in segment_words(band, scale=bank.scale):
+            patches = []
+            for c0, c1 in glyph_runs:
+                patch = band[:, c0:c1]
+                if int(patch.sum()) < min_glyph_ink:
+                    continue
+                patches.append(_crop_patch(patch))
+            if not patches:
+                continue
+            text, scores = bank.match_patches(patches)
+            words.append(
+                Word(
+                    text=text,
+                    confidence=float(scores.mean()) if len(scores) else 0.0,
+                    x=int(x0),
+                    y=int(r0),
+                )
+            )
+    return words
+
+
+def _crop_patch(patch: np.ndarray) -> np.ndarray:
+    rows = np.flatnonzero(patch.any(axis=1))
+    return patch[rows[0] : rows[-1] + 1]
