@@ -1,0 +1,183 @@
+"""The extraction pipeline driver: resumable Ray Data job.
+
+Lifecycle (SURVEY.md §3.4):
+
+    ledger: committed = partitions with a manifest → skip (RESUME)
+    ds = read_{lance|parquet}(remaining parts, include_paths)   [source]
+    ds = ds.map_batches(explode_and_extract)                    [stateless]
+    ds = ds.repartition(K)                                      [skew spread]
+    ds = ds.map_batches(OcrStage, concurrency=(m,n), ...)       [actor pool]
+    ds.groupby("part_id").map_groups(reassemble + atomic write) [shuffle+sink]
+
+The reference has no batch runner at all (one HTTP request per document,
+/root/reference/app/main.py:108-143); everything here is new design.
+This module never calls ``ray.init`` — callers (bench.py, tests, the
+round driver) own the Ray session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from ..core import storage
+from ..core.config import DEFAULT_CONFIG, PipelineConfig
+from ..stages.batch_stages import OcrStage, explode_and_extract, make_partition_writer
+
+
+def run_pipeline(
+    docs_root: str,
+    blobs_root: str,
+    out_root: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the extraction job; returns run metrics."""
+    all_parts = storage.list_parts(docs_root)
+    if resume:
+        done = set(storage.committed_parts(out_root))
+        redone = storage.clear_uncommitted(out_root)
+    else:
+        done = set()
+        redone = []
+        storage.clear_uncommitted(out_root)
+    remaining = [p for p in all_parts if p not in done]
+    summary = {
+        "n_parts": len(all_parts),
+        "skipped_committed": len(done),
+        "cleared_uncommitted": len(redone),
+        "processed": len(remaining),
+        "parts": [],
+    }
+    if not remaining:
+        _write_metrics(out_root, summary)
+        return summary
+
+    files = storage.data_files(docs_root, remaining)
+    ds = storage.ray_read(files, include_paths=True)
+    ds = ds.map_batches(explode_and_extract, batch_format="pyarrow")
+    if cfg.cost_repartition:
+        # spread span rows evenly so no OCR batch inherits an input
+        # block's media clump (doc-level skew was already broken by the
+        # explode: spans, not docs, are the unit)
+        ds = ds.repartition(max(len(remaining), cfg.num_cost_buckets))
+    ds = ds.map_batches(
+        OcrStage,
+        fn_constructor_kwargs={
+            "blobs_root": blobs_root,
+            "cache_parts": cfg.blob_cache_parts,
+        },
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency,
+        num_cpus=cfg.extract_num_cpus,
+        batch_format="pyarrow",
+    )
+    metrics = (
+        ds.groupby("part_id")
+        .map_groups(make_partition_writer(out_root), batch_format="pyarrow")
+        .take_all()
+    )
+    summary["parts"] = sorted(metrics, key=lambda m: m["part_id"])
+    for m in summary["parts"]:
+        m.update({k: int(v) for k, v in m.items()})
+    _write_metrics(out_root, summary)
+    return summary
+
+
+def _write_metrics(out_root: str, summary: dict) -> None:
+    os.makedirs(out_root, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=out_root, suffix=".metrics.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(summary, f, indent=1, default=int)
+    os.replace(tmp, os.path.join(out_root, "metrics.json"))
+
+
+# ----------------------------------------------------------------------
+def verify_output(out_root: str, expected_root: str) -> dict:
+    """Span-sequence equality (kind, text, media_ref, order) per doc_id.
+
+    The BASELINE.json per-row invariant. Compares partition by partition
+    (pure pyarrow, driver-side — outputs are small relative to inputs).
+    """
+    total = 0
+    bad = 0
+    examples = []
+    for part in storage.list_parts(expected_root):
+        exp = {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"]) for s in r["spans"]
+            ]
+            for r in storage.read_part(expected_root, part).to_pylist()
+        }
+        got = {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"]) for s in r["spans"]
+            ]
+            for r in storage.read_part(out_root, part).to_pylist()
+        }
+        for doc_id, want in exp.items():
+            total += 1
+            if got.get(doc_id) != want:
+                bad += 1
+                if len(examples) < 5:
+                    examples.append(
+                        {"doc_id": doc_id, "want": want, "got": got.get(doc_id)}
+                    )
+    return {
+        "docs": total,
+        "mismatched": bad,
+        "match_rate": 1.0 if total == 0 else (total - bad) / total,
+        "examples": examples,
+    }
+
+
+# ----------------------------------------------------------------------
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    import ray
+
+    ap = argparse.ArgumentParser(description="Run the extraction pipeline")
+    ap.add_argument("--corpus", default="/tmp/ocr_corpus", help="corpus root (docs/blobs/expected)")
+    ap.add_argument("--out", default="/tmp/ocr_out")
+    ap.add_argument("--scale", default=None, choices=["tiny", "small", "bench"],
+                    help="generate the corpus at this scale first if missing")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--profile", default="default")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=0, help="0 = ray default")
+    args = ap.parse_args(argv)
+
+    docs = os.path.join(args.corpus, "docs")
+    if args.scale and not storage.list_parts(docs):
+        from ..fixtures.gen import generate_scale
+
+        info = generate_scale(args.corpus, args.scale, seed=args.seed, profile=args.profile)
+        print("generated:", json.dumps(info))
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    try:
+        summary = run_pipeline(
+            docs,
+            os.path.join(args.corpus, "blobs"),
+            args.out,
+            resume=not args.no_resume,
+        )
+        print("run:", json.dumps({k: v for k, v in summary.items() if k != "parts"}))
+        check = verify_output(args.out, os.path.join(args.corpus, "expected"))
+        print("verify:", json.dumps({k: v for k, v in check.items() if k != "examples"}))
+        if check["mismatched"]:
+            print("first mismatches:", json.dumps(check["examples"])[:2000])
+            return 1
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

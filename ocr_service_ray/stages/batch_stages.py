@@ -1,0 +1,238 @@
+"""Ray Data batch stages: explode, stateless extract, OCR actor, reassembly.
+
+The pipeline is LINEAR (read → explode+extract → [repartition] → OCR
+actor pool → groupby(part_id) reassemble+write) rather than the
+branch-per-kind + union shape: a branch point in a lazy Dataset DAG
+re-executes the shared prefix once per consumer, which at 100 TB means
+reading the input twice. Instead the stateless stage extracts text/html/
+pdf spans inline and passes media rows through untouched; the actor
+stage recognizes only the media rows of each batch. Doc-level skew
+(a 50-media-span doc) is broken by the explode itself — spans, not
+docs, are the unit of work — plus the optional explicit repartition.
+
+Reference correspondence:
+- explode/normalize:       app/ocr_engine.py:374-379 (M4)
+- html leg:                app/nfce_parser.py:97-134 (M15/M16)
+- pdf leg:                 north-rule XY-cut (no reference counterpart)
+- OCR actor:               app/ocr_engine.py:49-139 (ST1/M1-M3)
+- error records:           app/main.py:132-143 (status-200 error payloads)
+"""
+
+from __future__ import annotations
+
+import re
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core import storage
+from ..core.schema import KIND_ERROR, KIND_MEDIA, KIND_TEXT
+from ..ops import textops as T
+from .html_extract import extract_main_text
+from .pdf_layout import extract_pdf_text
+
+_PART_RE = re.compile(r"part=(\d+)")
+
+FLAT_FIELDS = ("doc_id", "part_id", "offset", "kind", "text", "media_ref")
+
+
+def part_id_of_path(path: str) -> int:
+    m = _PART_RE.search(path)
+    return int(m.group(1)) if m else -1
+
+
+def explode_and_extract(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans, path) docs -> flat extracted span rows.
+
+    List explode is zero-copy Arrow (``list_parent_indices`` + ``take``);
+    the per-row Python work is only the actual parsing (html/pdf) and the
+    regex normalization of text spans. Media rows pass through with
+    ``kind="media"`` for the downstream actor stage; any per-span
+    extraction error becomes an ``erro`` row, never an exception.
+    """
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parents = pc.list_parent_indices(spans)
+    flat = spans.flatten()
+    doc_id = pc.take(batch.column("doc_id"), parents)
+    if "path" in batch.column_names:
+        paths = batch.column("path")
+        path_to_part = {p: part_id_of_path(p) for p in paths.unique().to_pylist()}
+        part_per_doc = pa.array(
+            [path_to_part[p] for p in paths.to_pylist()], type=pa.int32()
+        )
+        part_id = pc.take(part_per_doc, parents)
+    else:
+        part_id = pa.array(np.zeros(len(flat), dtype=np.int32))
+
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    out_kind: list[str] = []
+    out_text: list[str] = []
+    for k, t in zip(kinds, texts):
+        try:
+            if k == KIND_TEXT:
+                out_kind.append(KIND_TEXT)
+                out_text.append(T.norm_text(t))
+            elif k == "html":
+                out_kind.append(KIND_TEXT)
+                out_text.append(extract_main_text(t))
+            elif k == "pdf":
+                out_kind.append(KIND_TEXT)
+                out_text.append(extract_pdf_text(t))
+            elif k == KIND_MEDIA:
+                out_kind.append(KIND_MEDIA)
+                out_text.append("")
+            else:
+                out_kind.append(KIND_ERROR)
+                out_text.append("")
+        except Exception:
+            out_kind.append(KIND_ERROR)
+            out_text.append("")
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "part_id": part_id,
+            "offset": flat.field("offset"),
+            "kind": pa.array(out_kind, type=pa.string()),
+            "text": pa.array(out_text, type=pa.string()),
+            "media_ref": flat.field("media_ref"),
+        }
+    )
+
+
+class OcrStage:
+    """Actor-pool stage: recognize media rows, pass the rest through.
+
+    Warm state (template bank) is built once per actor in ``__init__``
+    — the analog of the once-per-worker PaddleOCR model load
+    (app/ocr_engine.py:49-53). Blob payloads are point-looked-up from
+    the co-partitioned sidecar table (media_ref prefix encodes the blob
+    partition) through a small per-actor LRU of partition dicts, so
+    shuffled rows carry only refs, never bytes.
+    """
+
+    def __init__(self, blobs_root: str, cache_parts: int = 4):
+        from .ocr.engine import OcrEngine
+
+        self.engine = OcrEngine()
+        self.blobs_root = blobs_root
+        self.cache_parts = cache_parts
+        self._cache: OrderedDict[int, dict[str, bytes]] = OrderedDict()
+
+    # ------------------------------------------------------------------
+    def _blob_part(self, part: int) -> dict[str, bytes]:
+        if part in self._cache:
+            self._cache.move_to_end(part)
+            return self._cache[part]
+        try:
+            tbl = storage.read_part(self.blobs_root, part, columns=["media_ref", "bytes"])
+            blobs = dict(zip(tbl.column("media_ref").to_pylist(), tbl.column("bytes").to_pylist()))
+        except Exception:
+            blobs = {}
+        self._cache[part] = blobs
+        while len(self._cache) > self.cache_parts:
+            self._cache.popitem(last=False)
+        return blobs
+
+    def _lookup(self, ref: str) -> bytes | None:
+        # "blob-{part:04d}-..." — partition-aligned by construction
+        try:
+            part = int(ref.split("-")[1])
+        except (IndexError, ValueError):
+            return None
+        return self._blob_part(part).get(ref)
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        media_idx = [i for i, k in enumerate(kinds) if k == KIND_MEDIA]
+        if not media_idx:
+            return batch
+        refs = batch.column("media_ref").to_pylist()
+        texts = batch.column("text").to_pylist()
+        # visit refs in partition order for blob-cache locality
+        for i in sorted(media_idx, key=lambda i: refs[i]):
+            try:
+                recognized = self.engine.recognize_lines(self._lookup(refs[i]))
+            except Exception:
+                recognized = None
+            if recognized is None:
+                kinds[i] = KIND_ERROR
+                texts[i] = ""
+            else:
+                kinds[i] = KIND_TEXT
+                texts[i] = recognized
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "part_id": batch.column("part_id"),
+                "offset": batch.column("offset"),
+                "kind": pa.array(kinds, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "media_ref": batch.column("media_ref"),
+            }
+        )
+
+
+def make_partition_writer(out_root: str):
+    """Group fn for ``groupby("part_id").map_groups``: reassemble + commit.
+
+    One group = every extracted span of one input partition (the doc_id →
+    partition mapping is total: a doc's spans never straddle partitions,
+    so grouping by part_id subsumes the doc_id reassembly shuffle while
+    keeping ONE output file + manifest per input partition — the
+    checkpoint/resume unit). Within the group the span sequences are
+    rebuilt fully vectorized: stable Arrow sort on (doc_id, offset),
+    then ``ListArray.from_arrays`` over the doc boundaries.
+    """
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        part = int(group.column("part_id")[0].as_py())
+        tbl = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+        doc_ids = np.asarray(tbl.column("doc_id"))
+        # boundaries of each doc run (input is sorted)
+        change = np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        offsets = np.concatenate((starts, [len(doc_ids)])).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [
+                tbl.column("kind").combine_chunks(),
+                tbl.column("text").combine_chunks(),
+                tbl.column("media_ref").combine_chunks(),
+                tbl.column("offset").combine_chunks(),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans_list = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+        out = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[starts], type=pa.string()),
+                "spans": spans_list,
+            }
+        )
+        n_errors = int(pc.sum(pc.equal(tbl.column("kind"), KIND_ERROR)).as_py() or 0)
+        storage.write_part(out_root, part, out)
+        storage.commit_manifest(
+            out_root,
+            part,
+            {
+                "part_id": part,
+                "n_docs": len(out),
+                "n_spans": len(tbl),
+                "n_errors": n_errors,
+            },
+        )
+        return pa.table(
+            {
+                "part_id": pa.array([part], type=pa.int32()),
+                "n_docs": pa.array([len(out)], type=pa.int64()),
+                "n_spans": pa.array([len(tbl)], type=pa.int64()),
+                "n_errors": pa.array([n_errors], type=pa.int64()),
+            }
+        )
+
+    return write_partition

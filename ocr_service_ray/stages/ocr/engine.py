@@ -109,6 +109,7 @@ class OcrEngine:
                     "confidence": round(w.confidence, 3),
                     "y_position": int(w.y),
                     "x_position": int(w.x),
+                    "x_end": int(w.x_end),
                 }
             )
         out.sort(

@@ -59,7 +59,9 @@ _FONT: dict[str, tuple[str, ...]] = {
     "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
     "9": (".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."),
     ".": (".....", ".....", ".....", ".....", ".....", ".##..", ".##.."),
-    ",": (".....", ".....", ".....", ".....", ".##..", "..#..", ".#..."),
+    # comma carries a 3-row diagonal tail so it stays >= 10 XOR px away
+    # from "." even after +-3 deg nearest-neighbor rotation damage
+    ",": (".....", ".....", ".....", ".....", ".###.", "..##.", ".#..."),
     "-": (".....", ".....", ".....", ".###.", ".....", ".....", "....."),
     ":": (".....", ".##..", ".##..", ".....", ".##..", ".##..", "....."),
     "/": ("....#", "....#", "...#.", "..#..", ".#...", "#....", "#...."),

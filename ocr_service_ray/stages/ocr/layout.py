@@ -84,26 +84,42 @@ def item_band(tokens: list[dict]) -> list[dict]:
 
 
 def derive_column_cuts(
-    tokens: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG
+    tokens: list[dict],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    min_valley: int = 24,
 ) -> tuple[int, int]:
     """(mid_cut, right_cut) x thresholds.
 
-    "auto": midpoints of the two widest x-gaps between token starts in
-    the band (XY-cut-style valley finding); falls back to the reference's
-    fixed cuts when fewer than three x-clusters exist.
+    "auto" is an x-projection XY-cut: take the union of token ink
+    intervals ``[x_position, x_end)`` across the whole band and find the
+    two widest zero-occupancy valleys (>= ``min_valley`` px, wider than
+    any intra-column word gap); cuts are the valley midpoints. Falls back
+    to the reference's fixed pixel cuts (app/ocr_engine.py:196-198) when
+    tokens lack extents or fewer than two valleys exist.
     """
     if cfg.column_mode != "auto":
         return cfg.x_mid_min, cfg.x_right_min
-    xs = sorted({int(t["x_position"]) for t in tokens if t.get("x_position") is not None})
-    if len(xs) < 3:
+    ivals = sorted(
+        (int(t["x_position"]), int(t["x_end"]))
+        for t in tokens
+        if t.get("x_position") is not None and t.get("x_end")
+    )
+    if len(ivals) < 3:
         return cfg.x_mid_min, cfg.x_right_min
-    gaps = []  # (width, midpoint)
-    for a, b in zip(xs, xs[1:]):
-        gaps.append((b - a, (a + b) // 2))
-    gaps.sort(reverse=True)
-    if len(gaps) < 2 or gaps[1][0] < 3 * max(1, min(g[0] for g in gaps)):
-        pass  # still usable; heuristic below
-    top2 = sorted([gaps[0][1], gaps[1][1]])
+    # merge the interval union, collect internal valleys
+    valleys = []  # (width, midpoint)
+    cur_end = ivals[0][1]
+    for a, b in ivals[1:]:
+        if a > cur_end:
+            if a - cur_end >= min_valley:
+                valleys.append((a - cur_end, (a + cur_end) // 2))
+            cur_end = b
+        else:
+            cur_end = max(cur_end, b)
+    if len(valleys) < 2:
+        return cfg.x_mid_min, cfg.x_right_min
+    valleys.sort(reverse=True)
+    top2 = sorted([valleys[0][1], valleys[1][1]])
     return top2[0], top2[1]
 
 

@@ -34,6 +34,7 @@ class Word:
     confidence: float
     x: int  # leftmost ink column of the word (page coords)
     y: int  # top ink row of the word's line band (page coords)
+    x_end: int = 0  # rightmost ink column (exclusive) — used for column-valley cuts
 
 
 class TemplateBank:
@@ -206,7 +207,7 @@ def recognize_page(
     words: list[Word] = []
     for r0, r1 in segment_lines(ink):
         band = ink[r0:r1]
-        for x0, _x1, glyph_runs in segment_words(band, scale=bank.scale):
+        for x0, x1, glyph_runs in segment_words(band, scale=bank.scale):
             patches = []
             for c0, c1 in glyph_runs:
                 patch = band[:, c0:c1]
@@ -222,11 +223,32 @@ def recognize_page(
                     confidence=float(scores.mean()) if len(scores) else 0.0,
                     x=int(x0),
                     y=int(r0),
+                    x_end=int(x1),
                 )
             )
     return words
 
 
 def _crop_patch(patch: np.ndarray) -> np.ndarray:
-    rows = np.flatnonzero(patch.any(axis=1))
-    return patch[rows[0] : rows[-1] + 1]
+    """Crop a glyph patch to its dominant row mass.
+
+    Stray noise or rotation-bleed pixels vertically separated from the
+    glyph would otherwise stretch the crop and push the centered
+    embedding outside the +-1 px shift search. Row runs separated by
+    <= 2 blank px are merged (":" has a 2 px internal gap at scale 2);
+    the run with the most ink wins.
+    """
+    prof = patch.sum(axis=1)
+    rows = np.flatnonzero(prof)
+    if rows.size == 0:
+        return patch[:1]
+    # merge inked row runs with gaps <= 2
+    runs: list[list[int]] = []  # [r0, r1, ink]
+    for r in rows.tolist():
+        if runs and r - runs[-1][1] <= 3:
+            runs[-1][1] = r + 1
+            runs[-1][2] += int(prof[r])
+        else:
+            runs.append([r, r + 1, int(prof[r])])
+    r0, r1, _ = max(runs, key=lambda rn: rn[2])
+    return patch[r0:r1]
