@@ -104,7 +104,7 @@ def derive_column_cuts(
         for t in tokens
         if t.get("x_position") is not None and t.get("x_end")
     )
-    if len(ivals) < 3:
+    if len(ivals) < 2:
         return cfg.x_mid_min, cfg.x_right_min
     # merge the interval union, collect internal valleys
     valleys = []  # (width, midpoint)
@@ -116,8 +116,13 @@ def derive_column_cuts(
             cur_end = b
         else:
             cur_end = max(cur_end, b)
-    if len(valleys) < 2:
+    if not valleys:
         return cfg.x_mid_min, cfg.x_right_min
+    if len(valleys) == 1:
+        # two-column row (desc | trailing value): treat the trailing
+        # column as the money column (mid band is empty)
+        cut = valleys[0][1]
+        return cut, cut
     valleys.sort(reverse=True)
     top2 = sorted([valleys[0][1], valleys[1][1]])
     return top2[0], top2[1]

@@ -1,0 +1,78 @@
+"""End-to-end Ray pipeline tests: span equality, resume, skew, errors.
+
+The north-rule invariant (BASELINE.json): span-sequence equality
+(kind, text, media_ref, order) per doc_id against the generator oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ocr_service_ray.core import storage
+from ocr_service_ray.fixtures.gen import generate_corpus
+from ocr_service_ray.pipeline.run import run_pipeline, verify_output
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPipelineE2E:
+    def test_span_equality_tiny(self, tiny_corpus, tmp_path):
+        out = str(tmp_path / "out")
+        summary = run_pipeline(tiny_corpus["docs"], tiny_corpus["blobs"], out)
+        assert summary["processed"] == tiny_corpus["n_parts"]
+        check = verify_output(out, tiny_corpus["expected"])
+        assert check["docs"] == tiny_corpus["n_docs"]
+        assert check["mismatched"] == 0, check["examples"]
+
+    def test_resume_skips_committed_and_redoes_uncommitted(self, tiny_corpus, tmp_path):
+        out = str(tmp_path / "out")
+        run_pipeline(tiny_corpus["docs"], tiny_corpus["blobs"], out)
+        mtimes = {
+            p: os.path.getmtime(storage.data_path(out, p))
+            for p in storage.list_parts(out)
+        }
+        # simulate a crash that lost part 1's manifest mid-write
+        os.unlink(storage.manifest_path(out, 1))
+        summary = run_pipeline(tiny_corpus["docs"], tiny_corpus["blobs"], out)
+        assert summary["skipped_committed"] == 1
+        assert summary["cleared_uncommitted"] == 1
+        assert summary["processed"] == 1
+        assert os.path.getmtime(storage.data_path(out, 0)) == mtimes[0]
+        assert os.path.getmtime(storage.data_path(out, 1)) != mtimes[1]
+        check = verify_output(out, tiny_corpus["expected"])
+        assert check["mismatched"] == 0
+
+    def test_error_records_present_not_failures(self, tiny_corpus, tmp_path):
+        """Corrupt/dangling blobs must yield erro spans and count in manifests."""
+        out = str(tmp_path / "out")
+        run_pipeline(tiny_corpus["docs"], tiny_corpus["blobs"], out)
+        # the oracle knows which spans are erro; cross-check manifests add up
+        n_erro = 0
+        for p in storage.list_parts(tiny_corpus["expected"]):
+            for r in storage.read_part(tiny_corpus["expected"], p).to_pylist():
+                n_erro += sum(1 for s in r["spans"] if s["kind"] == "erro")
+        manifest_errors = sum(
+            storage.read_manifest(out, p)["n_errors"] for p in storage.list_parts(out)
+        )
+        assert manifest_errors == n_erro
+
+    def test_skewed_profile_equality(self, tmp_path):
+        """99% text-only docs + 1% 50-media docs: output equality holds."""
+        root = str(tmp_path / "skew")
+        info = generate_corpus(root, seed=7, n_parts=2, docs_per_part=100, profile="skewed")
+        out = str(tmp_path / "skew_out")
+        run_pipeline(info["docs"], info["blobs"], out)
+        check = verify_output(out, info["expected"])
+        assert check["docs"] == 200
+        assert check["mismatched"] == 0, check["examples"][:1]
+
+    def test_output_schema_matches_input_hint(self, tiny_corpus, tmp_path):
+        import pyarrow as pa
+
+        from ocr_service_ray.core.schema import DOC_SCHEMA
+
+        out = str(tmp_path / "out")
+        run_pipeline(tiny_corpus["docs"], tiny_corpus["blobs"], out)
+        tbl = storage.read_part(out, 0)
+        assert tbl.schema.equals(DOC_SCHEMA) or tbl.cast(DOC_SCHEMA).schema.equals(DOC_SCHEMA)
