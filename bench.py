@@ -1,0 +1,193 @@
+"""Benchmark harness.
+
+Default: run the headline extraction pipeline + representative analytics
+queries at $GRAFT_SF_DIR (default /root/testdata/sf0.1) under
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE
+JSON line:
+    {"metric": ..., "value": docs_per_sec, "unit": "docs/sec",
+     "queries": {name: sec}, "sf": ..., "num_cpus": N}
+
+--scaling: run the identical pipeline job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs + scaling efficiency ((dps32/dps8)/4); appends the result
+to BENCH/BASELINE.md. This is the sandbox substitution for the north
+rule's N-vs-4N-node criterion (BASELINE.json / driver directive).
+
+--one-run --num-cpus N: internal child mode; times ONLY run_pipeline
+(corpus generation is cached, ray.init excluded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def one_run(num_cpus: int, scale: str) -> dict:
+    """Fresh-session timed pipeline run; returns metrics dict."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from ocr_service_ray.pipeline.entry_api import span_corpus
+        from ocr_service_ray.pipeline.run import run_pipeline, verify_output
+
+        info = span_corpus(scale)  # cached after first call
+        out = tempfile.mkdtemp(prefix=f"bench_out_{scale}_{num_cpus}_")
+        t0 = time.perf_counter()
+        run_pipeline(info["docs"], info["blobs"], out)
+        wall = time.perf_counter() - t0
+        check = verify_output(out, info["expected"])
+        return {
+            "num_cpus": num_cpus,
+            "scale": scale,
+            "n_docs": info["n_docs"],
+            "n_spans": info["n_spans"],
+            "wall_s": round(wall, 3),
+            "docs_per_sec": round(info["n_docs"] / wall, 3),
+            "match_rate": check["match_rate"],
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_queries(num_cpus: int) -> dict:
+    """Time representative analytics queries at sf_dir."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from ocr_service_ray.analytics import dedup, relational, similarity, text_analysis
+
+        timings = {}
+        for name, fn in {
+            "exact_dedup": lambda: dedup.exact_dedup(sf_dir()).materialize(),
+            "minhash_pairs": lambda: dedup.minhash_lsh_pairs(sf_dir()),
+            "simhash": lambda: dedup.simhash_fingerprints(sf_dir()).materialize(),
+            "embedding_neardup": lambda: dedup.embedding_neardup_pairs(sf_dir()),
+            "ann_topk": lambda: similarity.brute_topk(sf_dir()),
+            "ann_ivf_topk": lambda: similarity.ivf_topk(sf_dir()),
+            "token_counts": lambda: text_analysis.token_counts(sf_dir()).materialize(),
+            "quality_scores": lambda: text_analysis.quality_scores(sf_dir()).materialize(),
+            "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
+            "pricing_summary": lambda: relational.pricing_summary(sf_dir()),
+        }.items():
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        return timings
+    finally:
+        ray.shutdown()
+
+
+def child_run(num_cpus: int, scale: str) -> dict:
+    """Spawn a FRESH process for a timed pipeline run."""
+    out = subprocess.run(
+        [sys.executable, __file__, "--one-run", "--num-cpus", str(num_cpus), "--bench-scale", scale],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=3600,
+    )
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"child failed: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def scale_for_sf() -> str:
+    d = sf_dir()
+    if "sf0.001" in d:
+        return "tiny"
+    if "sf0.01" in d:
+        return "small"
+    return "medium"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one-run", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=0)
+    ap.add_argument("--bench-scale", default=None)
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+    scale = args.bench_scale or scale_for_sf()
+
+    if args.one_run:
+        print(json.dumps(one_run(args.num_cpus or default_cpus(), scale)))
+        return 0
+
+    if args.scaling:
+        # warm the corpus cache once so neither child pays generation
+        from ocr_service_ray.pipeline.entry_api import span_corpus
+
+        span_corpus(scale)
+        lo = child_run(8, scale)
+        hi = child_run(32, scale)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+        result = {
+            "metric": "scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 3),
+            "unit": "fraction",
+            "runs": [lo, hi],
+            "sf": sf_dir(),
+        }
+        print(json.dumps(result))
+        _append_baseline(result)
+        return 0
+
+    # default: headline pipeline (fresh child process) + analytics queries
+    head = child_run(args.num_cpus or default_cpus(), scale)
+    queries = {} if args.skip_queries else run_queries(args.num_cpus or default_cpus())
+    print(
+        json.dumps(
+            {
+                "metric": "extracted_docs_per_sec",
+                "value": head["docs_per_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir(),
+                "num_cpus": args.num_cpus or default_cpus(),
+                "headline": head,
+            }
+        )
+    )
+    return 0
+
+
+def _append_baseline(result: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    path = os.path.join("BENCH", "BASELINE.md")
+    lo, hi = result["runs"]
+    lines = [
+        "",
+        f"## Scaling run ({result['sf']}, scale={lo['scale']}, {lo['n_docs']} docs)",
+        "",
+        "| num_cpus | wall (s) | docs/sec | match rate |",
+        "|---|---|---|---|",
+        f"| 8 | {lo['wall_s']} | {lo['docs_per_sec']} | {lo['match_rate']} |",
+        f"| 32 | {hi['wall_s']} | {hi['docs_per_sec']} | {hi['match_rate']} |",
+        "",
+        f"**Scaling efficiency (8 -> 32 cpus): {result['value']}** (target >= 0.8)",
+        "",
+    ]
+    with open(path, "a") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

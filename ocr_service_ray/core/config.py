@@ -26,16 +26,22 @@ class PipelineConfig:
 
     # --- Ray sizing ---
     extract_batch_size: int = 64  # spans per batch into the extract actor pool
-    extract_concurrency: tuple = (2, 8)  # actor pool (min, max)
+    extract_concurrency: tuple = (2, 24)  # actor pool (min, max)
     extract_num_cpus: float = 1.0
     reassembly_num_partitions: int = 0  # 0 = let Ray pick
-    cost_repartition: bool = True  # pre-extract skew repartition on cost bucket
-    cost_bucket_quantum: int = 4096  # cost units per bucket
+    # Skew control happens at the READ: the source is split into
+    # blocks_per_part locality-preserving blocks per input partition, so
+    # a many-media partition spreads over many blocks WITHOUT an
+    # all-to-all repartition (which Ray executes as a barrier). An
+    # explicit shuffle repartition remains available for pathological
+    # skew (cost_repartition=True).
+    blocks_per_part: int = 8
+    cost_repartition: bool = False
     num_cost_buckets: int = 64
 
     # --- blob lookup ---
     blob_lookup_mode: str = "partition"  # "partition" (co-partitioned files) | "broadcast"
-    blob_cache_parts: int = 4  # per-actor LRU of blob partition dicts
+    blob_cache_parts: int = 8  # per-actor LRU of blob partition dicts
 
     # --- resume ---
     wave_size: int = 0  # input partitions per committed wave; 0 = all remaining

@@ -65,15 +65,25 @@ def committed_parts(root: str) -> list[int]:
     return [p for p in list_parts(root) if os.path.exists(manifest_path(root, p))]
 
 
-def write_part(root: str, part_id: int, table: pa.Table) -> str:
-    """Write one partition's data file (no manifest — data only)."""
+def write_part(
+    root: str, part_id: int, table: pa.Table, compression: str | None = None
+) -> str:
+    """Write one partition's data file (no manifest — data only).
+
+    ``compression=None`` picks zstd for text-ish tables but NONE when a
+    binary ``bytes`` column dominates (media rasters): point-lookup
+    latency of the blob sidecar is on the OCR hot path, and decompressing
+    a whole part to serve a batch of refs costs more than the disk saves.
+    """
     d = part_dir(root, part_id)
     os.makedirs(d, exist_ok=True)
     path = data_path(root, part_id)
+    if compression is None:
+        compression = "none" if "bytes" in table.schema.names else "zstd"
     if HAVE_LANCE:  # pragma: no cover
         lance.write_dataset(table, path, mode="overwrite")
     else:
-        pq.write_table(table, path)
+        pq.write_table(table, path, compression=compression)
     return path
 
 

@@ -36,6 +36,13 @@ from ..ops import textops as T
 from ..stages.ocr import raster
 from .render import CHAR_ADV, line_ground_truth, render_page
 
+# Receipt column geometry, in glyph-advance units so it scales with the
+# font: left text may use up to 25 glyph cells (12-char "NN NNNNNNNN "
+# prefix + <=13-char desc), leaving >= 3 cells (> the column-valley
+# minimum) before the qty column; qty <= 13 cells before the total.
+COL_QTY_X = 28 * CHAR_ADV
+COL_TOT_X = 44 * CHAR_ADV
+
 # A-Z-only words, free of correction-table triggers (ZER0/I0G/OUOS/UOS/UH/SUIFT).
 WORDS = (
     "ARROZ FEIJAO ACUCAR CAFE LEITE PAO QUEIJO PRESUNTO MANTEIGA SAL "
@@ -167,8 +174,8 @@ def make_media_blob(
         total = 0.0
         for i in range(n_items):
             # left segment is "NN NNNNNNNN <desc>" (12-char prefix); cap at
-            # 25 chars total so its ink ends >= 42 px before the qty column
-            # at x=400 (column-gap contract with derive_column_cuts)
+            # 25 chars total so its ink ends >= 3 glyph cells before the
+            # qty column (column-gap contract with derive_column_cuts)
             desc = " ".join(_pick_words(rng, int(rng.integers(1, 3))))[:13].strip()
             code = int(rng.integers(10**7, 10**8))
             qtd = int(rng.integers(1, 10))
@@ -178,8 +185,8 @@ def make_media_blob(
             left = f"{i + 1:02d} {code:08d} {desc}"
             mid = f"{qtd}UN X {vu:.2f}".replace(".", ",")
             right = f"{vt:.2f}".replace(".", ",")
-            lines.append([(0, left), (400, mid), (620, right)])
-        lines.append([(0, "VALOR TOTAL"), (620, f"{total:.2f}".replace(".", ","))])
+            lines.append([(0, left), (COL_QTY_X, mid), (COL_TOT_X, right)])
+        lines.append([(0, "VALOR TOTAL"), (COL_TOT_X, f"{total:.2f}".replace(".", ","))])
     else:
         for _ in range(int(rng.integers(2, 6))):
             lines.append([(0, " ".join(_pick_words(rng, int(rng.integers(2, 5))))[:50])])
@@ -198,6 +205,7 @@ def make_media_blob(
 SCALES = {
     "tiny": (2, 8),
     "small": (8, 256),
+    "medium": (16, 1024),
     "bench": (32, 2048),
 }
 
@@ -208,16 +216,52 @@ def generate_corpus(
     n_parts: int = 8,
     docs_per_part: int = 256,
     profile: str = "default",
+    processes: int | None = None,
 ) -> dict:
-    """Write docs/blobs/expected tables; returns summary paths + counts."""
+    """Write docs/blobs/expected tables; returns summary paths + counts.
+
+    Partitions are generated independently (per-doc RNG is seeded by the
+    GLOBAL doc index, so the output is byte-identical regardless of the
+    process pool size) and in parallel when ``processes`` > 1.
+    """
     os.makedirs(out_root, exist_ok=True)
+    docs_root = os.path.join(out_root, "docs")
+    blobs_root = os.path.join(out_root, "blobs")
+    expected_root = os.path.join(out_root, "expected")
+    if processes is None:
+        processes = min(16, os.cpu_count() or 1, n_parts)
+    args = [
+        (out_root, seed, part, docs_per_part, profile) for part in range(n_parts)
+    ]
+    if processes > 1 and n_parts > 1:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(processes) as pool:
+            counts = pool.map(_generate_part, args)
+    else:
+        counts = [_generate_part(a) for a in args]
+    return {
+        "docs": docs_root,
+        "blobs": blobs_root,
+        "expected": expected_root,
+        "n_parts": n_parts,
+        "n_docs": sum(c[0] for c in counts),
+        "n_spans": sum(c[1] for c in counts),
+        "n_blobs": sum(c[2] for c in counts),
+    }
+
+
+def _generate_part(args: tuple) -> tuple[int, int, int]:
+    """Generate one partition of docs/blobs/expected; returns counts."""
+    out_root, seed, part, docs_per_part, profile = args
     docs_root = os.path.join(out_root, "docs")
     blobs_root = os.path.join(out_root, "blobs")
     expected_root = os.path.join(out_root, "expected")
     n_docs = 0
     n_spans = 0
     n_blobs = 0
-    for part in range(n_parts):
+    if True:  # preserved indentation of the per-part body
         doc_rows: list[dict] = []
         exp_rows: list[dict] = []
         blob_rows: list[dict] = []
@@ -284,15 +328,7 @@ def generate_corpus(
         storage.write_part(docs_root, part, _doc_table(doc_rows))
         storage.write_part(expected_root, part, _doc_table(exp_rows))
         storage.write_part(blobs_root, part, _blob_table(blob_rows))
-    return {
-        "docs": docs_root,
-        "blobs": blobs_root,
-        "expected": expected_root,
-        "n_parts": n_parts,
-        "n_docs": n_docs,
-        "n_spans": n_spans,
-        "n_blobs": n_blobs,
-    }
+    return n_docs, n_spans, n_blobs
 
 
 def generate_scale(out_root: str, scale: str = "tiny", seed: int = 42, profile: str = "default") -> dict:

@@ -15,7 +15,7 @@ from ..stages.ocr import glyphs as G
 from ..stages.ocr import raster
 from ..stages.ocr.preprocess import rotate_bool
 
-SCALE = 2
+SCALE = G.RENDER_SCALE
 CHAR_ADV = G.ADVANCE * SCALE  # 14 px
 LINE_H = (G.GLYPH_H + 3) * SCALE  # 20 px
 PAGE_W = 760

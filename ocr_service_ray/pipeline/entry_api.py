@@ -1,0 +1,328 @@
+"""Driver-facing API: entry(), queries(), oracle_sql() implementations.
+
+The driver owns the Ray session; nothing here calls ray.init/shutdown.
+
+Two families of queries:
+- span-pipeline queries run over the deterministic synthetic interleaved
+  corpus (BASELINE.json input_hint shape; the driver's TPC-H-ish
+  ``documents`` table does NOT have the mandated span schema — see
+  SURVEY.md §5.2). They are verified by the generator oracle inside the
+  pipeline tests; for the driver they are rows-only checks.
+- analytics queries run over the driver's parquet tables and have exact
+  DuckDB oracles (column names and float semantics matched).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core import storage
+from ..fixtures.gen import generate_scale
+
+# sf_dir -> synthetic corpus scale (docs: tiny=16, small=2048, medium=16k)
+_SF_SCALE = {"0.001": "tiny", "0.01": "small", "0.1": "medium"}
+
+
+def scale_for(sf_dir: str) -> str:
+    for token, scale in _SF_SCALE.items():
+        if f"sf{token}" in sf_dir:
+            return scale
+    return "tiny"
+
+
+def span_corpus(scale: str = "small", seed: int = 42, profile: str = "default") -> dict:
+    """Generate (once, cached in /tmp) the synthetic span corpus."""
+    root = f"/tmp/graft_corpus/{scale}-{seed}-{profile}"
+    done_marker = os.path.join(root, "GENERATED")
+    if os.path.exists(done_marker):
+        import json
+
+        with open(done_marker) as f:
+            return json.load(f)
+    import json
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    info = generate_scale(root, scale, seed=seed, profile=profile)
+    with open(done_marker, "w") as f:
+        json.dump(info, f)
+    return info
+
+
+def run_span_pipeline(scale: str = "small", seed: int = 42) -> tuple[dict, str]:
+    """Run the flagship pipeline on the cached corpus; returns (info, out_root)."""
+    from .run import run_pipeline
+
+    info = span_corpus(scale, seed)
+    out = tempfile.mkdtemp(prefix=f"graft_out_{scale}_")
+    run_pipeline(info["docs"], info["blobs"], out)
+    return info, out
+
+
+def _flatten_docs(root: str) -> pa.Table:
+    """Output doc table -> flat (doc_id, offset, kind, text, media_ref)."""
+    tables = []
+    for p in storage.list_parts(root):
+        t = storage.read_part(root, p)
+        spans = t.column("spans").combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        tables.append(
+            pa.table(
+                {
+                    "doc_id": pc.take(t.column("doc_id"), parents),
+                    "offset": flat.field("offset"),
+                    "kind": flat.field("kind"),
+                    "text": flat.field("text"),
+                    "media_ref": flat.field("media_ref"),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+# ----------------------------------------------------------------------
+# span-pipeline queries (rows-only checks; pinned by pipeline tests)
+
+
+def q_span_extract(sf_dir: str) -> pa.Table:
+    """Flagship: full extraction pipeline, flattened output spans."""
+    _, out = run_span_pipeline(scale_for(sf_dir))
+    return _flatten_docs(out)
+
+
+def q_span_errors(sf_dir: str) -> pa.Table:
+    """Error-record spans (corrupt/dangling media) from the pipeline output."""
+    _, out = run_span_pipeline(scale_for(sf_dir))
+    flat = _flatten_docs(out)
+    return flat.filter(pc.equal(flat.column("kind"), "erro"))
+
+
+def q_receipt_items(sf_dir: str) -> pa.Table:
+    """OCR receipts -> structured item rows (reference Item semantics).
+
+    Actor-pool map_batches over the blob sidecar table; per-blob
+    recognize -> classify -> band/group/parse/impute/dedupe
+    (/root/reference/app/ocr_engine.py:152-292 semantics).
+    """
+    import ray
+    import ray.data
+
+    info = span_corpus(scale_for(sf_dir))
+
+    class ItemStage:
+        def __init__(self):
+            from ..stages.ocr.engine import OcrEngine
+
+            self.engine = OcrEngine()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages.ocr.layout import structure_document
+
+            rows = {
+                "media_ref": [], "tipo_documento": [], "sq": [], "item": [],
+                "quantidade": [], "valor_unitario": [], "valor_total": [],
+                "data_compra": [],
+            }
+            for ref, payload in zip(
+                batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
+            ):
+                tokens = self.engine.extract_text(payload)
+                doc = structure_document(tokens)
+                for it in doc["itens"]:
+                    rows["media_ref"].append(ref)
+                    rows["tipo_documento"].append(doc["tipo_documento"])
+                    rows["sq"].append(it["sq"])
+                    rows["item"].append(it["item"])
+                    rows["quantidade"].append(it["quantidade"])
+                    rows["valor_unitario"].append(it["valor_unitario"])
+                    rows["valor_total"].append(it["valor_total"])
+                    rows["data_compra"].append(it["data_compra"])
+            return pa.table(
+                {
+                    "media_ref": pa.array(rows["media_ref"], pa.string()),
+                    "tipo_documento": pa.array(rows["tipo_documento"], pa.string()),
+                    "sq": pa.array(rows["sq"], pa.string()),
+                    "item": pa.array(rows["item"], pa.string()),
+                    "quantidade": pa.array(rows["quantidade"], pa.float64()),
+                    "valor_unitario": pa.array(rows["valor_unitario"], pa.float64()),
+                    "valor_total": pa.array(rows["valor_total"], pa.float64()),
+                    "data_compra": pa.array(rows["data_compra"], pa.string()),
+                }
+            )
+
+    files = storage.data_files(info["blobs"])
+    ds = ray.data.read_parquet(files, columns=["media_ref", "bytes"])
+    out = ds.map_batches(
+        ItemStage, concurrency=(1, 4), batch_size=32, batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by([("media_ref", "ascending"), ("sq", "ascending")])
+
+
+def q_html_items(sf_dir: str) -> pa.Table:
+    """HTML spans -> structured item rows (nfce_parser.py:97-134 semantics)."""
+    import ray
+
+    info = span_corpus(scale_for(sf_dir))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        from ..stages.html_extract import parse_html_document
+
+        spans = batch.column("spans").combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        doc_ids = pc.take(batch.column("doc_id"), parents).to_pylist()
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        offs = flat.field("offset").to_pylist()
+        rows = {"doc_id": [], "offset": [], "item": [], "codigo": [],
+                "quantidade": [], "valor_unitario": [], "valor_total": []}
+        for d, k, t, o in zip(doc_ids, kinds, texts, offs):
+            if k != "html":
+                continue
+            doc = parse_html_document(t)
+            for it in doc["itens"]:
+                rows["doc_id"].append(d)
+                rows["offset"].append(o)
+                rows["item"].append(it["item"])
+                rows["codigo"].append(it["codigo"])
+                rows["quantidade"].append(it["quantidade"])
+                rows["valor_unitario"].append(it["valor_unitario"])
+                rows["valor_total"].append(it["valor_total"])
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "offset": pa.array(rows["offset"], pa.int32()),
+                "item": pa.array(rows["item"], pa.string()),
+                "codigo": pa.array(rows["codigo"], pa.string()),
+                "quantidade": pa.array(rows["quantidade"], pa.float64()),
+                "valor_unitario": pa.array(rows["valor_unitario"], pa.float64()),
+                "valor_total": pa.array(rows["valor_total"], pa.float64()),
+            }
+        )
+
+    import ray.data
+
+    ds = ray.data.read_parquet(storage.data_files(info["docs"]))
+    out = ds.map_batches(extract, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+
+
+def q_skew_profile(sf_dir: str) -> pa.Table:
+    """Skewed corpus (1% 50-media docs) through the pipeline; per-part metrics."""
+    from .run import run_pipeline
+
+    info = span_corpus_skew(sf_dir)
+    out = tempfile.mkdtemp(prefix="graft_skew_")
+    summary = run_pipeline(info["docs"], info["blobs"], out)
+    rows = summary["parts"]
+    return pa.table(
+        {
+            "part_id": pa.array([r["part_id"] for r in rows], pa.int32()),
+            "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+            "n_spans": pa.array([r["n_spans"] for r in rows], pa.int64()),
+            "n_errors": pa.array([r["n_errors"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def span_corpus_skew(sf_dir: str) -> dict:
+    scale = "tiny" if "0.001" in sf_dir else "small"
+    return span_corpus(scale, seed=7, profile="skewed")
+
+
+# ----------------------------------------------------------------------
+# public surface
+
+
+def entry():
+    """Flagship pipeline at tiny scale; returns the flattened span table."""
+    _, out = run_span_pipeline("tiny")
+    return _flatten_docs(out)
+
+
+def queries() -> dict:
+    from ..analytics import dedup, relational, similarity, text_analysis
+
+    return {
+        # span-extraction pipeline (the reference's capabilities)
+        "span_extract": q_span_extract,
+        "span_errors": q_span_errors,
+        "receipt_items": q_receipt_items,
+        "html_items": q_html_items,
+        "skew_metrics": q_skew_profile,
+        # training-data analytics (SQL-oracled where expressible)
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "simhash": dedup.simhash_fingerprints,
+        "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
+        "ann_topk": lambda sf: similarity.brute_topk(sf),
+        "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+        "token_counts": text_analysis.token_counts,
+        "quality_scores": text_analysis.quality_scores,
+        "fingerprints": text_analysis.fingerprints,
+        "lang_id": text_analysis.lang_id,
+        "pricing_summary": relational.pricing_summary,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) > 0.45 "
+            "ORDER BY vec_a, vec_b"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q CROSS JOIN embeddings e) "
+            "SELECT query_id, neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank "
+            "FROM s QUALIFY rank <= 10 ORDER BY query_id, rank"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars_text, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+            "CASE WHEN length(text) > 0 THEN "
+            "CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) "
+            "ELSE 0.0 END AS punct_ratio, "
+            "CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN "
+            "CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is)\\b')) AS DOUBLE) "
+            "/ len(regexp_extract_all(text, '\\S+')) ELSE 0.0 END AS stopword_ratio "
+            "FROM documents"
+        ),
+        "fingerprints": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity) AS sum_qty, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "count(*) AS count_order, "
+            "sum(l_quantity) / count(*) AS avg_qty "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+    }

@@ -55,12 +55,19 @@ def run_pipeline(
         return summary
 
     files = storage.data_files(docs_root, remaining)
-    ds = storage.ray_read(files, include_paths=True)
+    # locality-preserving skew spread: many small read blocks per input
+    # partition (spans of one partition stay contiguous -> the OCR
+    # actor's blob-part cache hits; a media-heavy partition still fans
+    # out over blocks_per_part blocks)
+    ds = storage.ray_read(
+        files,
+        include_paths=True,
+        override_num_blocks=max(1, len(remaining) * cfg.blocks_per_part),
+    )
     ds = ds.map_batches(explode_and_extract, batch_format="pyarrow")
     if cfg.cost_repartition:
-        # spread span rows evenly so no OCR batch inherits an input
-        # block's media clump (doc-level skew was already broken by the
-        # explode: spans, not docs, are the unit)
+        # explicit all-to-all spread for pathological skew (off by
+        # default: it executes as a barrier and scrambles blob locality)
         ds = ds.repartition(max(len(remaining), cfg.num_cost_buckets))
     ds = ds.map_batches(
         OcrStage,

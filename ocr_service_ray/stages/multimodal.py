@@ -1,0 +1,174 @@
+"""Multimodal column stages: typed binary payloads + actor-pool plumbing.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by actor-pool ``map_batches`` stages. The SYNR
+raster path (stages/ocr/) is the fully-real image leg; the stages here
+cover the remaining modalities. Real codecs (JPEG/PNG/ffmpeg) are NOT
+available in this sandbox, so decode is stubbed exactly as the charter
+prescribes: a clearly-marked deterministic fake behind the same batch
+signature, with all Ray-side plumbing (schema, batch sizing, actor
+state, output layout) real and tested. Swapping in a real codec touches
+ONLY the ``_decode_*`` functions.
+
+Deterministic fake formats:
+- audio: ``"SYNA <sample_rate> <n>\\n"`` header + n float32 samples
+- video: ``"SYNV <w> <h> <n_frames>\\n"`` + n_frames SYNR-style planes
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+AUDIO_MAGIC = b"SYNA"
+VIDEO_MAGIC = b"SYNV"
+
+AUDIO_FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("duration_s", pa.float64()),
+        ("rms", pa.float64()),
+        ("zero_crossings", pa.int64()),
+        ("status", pa.string()),  # "ok" | "erro"
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("frame_index", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("frame", pa.binary()),  # SYNR payload per sampled frame
+        ("status", pa.string()),
+    ]
+)
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    s = samples.astype(np.float32)
+    return b"SYNA %d %d\n" % (sample_rate, len(s)) + s.tobytes()
+
+
+def _decode_audio(payload: bytes | None) -> tuple[int, np.ndarray] | None:
+    """STUB decode (deterministic fake format). Real impl: soundfile/ffmpeg."""
+    if not payload or not bytes(payload).startswith(AUDIO_MAGIC):
+        return None
+    payload = bytes(payload)
+    nl = payload.find(b"\n")
+    try:
+        _, rate_s, n_s = payload[:nl].split()
+        rate, n = int(rate_s), int(n_s)
+    except (ValueError, IndexError):
+        return None
+    body = payload[nl + 1 :]
+    if n < 0 or len(body) != 4 * n or rate <= 0:
+        return None
+    return rate, np.frombuffer(body, dtype=np.float32)
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n, h, w) uint8 -> SYNV payload."""
+    n, h, w = frames.shape
+    return b"SYNV %d %d %d\n" % (w, h, n) + frames.tobytes()
+
+
+def _decode_video(payload: bytes | None) -> np.ndarray | None:
+    """STUB decode (deterministic fake format). Real impl: ffmpeg."""
+    if not payload or not bytes(payload).startswith(VIDEO_MAGIC):
+        return None
+    payload = bytes(payload)
+    nl = payload.find(b"\n")
+    try:
+        _, w_s, h_s, n_s = payload[:nl].split()
+        w, h, n = int(w_s), int(h_s), int(n_s)
+    except (ValueError, IndexError):
+        return None
+    body = payload[nl + 1 :]
+    if min(w, h, n) <= 0 or len(body) != w * h * n:
+        return None
+    return np.frombuffer(body, dtype=np.uint8).reshape(n, h, w)
+
+
+class AudioFeatureStage:
+    """Actor stage: audio payload -> scalar features.
+
+    ``__init__`` is where a real model (VAD, whisper encoder, ...) would
+    load once per actor; the stub keeps the signature and the error-
+    record semantics (bad payload -> status="erro" row, never a raise).
+    """
+
+    def __init__(self) -> None:
+        self.ready = True  # placeholder for warm model state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in AUDIO_FEATURE_SCHEMA.names}
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            decoded = _decode_audio(payload)
+            rows["media_ref"].append(ref)
+            if decoded is None:
+                for k in ("sample_rate", "n_samples", "zero_crossings"):
+                    rows[k].append(0)
+                rows["duration_s"].append(0.0)
+                rows["rms"].append(0.0)
+                rows["status"].append("erro")
+                continue
+            rate, s = decoded
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(len(s))
+            rows["duration_s"].append(len(s) / rate)
+            rows["rms"].append(float(np.sqrt(np.mean(s * s))) if len(s) else 0.0)
+            rows["zero_crossings"].append(int(np.count_nonzero(np.diff(np.signbit(s)))))
+            rows["status"].append("ok")
+        return pa.Table.from_pydict(rows, schema=AUDIO_FEATURE_SCHEMA)
+
+
+class FrameSampleStage:
+    """Actor stage: video payload -> every k-th frame as SYNR images.
+
+    Output frames feed the OCR stage (video-OCR composition) or any
+    image featurizer; batch sizes must stay small because rows are fat
+    (decoded planes), which is exactly what the schema metadata is for.
+    """
+
+    def __init__(self, every_k: int = 4, max_frames: int = 8) -> None:
+        self.every_k = every_k
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ocr import raster
+
+        rows = {k: [] for k in FRAME_SAMPLE_SCHEMA.names}
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            frames = _decode_video(payload)
+            if frames is None:
+                rows["media_ref"].append(ref)
+                rows["frame_index"].append(-1)
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["frame"].append(b"")
+                rows["status"].append("erro")
+                continue
+            picked = list(range(0, len(frames), self.every_k))[: self.max_frames]
+            for fi in picked:
+                rows["media_ref"].append(ref)
+                rows["frame_index"].append(fi)
+                rows["height"].append(frames.shape[1])
+                rows["width"].append(frames.shape[2])
+                rows["frame"].append(raster.encode(frames[fi]))
+                rows["status"].append("ok")
+        return pa.Table.from_pydict(rows, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def resize_gray(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (numpy, no image libs) for image stages."""
+    h, w = img.shape
+    rr = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    cc = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return img[rr][:, cc]

@@ -30,7 +30,11 @@ _X_SENTINEL = 10**9
 
 
 class OcrEngine:
-    def __init__(self, conf_floor: float = 0.35, accept_conf: float = 0.9, scale: int = 2):
+    def __init__(self, conf_floor: float = 0.35, accept_conf: float = 0.9, scale: int | None = None):
+        from . import glyphs as G
+
+        if scale is None:
+            scale = G.RENDER_SCALE
         self.bank = TemplateBank(scale=scale)
         self.conf_floor = conf_floor
         self.accept_conf = accept_conf
@@ -47,23 +51,32 @@ class OcrEngine:
         # keep >= 3 8-neighbors).
         ink = P.despeckle(P.binarize(img), min_neighbors=2)
 
-        # attempt 1: no deskew — fast path for clean pages
-        words = recognize_page(ink, self.bank)
-        if words and all(w.confidence >= 0.999 for w in words):
-            return self._normalize(words)
+        # cheap skew probe first: recognition is ~10x the cost of the
+        # projection-profile estimate, so never waste a full recognize
+        # pass on a page we already know is rotated (the reference's
+        # ladder blindly runs the raw attempt first, ocr_engine.py:92-96)
+        angle = P.estimate_skew(ink)
+        attempts: list[list[Word]] = []
+        if abs(angle) < 0.05:
+            words = recognize_page(ink, self.bank)
+            if words and all(w.confidence >= 0.999 for w in words):
+                return self._normalize(words)
+            attempts.append(words)
+            work = ink
+        else:
+            self.retries += 1
+            work, _total = P.deskew(ink, initial=angle)
+            words = recognize_page(work, self.bank)
+            if words and _mean_conf(words) >= self.accept_conf:
+                return self._normalize(words)
+            attempts.append(words)
 
-        # attempt 2: deskew
+        # final attempt: aggressive despeckle on the deskewed page
         self.retries += 1
-        ink2, _angle = P.deskew(ink)
-        words2 = recognize_page(ink2, self.bank)
-        if words2 and _mean_conf(words2) >= self.accept_conf:
-            return self._normalize(words2)
-
-        # attempt 3: deskew + aggressive despeckle; keep the best attempt
-        self.retries += 1
-        ink3 = P.despeckle(ink2, min_neighbors=2)
+        ink3 = P.despeckle(work, min_neighbors=2)
         words3 = recognize_page(ink3, self.bank)
-        best = max((words, words2, words3), key=_mean_conf)
+        attempts.append(words3)
+        best = max(attempts, key=_mean_conf)
         return self._normalize(best)
 
     def recognize_lines(self, payload: bytes | None) -> str | None:

@@ -19,6 +19,10 @@ import numpy as np
 
 GLYPH_W = 5
 GLYPH_H = 7
+# Render/recognition scale of the SYNR format. 3 makes strokes 3 px so
+# +-1 px rotation-resampling damage stays well under half a stroke width
+# (at scale 2 single-glyph confusions like I/1 and ,/. were ~3e-4 per blob).
+RENDER_SCALE = 3
 ADVANCE = 7  # glyph width + 2 col spacing, in font pixels (gap survives deskew artifacts)
 
 _FONT: dict[str, tuple[str, ...]] = {

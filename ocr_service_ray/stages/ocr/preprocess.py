@@ -72,6 +72,42 @@ def rotate_bool(ink: np.ndarray, angle_deg: float) -> np.ndarray:
     return out
 
 
+def rotate_bilinear(ink: np.ndarray, angle_deg: float, thresh: float = 0.5) -> np.ndarray:
+    """Anti-aliased mask rotation: bilinear sample + threshold.
+
+    NOT used on the deskew path: with binary 2-3 px strokes the 0.5
+    threshold erodes thin diagonals worse than nearest-neighbor raggedness
+    (measured: 8347/8547 vs 8544/8547 media matches). Kept for stages
+    operating on grayscale-ish masks.
+    """
+    if abs(angle_deg) < 1e-9:
+        return ink
+    h, w = ink.shape
+    theta = np.deg2rad(angle_deg)
+    c, s = np.cos(theta), np.sin(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rr, cc = np.mgrid[0:h, 0:w]
+    y = rr - cy
+    x = cc - cx
+    fr = cy + (s * x + c * y)
+    fc = cx + (c * x - s * y)
+    r0 = np.floor(fr).astype(np.int64)
+    c0 = np.floor(fc).astype(np.int64)
+    dr = fr - r0
+    dc = fc - c0
+    src = ink.astype(np.float32)
+    acc = np.zeros((h, w), dtype=np.float32)
+    for (ro, co, wgt) in (
+        (r0, c0, (1 - dr) * (1 - dc)),
+        (r0, c0 + 1, (1 - dr) * dc),
+        (r0 + 1, c0, dr * (1 - dc)),
+        (r0 + 1, c0 + 1, dr * dc),
+    ):
+        valid = (ro >= 0) & (ro < h) & (co >= 0) & (co < w)
+        acc[valid] += wgt[valid].astype(np.float32) * src[ro[valid], co[valid]]
+    return acc >= thresh
+
+
 def _coord_sharpness(rows, cols_c, angle_deg, n_rows):
     """Gradient energy of the row projection after rotating the ink pixel
     COORDINATES by ``-angle`` — exact profile, no image resampling."""
@@ -114,7 +150,10 @@ def estimate_skew(ink: np.ndarray, max_angle: float = 4.0) -> float:
 
 
 def deskew(
-    ink: np.ndarray, max_angle: float = 4.0, max_iter: int = 3
+    ink: np.ndarray,
+    max_angle: float = 4.0,
+    max_iter: int = 3,
+    initial: float | None = None,
 ) -> tuple[np.ndarray, float]:
     """Estimate and remove page skew; returns (corrected ink, total angle).
 
@@ -123,15 +162,29 @@ def deskew(
     projection profile is sharper near alignment), so 2-3 cheap passes
     beat one expensive full-resolution search.
     """
+    def _row_sharpness(mask: np.ndarray) -> float:
+        d = np.diff(mask.sum(axis=1).astype(np.float64))
+        return float((d * d).sum())
+
     total = 0.0
     cur = ink
-    for _ in range(max_iter):
-        angle = estimate_skew(cur, max_angle=max_angle)
+    best = (_row_sharpness(ink), ink, 0.0)
+    for it in range(max_iter):
+        if it == 0 and initial is not None:
+            angle = initial  # caller already estimated the first pass
+        else:
+            angle = estimate_skew(cur, max_angle=max_angle)
         if abs(angle) < 0.05:
             break
         # always rotate from the ORIGINAL by the accumulated angle to
         # avoid compounding nearest-neighbor resampling damage
         total += angle
         cur = rotate_bool(ink, -total)
+        # keep only genuinely sharper iterates: on sparse pages the
+        # estimator can drift, and a refinement that un-sharpens the
+        # actual row profile must be rejected, not accumulated
+        s = _row_sharpness(cur)
+        if s > best[0]:
+            best = (s, cur, total)
         max_angle = 1.0
-    return cur, total
+    return best[1], best[2]

@@ -22,10 +22,13 @@ import numpy as np
 
 from . import glyphs as G
 
-# Canonical match frame: glyph at scale 2 is 10x14; pad for shifts.
-_FRAME_H = 18
-_FRAME_W = 14
+# Shift search for the robust matcher (raggedness is +-1 px).
 _SHIFTS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _frame_dims(scale: int) -> tuple[int, int]:
+    """Canonical match frame: glyph cell + 4 px padding for shifts."""
+    return G.GLYPH_H * scale + 4, G.GLYPH_W * scale + 4
 
 
 @dataclass
@@ -42,16 +45,43 @@ class TemplateBank:
     mirroring the once-per-worker model load at
     /root/reference/app/ocr_engine.py:49-53)."""
 
-    def __init__(self, scale: int = 2):
+    #: rotation-roundtrip degradation angles modeled in the bank
+    VARIANT_ANGLES = (0.0, 1.5, -1.5, 3.0, -3.0)
+
+    def __init__(self, scale: int = G.RENDER_SCALE):
+        from .preprocess import rotate_bool
+
         self.scale = scale
+        self.frame_h, self.frame_w = _frame_dims(scale)
         bank = G.glyph_bank(scale)
-        self.chars: list[str] = list(bank.keys())
-        # centered template stack [T, FRAME_H, FRAME_W] + ink counts
-        stack = np.zeros((len(self.chars), _FRAME_H, _FRAME_W), dtype=np.uint8)
-        for i, ch in enumerate(self.chars):
-            stack[i] = _embed_centered(_crop_to_ink(bank[ch]))
-        self.stack = stack
-        self.ink = stack.reshape(len(self.chars), -1).sum(axis=1)
+        base_chars: list[str] = list(bank.keys())
+        # template stack includes rotate->derotate degraded variants of
+        # every glyph: pages arrive rotated and are deskewed with
+        # nearest-neighbor resampling, so the observed glyphs are ragged
+        # in exactly this way — matching against in-bank degraded
+        # variants beats matching clean templates with a looser metric
+        templates: list[np.ndarray] = []
+        owners: list[int] = []
+        for i, ch in enumerate(base_chars):
+            clean = _embed_centered(_crop_to_ink(bank[ch]), self.frame_h, self.frame_w)
+            seen = {clean.tobytes()}
+            templates.append(clean)
+            owners.append(i)
+            for a in self.VARIANT_ANGLES[1:]:
+                # same NN rotate->derotate roundtrip the real pipeline applies
+                ragged = _embed_centered(
+                    _crop_to_ink(rotate_bool(rotate_bool(clean.astype(bool), a), -a)),
+                    self.frame_h,
+                    self.frame_w,
+                )
+                if ragged.tobytes() not in seen:
+                    seen.add(ragged.tobytes())
+                    templates.append(ragged)
+                    owners.append(i)
+        self.chars = base_chars
+        self.owner = np.array(owners)
+        self.stack = np.stack(templates).astype(np.uint8)
+        self.ink = self.stack.reshape(len(self.stack), -1).sum(axis=1)
         # exact-pattern dict on the 5x7 font grid
         self.exact: dict[bytes, str] = {}
         for ch in self.chars:
@@ -92,22 +122,22 @@ class TemplateBank:
 
     def _match_robust(self, patches: list[np.ndarray]) -> tuple[list[str], np.ndarray]:
         n = len(patches)
-        obs = np.zeros((n, len(_SHIFTS), _FRAME_H, _FRAME_W), dtype=np.uint8)
+        obs = np.zeros((n, len(_SHIFTS), self.frame_h, self.frame_w), dtype=np.uint8)
         obs_ink = np.zeros(n)
         for i, p in enumerate(patches):
-            base = _embed_centered(p)
+            base = _embed_centered(p, self.frame_h, self.frame_w)
             obs_ink[i] = int(base.sum())
             for k, (dy, dx) in enumerate(_SHIFTS):
                 obs[i, k] = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
         # mismatch[i, k, t] = xor popcount
         x = obs[:, :, None, :, :] ^ self.stack[None, None, :, :, :]
-        mism = x.reshape(n, len(_SHIFTS), len(self.chars), -1).sum(axis=3)
+        mism = x.reshape(n, len(_SHIFTS), len(self.stack), -1).sum(axis=3)
         best_over_shift = mism.min(axis=1)  # [n, T]
         t_idx = best_over_shift.argmin(axis=1)
         best = best_over_shift[np.arange(n), t_idx]
         denom = np.maximum(obs_ink + self.ink[t_idx], 1)
         score = 1.0 - best / denom
-        return [self.chars[t] for t in t_idx], score
+        return [self.chars[self.owner[t]] for t in t_idx], score
 
 
 def _crop_to_ink(mask: np.ndarray) -> np.ndarray:
@@ -118,15 +148,15 @@ def _crop_to_ink(mask: np.ndarray) -> np.ndarray:
     return mask[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
 
 
-def _embed_centered(mask: np.ndarray) -> np.ndarray:
+def _embed_centered(mask: np.ndarray, frame_h: int, frame_w: int) -> np.ndarray:
     """Center an ink-cropped mask in the canonical frame (uint8)."""
-    out = np.zeros((_FRAME_H, _FRAME_W), dtype=np.uint8)
+    out = np.zeros((frame_h, frame_w), dtype=np.uint8)
     m = _crop_to_ink(np.asarray(mask, dtype=bool))
     h, w = m.shape
-    h = min(h, _FRAME_H)
-    w = min(w, _FRAME_W)
-    r0 = (_FRAME_H - h) // 2
-    c0 = (_FRAME_W - w) // 2
+    h = min(h, frame_h)
+    w = min(w, frame_w)
+    r0 = (frame_h - h) // 2
+    c0 = (frame_w - w) // 2
     out[r0 : r0 + h, c0 : c0 + w] = m[:h, :w]
     return out
 
@@ -136,7 +166,7 @@ def _embed_centered(mask: np.ndarray) -> np.ndarray:
 
 
 def segment_lines(
-    ink: np.ndarray, min_gap: int = 4, min_row_ink: int = 3
+    ink: np.ndarray, min_gap: int = 2, min_row_ink: int = 3
 ) -> list[tuple[int, int]]:
     """(row_start, row_end) bands of text lines; merges gaps < ``min_gap``.
 
@@ -155,7 +185,7 @@ def segment_lines(
 
 
 def segment_words(
-    band: np.ndarray, scale: int = 2, word_gap_px: int | None = None
+    band: np.ndarray, scale: int = G.RENDER_SCALE, word_gap_px: int | None = None
 ) -> list[tuple[int, int, list[tuple[int, int]]]]:
     """Split a line band into words and glyph column-runs.
 
@@ -166,13 +196,30 @@ def segment_words(
         word_gap_px = 7 * scale
     prof = band.any(axis=0)
     cols = _runs(prof)
-    # merge column runs separated by 1 blank px (intra-glyph resampling holes)
-    glyph_runs: list[tuple[int, int]] = []
+    # width-guarded fragment merge: glyph pieces separated by <= 2 blank
+    # px (resampling holes, thinned "/") merge ONLY while the union still
+    # fits one glyph cell — rotation can squeeze a real 4 px inter-char
+    # gap down to 1 px, and an unguarded merge would swallow a character
+    # rotation can smear a 10 px glyph to ~12 px, and real inter-char
+    # unions start at ~20 px, so the guard has slack on both sides
+    max_glyph_w = 5 * scale + 3
+    merged_runs: list[tuple[int, int]] = []
     for c0, c1 in cols:
-        if glyph_runs and c0 - glyph_runs[-1][1] < 2:
-            glyph_runs[-1] = (glyph_runs[-1][0], c1)
+        if (
+            merged_runs
+            and c0 - merged_runs[-1][1] <= 3
+            and c1 - merged_runs[-1][0] <= max_glyph_w
+        ):
+            merged_runs[-1] = (merged_runs[-1][0], c1)
         else:
-            glyph_runs.append((c0, c1))
+            merged_runs.append((c0, c1))
+    # drop sub-glyph noise runs BEFORE word grouping: a surviving salt
+    # pair between two words would otherwise bridge the inter-word gap
+    # (every real glyph has >= 2*scale^2 ink px; "." has 8 at scale 2)
+    min_run_ink = scale * scale + 1
+    glyph_runs = [
+        (c0, c1) for c0, c1 in merged_runs if int(band[:, c0:c1].sum()) >= min_run_ink
+    ]
     words: list[tuple[int, int, list[tuple[int, int]]]] = []
     cur: list[tuple[int, int]] = []
     for run in glyph_runs:
@@ -197,13 +244,16 @@ def _runs(profile: np.ndarray) -> list[tuple[int, int]]:
 
 
 def recognize_page(
-    ink: np.ndarray, bank: TemplateBank, min_glyph_ink: int = 6
+    ink: np.ndarray, bank: TemplateBank, min_glyph_ink: int | None = None
 ) -> list[Word]:
     """Full page -> word tokens with positions.
 
     ``min_glyph_ink`` filters residual noise clusters that survived
-    despeckle (every real glyph has >= 8 ink px at scale 2).
+    despeckle (every real glyph has >= 4*scale^2 ink px; default cut is
+    half of the smallest glyph's ink).
     """
+    if min_glyph_ink is None:
+        min_glyph_ink = 2 * bank.scale * bank.scale
     words: list[Word] = []
     for r0, r1 in segment_lines(ink):
         band = ink[r0:r1]

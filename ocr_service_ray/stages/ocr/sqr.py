@@ -1,0 +1,181 @@
+"""SQR: the synthetic machine-readable 2-D code (QR-code analog).
+
+The reference extracts a QR code from receipt photos through a
+preprocessing attempt ladder (pyzbar + cv2 fallback,
+/root/reference/app/ocr_engine.py:56-83) and hands the decoded URL to
+the HTML path (/root/reference/app/main.py:122,157). pyzbar/cv2 are
+unavailable in-sandbox, so — exactly like the raster format replaces
+JPEG — a self-defined code format replaces QR, and the engine implements
+a real detect→sample→decode pass over the binarized page:
+
+Format (module size M px, grid n x n):
+- 1-module solid border ring (the finder frame)
+- interior (n-2)^2 modules, row-major payload bits:
+  16-bit big-endian byte length, then payload bytes MSB-first
+- the grid size n is the smallest that fits the payload
+
+Detection: scan the ink mask for long solid horizontal runs (>= frame
+width; glyph text never produces runs that long), verify the four frame
+edges, then majority-sample each interior module's center. Failures
+return ``None`` — swallowed-exception semantics like the reference's
+ladder (app/ocr_engine.py:82-83).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MODULE = 6  # px per module (erosion-tolerant: rotate/deskew shaves <=2 px)
+
+
+def _grid_size(payload: bytes) -> int:
+    bits = 16 + 8 * len(payload)
+    n_inner = int(np.ceil(np.sqrt(bits)))
+    return n_inner + 2
+
+
+def encode_sqr(payload: str | bytes) -> np.ndarray:
+    """Payload -> boolean ink mask of the code block (True = ink)."""
+    data = payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
+    if len(data) >= 1 << 16:
+        raise ValueError("payload too long")
+    n = _grid_size(data)
+    inner = n - 2
+    bits = np.zeros(inner * inner, dtype=bool)
+    stream = [(len(data) >> (15 - i)) & 1 for i in range(16)]
+    for byte in data:
+        stream.extend((byte >> (7 - i)) & 1 for i in range(8))
+    bits[: len(stream)] = np.array(stream, dtype=bool)
+    grid = np.zeros((n, n), dtype=bool)
+    grid[0, :] = grid[-1, :] = grid[:, 0] = grid[:, -1] = True  # frame
+    grid[1:-1, 1:-1] = bits.reshape(inner, inner)
+    return np.kron(grid, np.ones((MODULE, MODULE), dtype=bool))
+
+
+def stamp_sqr(ink: np.ndarray, r0: int, c0: int, payload: str | bytes) -> np.ndarray:
+    """Stamp the code (with a 1-module cleared quiet zone) into a mask."""
+    block = encode_sqr(payload)
+    h, w = block.shape
+    q = MODULE
+    ink[max(0, r0 - q) : r0 + h + q, max(0, c0 - q) : c0 + w + q] = False
+    ink[r0 : r0 + h, c0 : c0 + w] = block
+    return ink
+
+
+# ----------------------------------------------------------------------
+# Detection + decode
+
+
+def _long_runs(row: np.ndarray, min_len: int, max_gap: int = 2) -> list[tuple[int, int]]:
+    """Solid runs of True, tolerating pepper-noise holes <= max_gap px."""
+    idx = np.flatnonzero(row)
+    if idx.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > max_gap)
+    starts = np.concatenate(([idx[0]], idx[breaks + 1]))
+    ends = np.concatenate((idx[breaks] + 1, [idx[-1] + 1]))
+    return [(int(s), int(e)) for s, e in zip(starts, ends) if e - s >= min_len]
+
+
+def _vrun_len(col: np.ndarray, start: int, max_gap: int = 2) -> int:
+    """Length of the gap-tolerant True run in ``col`` beginning at start."""
+    n = 0
+    gap = 0
+    i = start
+    while i < len(col):
+        if col[i]:
+            n = i - start + 1
+            gap = 0
+        else:
+            gap += 1
+            if gap > max_gap:
+                break
+        i += 1
+    return n
+
+
+def detect_sqr(ink: np.ndarray, min_modules: int = 8) -> tuple[int, int, int, int] | None:
+    """Locate the code frame; returns (r0, c0, side_px, n_modules) or None.
+
+    Rotation round-trips erode up to ~2 px off every edge, so the side
+    length is cross-checked between the top-edge run and the two
+    vertical edge runs, taking the max (erosion only shrinks).
+    """
+    h, _w = ink.shape
+    min_len = min_modules * MODULE
+    for r in range(h):
+        for c0, c1 in _long_runs(ink[r], min_len):
+            run_h = c1 - c0
+            # vertical edge runs measured a bit inside the frame edge
+            v_left = _vrun_len(ink[:, min(c0 + 2, ink.shape[1] - 1)], r)
+            v_right = _vrun_len(ink[:, max(c1 - 3, 0)], r)
+            side = max(run_h, v_left, v_right)
+            n = int(round(side / MODULE))
+            if n < min_modules or r + side > h + MODULE:
+                continue
+            m = MODULE
+            box = ink[r : min(r + side, h), c0 : c0 + side]
+            if box.shape[0] < side - m:
+                continue
+            if (
+                box[:m, :run_h].mean() > 0.7
+                and box[-m:, :run_h].mean() > 0.7
+                and box[: v_left or side, :m].mean() > 0.7
+                and box[: v_right or side, -m:].mean() > 0.7
+            ):
+                return r, c0, side, n
+    return None
+
+
+def decode_sqr(ink: np.ndarray) -> str | None:
+    """Detect + decode the code's payload from a page mask; None on failure."""
+    found = detect_sqr(ink)
+    if found is None:
+        return None
+    r0, c0, side, n = found
+    m = side / n
+    inner = n - 2
+    # sample each interior module center with a 2x2 majority
+    rs = (r0 + (np.arange(1, n - 1) + 0.5) * m).astype(np.int64)
+    cs = (c0 + (np.arange(1, n - 1) + 0.5) * m).astype(np.int64)
+    votes = np.zeros((inner, inner), dtype=np.int16)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            votes += ink[np.clip(rs + dr, 0, ink.shape[0] - 1)][:, np.clip(cs + dc, 0, ink.shape[1] - 1)]
+    bits = (votes >= 5).ravel()
+    if bits.size < 16:
+        return None
+    length = 0
+    for i in range(16):
+        length = (length << 1) | int(bits[i])
+    if 16 + 8 * length > bits.size:
+        return None
+    data = bytearray()
+    pos = 16
+    for _ in range(length):
+        byte = 0
+        for _ in range(8):
+            byte = (byte << 1) | int(bits[pos])
+            pos += 1
+        data.append(byte)
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
+def mask_sqr_region(ink: np.ndarray) -> tuple[np.ndarray, str | None]:
+    """Decode the code (if any) and blank its region + quiet zone.
+
+    Used by the OCR engine so the code block never reaches glyph
+    segmentation (it would shred into phantom tokens otherwise).
+    """
+    found = detect_sqr(ink)
+    if found is None:
+        return ink, None
+    r0, c0, side, _n = found
+    payload = decode_sqr(ink)
+    out = ink.copy()
+    q = MODULE
+    out[max(0, r0 - q) : r0 + side + q, max(0, c0 - q) : c0 + side + q] = False
+    return out, payload

@@ -1,0 +1,168 @@
+"""Analytics operators: local-unit + Ray-vs-DuckDB oracle equivalence.
+
+Mirrors the driver's correctness gate at tiny cost (sf0.001 tables).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_service_ray.analytics.hashing import (
+    MinHasher,
+    hash_tokens,
+    jaccard,
+    normalize_text,
+    shingles,
+    simhash64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestHashing:
+    def test_normalize_matches_sql_form(self):
+        con = duckdb.connect()
+        for s in ["  A  b\tC ", "x", "", "a\n\nb"]:
+            want = con.execute(
+                "SELECT trim(regexp_replace(lower(?), '\\s+', ' ', 'g'))", [s]
+            ).fetchone()[0]
+            assert normalize_text(s) == want
+
+    def test_mulmod_exact(self):
+        rng = np.random.default_rng(5)
+        a = rng.integers(1, 2**61 - 1, 200, dtype=np.uint64)
+        b = rng.integers(1, 2**61 - 1, 200, dtype=np.uint64)
+        got = MinHasher._mulmod(a, b)
+        want = (a.astype(object) * b.astype(object)) % (2**61 - 1)
+        assert all(int(g) == int(w) for g, w in zip(got, want))
+
+    def test_minhash_estimates_jaccard(self):
+        mh = MinHasher(num_perm=128, seed=1)
+        sa = [f"w{i}" for i in range(100)]
+        sb = [f"w{i}" for i in range(80)] + [f"x{i}" for i in range(20)]
+        siga = mh.signature(hash_tokens(sa))
+        sigb = mh.signature(hash_tokens(sb))
+        est = (siga == sigb).mean()
+        true_j = jaccard(set(sa), set(sb))
+        assert abs(est - true_j) < 0.15
+
+    def test_simhash_locality(self):
+        base = [f"w{i}" for i in range(100)]
+        near = base[:-1] + ["zzz"]
+        far = [f"q{i}" for i in range(100)]
+        h = simhash64(hash_tokens(base))
+        assert bin(h ^ simhash64(hash_tokens(near))).count("1") < 10
+        assert bin(h ^ simhash64(hash_tokens(far))).count("1") > 15
+
+    def test_shingles(self):
+        assert shingles("a b c d", 3) == ["a b c", "b c d"]
+        assert shingles("a b", 3) == ["a b"]
+        assert shingles("", 3) == []
+
+    def test_signature_deterministic_across_calls(self):
+        mh1, mh2 = MinHasher(32, seed=1), MinHasher(32, seed=1)
+        h = hash_tokens(["alpha", "beta"])
+        assert (mh1.signature(h) == mh2.signature(h)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOracleEquivalence:
+    """Each SQL-oracled query must match DuckDB exactly at sf0.001."""
+
+    @pytest.fixture(scope="class")
+    def con(self):
+        con = duckdb.connect()
+        for t in ("documents", "embeddings", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        return con
+
+    @staticmethod
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    @pytest.mark.parametrize(
+        "name",
+        ["exact_dedup", "token_counts", "quality_scores", "fingerprints",
+         "pricing_summary", "ann_topk", "embedding_neardup"],
+    )
+    def test_query_matches_oracle(self, con, name):
+        from ocr_service_ray.pipeline import entry_api
+
+        got = entry_api.queries()[name](SF)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        want = con.execute(entry_api.oracle_sql()[name]).df()
+        g, w = self._canon(pd.DataFrame(got)), self._canon(want)
+        assert list(g.columns) == list(w.columns)
+        assert len(g) == len(w)
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if a.dtype != b.dtype:
+                b = b.astype(a.dtype)
+            pd.testing.assert_series_equal(a, b, check_names=False)
+
+    def test_ivf_recall_vs_brute(self):
+        from ocr_service_ray.analytics.similarity import brute_topk, ivf_topk
+
+        brute = brute_topk(SF).to_pandas()
+        ivf = ivf_topk(SF).to_pandas()
+        # recall@10 of the IVF approximation vs the exact baseline
+        recalls = []
+        for qid in brute["query_id"].unique():
+            exact = set(brute[brute.query_id == qid]["neighbor_id"])
+            approx = set(ivf[ivf.query_id == qid]["neighbor_id"])
+            recalls.append(len(exact & approx) / len(exact))
+        assert np.mean(recalls) >= 0.5  # nprobe=4/16 cells
+
+    def test_minhash_pairs_schema(self):
+        from ocr_service_ray.analytics.dedup import minhash_lsh_pairs
+
+        t = minhash_lsh_pairs(SF)
+        assert t.schema.names == ["doc_a", "doc_b", "jaccard"]
+
+
+class TestMultimodal:
+    def test_audio_features_and_errors(self):
+        import pyarrow as pa
+
+        from ocr_service_ray.stages.multimodal import AudioFeatureStage, encode_audio
+
+        s = np.sin(np.linspace(0, 40 * np.pi, 8000)).astype(np.float32)
+        batch = pa.table(
+            {
+                "media_ref": ["a", "bad"],
+                "bytes": [encode_audio(s, 8000), b"garbage"],
+            }
+        )
+        out = AudioFeatureStage()(batch).to_pylist()
+        ok, bad = out
+        assert ok["status"] == "ok"
+        assert ok["duration_s"] == 1.0
+        assert 0.6 < ok["rms"] < 0.8  # sine rms ~ 1/sqrt(2)
+        assert ok["zero_crossings"] in (39, 40)  # endpoint-dependent
+        assert bad["status"] == "erro"
+
+    def test_frame_sampling_roundtrip(self):
+        import pyarrow as pa
+
+        from ocr_service_ray.stages.multimodal import FrameSampleStage, encode_video
+        from ocr_service_ray.stages.ocr import raster
+
+        frames = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+        batch = pa.table({"media_ref": ["v"], "bytes": [encode_video(frames)]})
+        out = FrameSampleStage(every_k=2)(batch).to_pylist()
+        assert [r["frame_index"] for r in out] == [0, 2, 4]
+        decoded = raster.decode(out[1]["frame"])
+        assert np.array_equal(decoded, frames[2])
+
+    def test_resize(self):
+        from ocr_service_ray.stages.multimodal import resize_gray
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        out = resize_gray(img, 2, 2)
+        assert out.shape == (2, 2)
+        assert out[0, 0] == img[0, 0]
