@@ -36,12 +36,14 @@ DOC_SCHEMA = pa.schema(
 )
 
 # Sidecar media blob table (media_ref -> raster payload).
+# qr_payload is generator ground truth: the SQR code's URL ("" if none).
 BLOB_SCHEMA = pa.schema(
     [
         ("media_ref", pa.string()),
         ("bytes", pa.binary()),
         ("width", pa.int32()),
         ("height", pa.int32()),
+        ("qr_payload", pa.string()),
     ]
 )
 

@@ -163,9 +163,10 @@ def make_pdf_span(rng: np.random.Generator) -> tuple[str, str]:
 
 def make_media_blob(
     rng: np.random.Generator, receipt: bool
-) -> tuple[bytes, str, int, int]:
-    """(SYNR payload, expected recognized text, width, height)."""
+) -> tuple[bytes, str, int, int, str]:
+    """(SYNR payload, expected text, width, height, qr_payload or "")."""
     lines: list[list[tuple[int, str]]] = []
+    qr = ""
     if receipt:
         lines.append([(0, " ".join(_pick_words(rng, 2)) + " LTDA")])
         lines.append([(0, f"EMISSAO: {_date(rng)}")])
@@ -187,16 +188,22 @@ def make_media_blob(
             right = f"{vt:.2f}".replace(".", ",")
             lines.append([(0, left), (COL_QTY_X, mid), (COL_TOT_X, right)])
         lines.append([(0, "VALOR TOTAL"), (COL_TOT_X, f"{total:.2f}".replace(".", ","))])
+        if rng.random() < 0.7:  # NFC-e receipts carry the access-key QR
+            chave = "".join(str(int(d)) for d in rng.integers(0, 10, 44))
+            tag = "".join("0123456789abcdef"[int(i)] for i in rng.integers(0, 16, 8))
+            qr = f"https://nfce.fazenda.sp.gov.br/qrcode?p={chave}|2|1|1|{tag}"
     else:
         for _ in range(int(rng.integers(2, 6))):
             lines.append([(0, " ".join(_pick_words(rng, int(rng.integers(2, 5))))[:50])])
     rot = float(rng.choice((0.0, 0.0, 1.5, -1.5, 3.0, -3.0)))
     noise = float(rng.choice((0.0, 0.0, 0.005)))
-    payload = render_page(lines, rng, rotate_deg=rot, noise_rate=noise)
+    payload = render_page(
+        lines, rng, rotate_deg=rot, noise_rate=noise, sqr_payload=qr or None
+    )
     expected = "\n".join(line_ground_truth(segs) for segs in lines)
     img = raster.decode(payload)
     h, w = img.shape
-    return payload, expected, w, h
+    return payload, expected, w, h, qr
 
 
 # ----------------------------------------------------------------------
@@ -305,7 +312,8 @@ def _generate_part(args: tuple) -> tuple[int, int, int]:
                     u = rng.random()
                     if u < 0.02:  # corrupt blob
                         blob_rows.append(
-                            {"media_ref": ref, "bytes": b"SYNR 10 10\nshort", "width": 10, "height": 10}
+                            {"media_ref": ref, "bytes": b"SYNR 10 10\nshort",
+                             "width": 10, "height": 10, "qr_payload": ""}
                         )
                         in_spans.append(_span("media", "", ref, off))
                         out_spans.append(_span("erro", "", ref, off))
@@ -314,9 +322,10 @@ def _generate_part(args: tuple) -> tuple[int, int, int]:
                         out_spans.append(_span("erro", "", ref, off))
                     else:
                         receipt = rng.random() < 0.3
-                        payload, exp, w, h = make_media_blob(rng, receipt)
+                        payload, exp, w, h, qr = make_media_blob(rng, receipt)
                         blob_rows.append(
-                            {"media_ref": ref, "bytes": payload, "width": w, "height": h}
+                            {"media_ref": ref, "bytes": payload, "width": w,
+                             "height": h, "qr_payload": qr}
                         )
                         in_spans.append(_span("media", "", ref, off))
                         out_spans.append(_span("text", exp, ref, off))

@@ -33,20 +33,32 @@ def render_page(
     rotate_deg: float = 0.0,
     noise_rate: float = 0.0,
     page_w: int = PAGE_W,
+    sqr_payload: str | None = None,
 ) -> bytes:
     """Render lines of (x_px, text) segments into a SYNR payload.
 
     ``x_px`` is the glyph-start column inside the text area; the page
-    adds margins so rotation never clips ink.
+    adds margins so rotation never clips ink. ``sqr_payload`` stamps an
+    SQR machine-readable code block below the last text line (the
+    receipt's QR-code analog).
     """
+    from ..stages.ocr.sqr import encode_sqr
+
     bank = G.glyph_bank(SCALE)
     n_lines = max(1, len(lines))
     h = n_lines * LINE_H + 2 * MARGIN_Y
     needed = max(
         (x + text_width(t) for segs in lines for x, t in segs), default=0
     )
+    sqr_block = encode_sqr(sqr_payload) if sqr_payload is not None else None
+    if sqr_block is not None:
+        h += sqr_block.shape[0] + LINE_H
+        needed = max(needed, sqr_block.shape[1])
     w = max(page_w, needed + CHAR_ADV) + 2 * MARGIN_X
     ink = np.zeros((h, w), dtype=bool)
+    if sqr_block is not None:
+        r0 = MARGIN_Y + n_lines * LINE_H + LINE_H // 2
+        ink[r0 : r0 + sqr_block.shape[0], MARGIN_X : MARGIN_X + sqr_block.shape[1]] = sqr_block
     for li, segments in enumerate(lines):
         y0 = MARGIN_Y + li * LINE_H
         for x_px, text in segments:

@@ -214,6 +214,52 @@ def q_html_items(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
 
 
+def q_qrcode_urls(sf_dir: str) -> pa.Table:
+    """QR extraction over media blobs (the reference's /api/ocr/qrcode-only
+    path, app/main.py:146-166): (media_ref, found, url, url_clean)."""
+    import ray
+    import ray.data
+
+    info = span_corpus(scale_for(sf_dir))
+
+    class QrStage:
+        def __init__(self):
+            from ..stages.ocr.engine import OcrEngine
+
+            self.engine = OcrEngine()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..ops.textops import clean_url
+
+            refs = batch.column("media_ref").to_pylist()
+            found, urls, cleaned = [], [], []
+            for payload in batch.column("bytes").to_pylist():
+                r = self.engine.extract_qrcode(payload)
+                if r:
+                    found.append(True)
+                    urls.append(r[0]["data"])
+                    cleaned.append(clean_url(r[0]["data"]))
+                else:
+                    found.append(False)
+                    urls.append("")
+                    cleaned.append("")
+            return pa.table(
+                {
+                    "media_ref": pa.array(refs, pa.string()),
+                    "found": pa.array(found, pa.bool_()),
+                    "url": pa.array(urls, pa.string()),
+                    "url_clean": pa.array(cleaned, pa.string()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
+    )
+    out = ds.map_batches(QrStage, concurrency=(1, 4), batch_size=32, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by([("media_ref", "ascending")])
+
+
 def q_skew_profile(sf_dir: str) -> pa.Table:
     """Skewed corpus (1% 50-media docs) through the pipeline; per-part metrics."""
     from .run import run_pipeline
@@ -256,6 +302,7 @@ def queries() -> dict:
         "span_errors": q_span_errors,
         "receipt_items": q_receipt_items,
         "html_items": q_html_items,
+        "qrcode_urls": q_qrcode_urls,
         "skew_metrics": q_skew_profile,
         # training-data analytics (SQL-oracled where expressible)
         "exact_dedup": dedup.exact_dedup,

@@ -24,6 +24,7 @@ import numpy as np
 from ...ops import textops as T
 from . import preprocess as P
 from . import raster
+from . import sqr
 from .recognize import TemplateBank, Word, recognize_page
 
 _X_SENTINEL = 10**9
@@ -41,43 +42,91 @@ class OcrEngine:
         self.retries = 0  # cumulative extra attempts (metrics)
 
     # ------------------------------------------------------------------
-    def extract_text(self, payload: bytes | None) -> list[dict]:
-        """SYNR payload -> normalized token dicts; [] for garbage input."""
+    def extract_page(self, payload: bytes | None) -> dict:
+        """SYNR payload -> {"tokens": [...], "qrcode": str | None}.
+
+        Full page pass: decode -> despeckle -> skew probe -> (deskew) ->
+        SQR code detect+mask -> recognition attempt ladder. The code
+        block must be masked before glyph segmentation or it would shred
+        into phantom tokens; its decoded payload is the analog of the
+        reference's QR extraction (app/ocr_engine.py:56-83), surfaced
+        alongside the tokens like ``structure_data(ocr, qr)`` merges
+        them (app/main.py:122-124).
+        """
         img = raster.decode(payload)
         if img is None:
-            return []
+            return {"tokens": [], "qrcode": None}
         # min_neighbors=2 also removes 2-pixel salt clusters; safe because
-        # every glyph stroke is >= 2 px wide at scale 2 (all ink pixels
-        # keep >= 3 8-neighbors).
-        ink = P.despeckle(P.binarize(img), min_neighbors=2)
+        # every glyph stroke is >= 3 px wide (all ink pixels keep >= 3
+        # 8-neighbors).
+        ink_full = P.despeckle(P.binarize(img), min_neighbors=2)
+        ink = _crop_to_content(ink_full)
 
         # cheap skew probe first: recognition is ~10x the cost of the
         # projection-profile estimate, so never waste a full recognize
         # pass on a page we already know is rotated (the reference's
         # ladder blindly runs the raw attempt first, ocr_engine.py:92-96)
         angle = P.estimate_skew(ink)
-        attempts: list[list[Word]] = []
         if abs(angle) < 0.05:
-            words = recognize_page(ink, self.bank)
-            if words and all(w.confidence >= 0.999 for w in words):
-                return self._normalize(words)
-            attempts.append(words)
             work = ink
+            rotated = False
         else:
             self.retries += 1
-            work, _total = P.deskew(ink, initial=angle)
-            words = recognize_page(work, self.bank)
-            if words and _mean_conf(words) >= self.accept_conf:
-                return self._normalize(words)
-            attempts.append(words)
+            # re-crop with rotation-aware padding: derotation moves edge
+            # pixels vertically by up to (w/2)*sin(angle) (and
+            # horizontally by (h/2)*sin), which a tight crop would clip
+            s_ang = abs(float(np.sin(np.deg2rad(angle))))
+            pad_y = 8 + int(s_ang * ink.shape[1] / 2) + 2
+            pad_x = 8 + int(s_ang * ink.shape[0] / 2) + 2
+            ink_r = _crop_to_content(ink_full, pad=pad_y, pad_x=pad_x)
+            work, _total = P.deskew(ink_r, initial=angle)
+            work = _crop_to_content(work)
+            rotated = True
+        work, qr = sqr.mask_sqr_region(work)
 
-        # final attempt: aggressive despeckle on the deskewed page
+        attempts: list[list[Word]] = []
+        words = recognize_page(work, self.bank)
+        if words and (
+            (not rotated and all(w.confidence >= 0.999 for w in words))
+            or (rotated and _mean_conf(words) >= self.accept_conf)
+        ):
+            return {"tokens": self._normalize(words), "qrcode": qr}
+        attempts.append(words)
+
+        # final attempt: aggressive despeckle
         self.retries += 1
         ink3 = P.despeckle(work, min_neighbors=2)
         words3 = recognize_page(ink3, self.bank)
         attempts.append(words3)
         best = max(attempts, key=_mean_conf)
-        return self._normalize(best)
+        return {"tokens": self._normalize(best), "qrcode": qr}
+
+    def extract_text(self, payload: bytes | None) -> list[dict]:
+        """SYNR payload -> normalized token dicts; [] for garbage input."""
+        return self.extract_page(payload)["tokens"]
+
+    def extract_qrcode(self, payload: bytes | None) -> list[dict] | None:
+        """Reference-shaped QR result (app/models.py:30-32 semantics):
+        ``[{"data": url, "type": "QRCODE"}]`` or ``None`` when absent."""
+        img = raster.decode(payload)
+        if img is None:
+            return None
+        ink_full = P.despeckle(P.binarize(img), min_neighbors=2)
+        ink = _crop_to_content(ink_full)
+        # ladder: raw -> deskewed (mirrors the variant ladder at
+        # app/ocr_engine.py:64-76; all failures swallowed -> None)
+        data = sqr.decode_sqr(ink)
+        if data is None:
+            angle = P.estimate_skew(ink)
+            if abs(angle) >= 0.05:
+                s_ang = abs(float(np.sin(np.deg2rad(angle))))
+                pad_y = 8 + int(s_ang * ink.shape[1] / 2) + 2
+                pad_x = 8 + int(s_ang * ink.shape[0] / 2) + 2
+                work, _ = P.deskew(
+                    _crop_to_content(ink_full, pad=pad_y, pad_x=pad_x), initial=angle
+                )
+                data = sqr.decode_sqr(work)
+        return [{"data": data, "type": "QRCODE"}] if data is not None else None
 
     def recognize_lines(self, payload: bytes | None) -> str | None:
         """SYNR payload -> full recognized text, lines joined by ``\\n``.
@@ -138,3 +187,25 @@ def _mean_conf(words: list[Word]) -> float:
     if not words:
         return 0.0
     return float(np.mean([w.confidence for w in words]))
+
+
+def _crop_to_content(ink: np.ndarray, pad: int = 8, pad_x: int | None = None) -> np.ndarray:
+    """Crop the page to its ink bounding box (+pad).
+
+    Rendered pages carry wide blank margins; every downstream pass
+    (deskew rotation, despeckle, code detection, segmentation) is linear
+    in page AREA, so cropping typically halves the OCR stage's memory
+    traffic. Token x/y become crop-relative — consistently for every
+    token, so layout parsing (relative bands/columns) is unaffected.
+    """
+    if pad_x is None:
+        pad_x = pad
+    rows = np.flatnonzero(ink.any(axis=1))
+    if rows.size == 0:
+        return ink
+    cols = np.flatnonzero(ink.any(axis=0))
+    r0 = max(0, rows[0] - pad)
+    r1 = min(ink.shape[0], rows[-1] + 1 + pad)
+    c0 = max(0, cols[0] - pad_x)
+    c1 = min(ink.shape[1], cols[-1] + 1 + pad_x)
+    return ink[r0:r1, c0:c1]

@@ -53,22 +53,29 @@ def despeckle(ink: np.ndarray, min_neighbors: int = 1) -> np.ndarray:
 
 
 def rotate_bool(ink: np.ndarray, angle_deg: float) -> np.ndarray:
-    """Rotate a boolean mask about its center (nearest neighbor, same shape)."""
+    """Rotate a boolean mask about its center (nearest neighbor, same shape).
+
+    Memory-lean: float32 broadcast + int32 flat gather (the naive
+    int64-mgrid version moved ~40 MB of temporaries per VGA-sized page,
+    which saturated node memory bandwidth with >8 concurrent OCR actors).
+    """
     if abs(angle_deg) < 1e-9:
         return ink
     h, w = ink.shape
     theta = np.deg2rad(angle_deg)
-    c, s = np.cos(theta), np.sin(theta)
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    rr, cc = np.mgrid[0:h, 0:w]
-    # inverse map: output (rr, cc) <- input coords
-    y = rr - cy
-    x = cc - cx
-    src_r = np.rint(cy + (s * x + c * y)).astype(np.int64)
-    src_c = np.rint(cx + (c * x - s * y)).astype(np.int64)
+    c, s = np.float32(np.cos(theta)), np.float32(np.sin(theta))
+    cy, cx = np.float32((h - 1) / 2.0), np.float32((w - 1) / 2.0)
+    y = (np.arange(h, dtype=np.float32) - cy)[:, None]
+    x = (np.arange(w, dtype=np.float32) - cx)[None, :]
+    src_r = np.rint(cy + s * x + c * y).astype(np.int32)
+    src_c = np.rint(cx + c * x - s * y).astype(np.int32)
     valid = (src_r >= 0) & (src_r < h) & (src_c >= 0) & (src_c < w)
-    out = np.zeros_like(ink)
-    out[valid] = ink[src_r[valid], src_c[valid]]
+    np.clip(src_r, 0, h - 1, out=src_r)
+    np.clip(src_c, 0, w - 1, out=src_c)
+    src_r *= w
+    src_r += src_c  # flat int32 index (h*w < 2^31 always for our pages)
+    out = ink.ravel()[src_r.ravel()].reshape(h, w)
+    out &= valid
     return out
 
 
@@ -166,25 +173,16 @@ def deskew(
         d = np.diff(mask.sum(axis=1).astype(np.float64))
         return float((d * d).sum())
 
-    total = 0.0
-    cur = ink
-    best = (_row_sharpness(ink), ink, 0.0)
-    for it in range(max_iter):
-        if it == 0 and initial is not None:
-            angle = initial  # caller already estimated the first pass
-        else:
-            angle = estimate_skew(cur, max_angle=max_angle)
-        if abs(angle) < 0.05:
-            break
-        # always rotate from the ORIGINAL by the accumulated angle to
-        # avoid compounding nearest-neighbor resampling damage
-        total += angle
-        cur = rotate_bool(ink, -total)
-        # keep only genuinely sharper iterates: on sparse pages the
-        # estimator can drift, and a refinement that un-sharpens the
-        # actual row profile must be rejected, not accumulated
-        s = _row_sharpness(cur)
-        if s > best[0]:
-            best = (s, cur, total)
-        max_angle = 1.0
-    return best[1], best[2]
+    angle = initial if initial is not None else estimate_skew(ink, max_angle)
+    if abs(angle) < 0.05:
+        return ink, 0.0
+    # ONE image rotation: the estimator's coarse-to-fine search already
+    # runs in coordinate space down to 0.04 deg, and iterative image
+    # re-rotation both drifted on sparse pages and dominated the memory
+    # bandwidth of the whole OCR stage.
+    cur = rotate_bool(ink, -angle)
+    # guard: a correction that un-sharpens the actual row profile means
+    # the estimator misfired (sparse page) — keep the original.
+    if _row_sharpness(cur) <= _row_sharpness(ink):
+        return ink, 0.0
+    return cur, angle

@@ -97,39 +97,52 @@ def _vrun_len(col: np.ndarray, start: int, max_gap: int = 2) -> int:
 def detect_sqr(ink: np.ndarray, min_modules: int = 8) -> tuple[int, int, int, int] | None:
     """Locate the code frame; returns (r0, c0, side_px, n_modules) or None.
 
-    Rotation round-trips erode up to ~2 px off every edge, so the side
-    length is cross-checked between the top-edge run and the two
-    vertical edge runs, taking the max (erosion only shrinks).
+    Rotation round-trips erode up to ~3 px off every edge, so the bottom
+    edge is located by an explicit downward scan (never inferred from
+    the top run's length) and the vertical edges are verified by their
+    actual column density between the two horizontal edges.
     """
-    h, _w = ink.shape
-    min_len = min_modules * MODULE
-    for r in range(h):
+    h, w = ink.shape
+    m = MODULE
+    min_len = min_modules * m
+    # prefilter: only rows with enough total ink can host a frame edge
+    # (keeps the per-page cost negligible when no code is present)
+    for r in np.flatnonzero(ink.sum(axis=1) >= min_len - 2 * m):
+        r = int(r)
         for c0, c1 in _long_runs(ink[r], min_len):
             run_h = c1 - c0
-            # vertical edge runs measured a bit inside the frame edge
-            v_left = _vrun_len(ink[:, min(c0 + 2, ink.shape[1] - 1)], r)
-            v_right = _vrun_len(ink[:, max(c1 - 3, 0)], r)
-            side = max(run_h, v_left, v_right)
-            n = int(round(side / MODULE))
-            if n < min_modules or r + side > h + MODULE:
+            # locate the bottom edge: bottom-most row below r with a
+            # comparably long run in the same column range
+            lo = r + min_len
+            hi = min(h, r + run_h + 3 * m)
+            cs = max(0, c0 - 3)
+            ce = min(w, c1 + 3)
+            rb = None
+            for rr in range(hi - 1, lo - 1, -1):
+                if _long_runs(ink[rr, cs:ce], int(0.8 * run_h)):
+                    rb = rr
+                    break
+            if rb is None:
                 continue
-            m = MODULE
-            box = ink[r : min(r + side, h), c0 : c0 + side]
-            if box.shape[0] < side - m:
+            side = rb - r + 1
+            n = int(round(side / m))
+            if n < min_modules or abs(run_h - side) > 3 * m:
                 continue
-            if (
-                box[:m, :run_h].mean() > 0.7
-                and box[-m:, :run_h].mean() > 0.7
-                and box[: v_left or side, :m].mean() > 0.7
-                and box[: v_right or side, -m:].mean() > 0.7
-            ):
-                return r, c0, side, n
+            # verify the vertical edges between the horizontal ones
+            col_l = ink[r : rb + 1, min(c0 + 2, w - 1)]
+            col_r = ink[r : rb + 1, max(c1 - 3, 0)]
+            if col_l.mean() < 0.7 or col_r.mean() < 0.7:
+                continue
+            return r, c0, side, n
     return None
 
 
-def decode_sqr(ink: np.ndarray) -> str | None:
+def decode_sqr(
+    ink: np.ndarray, found: tuple[int, int, int, int] | None = None
+) -> str | None:
     """Detect + decode the code's payload from a page mask; None on failure."""
-    found = detect_sqr(ink)
+    if found is None:
+        found = detect_sqr(ink)
     if found is None:
         return None
     r0, c0, side, n = found
@@ -174,8 +187,8 @@ def mask_sqr_region(ink: np.ndarray) -> tuple[np.ndarray, str | None]:
     if found is None:
         return ink, None
     r0, c0, side, _n = found
-    payload = decode_sqr(ink)
+    payload = decode_sqr(ink, found)
     out = ink.copy()
-    q = MODULE
+    q = 2 * MODULE  # clear generously: eroded frames under-measure side
     out[max(0, r0 - q) : r0 + side + q, max(0, c0 - q) : c0 + side + q] = False
     return out, payload
