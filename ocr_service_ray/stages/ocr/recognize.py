@@ -82,6 +82,27 @@ class TemplateBank:
         self.owner = np.array(owners)
         self.stack = np.stack(templates).astype(np.uint8)
         self.ink = self.stack.reshape(len(self.stack), -1).sum(axis=1)
+        # pooled-grid prefilter state: crop-normalized float font-grid
+        # per char (same stretch the patches get) + variant index lists
+        self._pool_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # pool from the SCALED bitmaps so the crop-stretch binning
+        # aliases identically for templates and observed patches
+        self.grid_t = np.stack([self._pool_grid(bank[ch]) for ch in base_chars])
+        self.char_variants = [
+            np.flatnonzero(self.owner == i) for i in range(len(base_chars))
+        ]
+        # short glyphs (punctuation) alias badly under crop-stretch, so
+        # short patches skip the prefilter and XOR against this subset
+        self.short_char_idx = [
+            i for i, ch in enumerate(base_chars)
+            if _crop_to_ink(G.glyph_bitmap(ch)).shape[0] <= G.GLYPH_H - 3
+        ]
+        self.short_variants = (
+            np.concatenate([self.char_variants[i] for i in self.short_char_idx])
+            if self.short_char_idx
+            else np.arange(len(self.stack))
+        )
+        self.short_patch_h = (G.GLYPH_H - 2) * scale
         # exact-pattern dict on the 5x7 font grid
         self.exact: dict[bytes, str] = {}
         for ch in self.chars:
@@ -120,24 +141,68 @@ class TemplateBank:
         key = grid.tobytes() + bytes([grid.shape[1]])
         return self.exact.get(key)
 
+    def _pool_grid(self, patch: np.ndarray) -> np.ndarray:
+        """Ink-cropped patch -> mean-pooled float font grid (GLYPH_H*GLYPH_W,)."""
+        m = _crop_to_ink(np.asarray(patch, dtype=bool))
+        h, w = m.shape
+        key = (h, w)
+        ops = self._pool_cache.get(key)
+        if ops is None:
+            R = np.zeros((G.GLYPH_H, h), dtype=np.float32)
+            R[np.arange(h) * G.GLYPH_H // h, np.arange(h)] = 1.0
+            C = np.zeros((w, G.GLYPH_W), dtype=np.float32)
+            C[np.arange(w), np.arange(w) * G.GLYPH_W // w] = 1.0
+            counts = np.maximum(R @ np.ones((h, w), dtype=np.float32) @ C, 1.0)
+            ops = (R, C, counts)
+            if len(self._pool_cache) < 4096:
+                self._pool_cache[key] = ops
+        R, C, counts = ops
+        return ((R @ m.astype(np.float32) @ C) / counts).ravel()
+
     def _match_robust(self, patches: list[np.ndarray]) -> tuple[list[str], np.ndarray]:
+        """Two-stage match: pooled-grid prefilter, then a small XOR pass.
+
+        The full XOR against every template variant x 9 shifts moved
+        ~8 MB of temporaries PER WORD and was the dominant memory-
+        bandwidth consumer of the OCR stage. The pooled font-grid
+        distance resolves the vast majority of degraded glyphs with two
+        5x7 matmuls; only ambiguous patches escalate to the XOR stage,
+        and then only against the top-5 candidate chars' variants.
+        """
         n = len(patches)
-        obs = np.zeros((n, len(_SHIFTS), self.frame_h, self.frame_w), dtype=np.uint8)
-        obs_ink = np.zeros(n)
+        chars_out: list[str] = [""] * n
+        scores = np.zeros(n)
+        ncell = float(G.GLYPH_H * G.GLYPH_W)
         for i, p in enumerate(patches):
+            crop_h = _crop_to_ink(np.asarray(p, dtype=bool)).shape[0]
+            if crop_h < self.short_patch_h:
+                t_sel = self.short_variants
+            else:
+                g = self._pool_grid(p)
+                d = ((g[None, :] - self.grid_t) ** 2).sum(axis=1)
+                top = np.argpartition(d, 4)[:5]
+                top = top[np.argsort(d[top])]
+                d1, d2 = float(d[top[0]]), float(d[top[1]])
+                if d1 <= 1.0 and d2 - d1 >= 4.0:
+                    chars_out[i] = self.chars[top[0]]
+                    scores[i] = max(0.5, 1.0 - d1 / ncell)
+                    continue
+                # escalation: XOR vs the top-5 chars' degraded variants
+                t_sel = np.concatenate([self.char_variants[c] for c in top])
             base = _embed_centered(p, self.frame_h, self.frame_w)
-            obs_ink[i] = int(base.sum())
-            for k, (dy, dx) in enumerate(_SHIFTS):
-                obs[i, k] = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
-        # mismatch[i, k, t] = xor popcount
-        x = obs[:, :, None, :, :] ^ self.stack[None, None, :, :, :]
-        mism = x.reshape(n, len(_SHIFTS), len(self.stack), -1).sum(axis=3)
-        best_over_shift = mism.min(axis=1)  # [n, T]
-        t_idx = best_over_shift.argmin(axis=1)
-        best = best_over_shift[np.arange(n), t_idx]
-        denom = np.maximum(obs_ink + self.ink[t_idx], 1)
-        score = 1.0 - best / denom
-        return [self.chars[self.owner[t]] for t in t_idx], score
+            obs_ink = int(base.sum())
+            obs = np.stack(
+                [np.roll(np.roll(base, dy, axis=0), dx, axis=1) for dy, dx in _SHIFTS]
+            )
+            x = obs[:, None, :, :] ^ self.stack[t_sel][None, :, :, :]
+            mism = x.reshape(len(_SHIFTS), len(t_sel), -1).sum(axis=2)
+            best_over_shift = mism.min(axis=0)
+            j = int(best_over_shift.argmin())
+            best = int(best_over_shift[j])
+            t = int(t_sel[j])
+            chars_out[i] = self.chars[self.owner[t]]
+            scores[i] = 1.0 - best / max(obs_ink + int(self.ink[t]), 1)
+        return chars_out, scores
 
 
 def _crop_to_ink(mask: np.ndarray) -> np.ndarray:
