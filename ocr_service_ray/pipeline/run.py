@@ -69,6 +69,14 @@ def run_pipeline(
         # explicit all-to-all spread for pathological skew (off by
         # default: it executes as a barrier and scrambles blob locality)
         ds = ds.repartition(max(len(remaining), cfg.num_cost_buckets))
+    import ray
+
+    # FIXED actor pool sized to the cluster: the autoscaling (min, max)
+    # pool ramps up too slowly for batch jobs — measured utilization was
+    # ~40% because actors started one by one while tasks queued. Reserve
+    # a few CPUs for read/sort/write tasks.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    pool = max(2, min(cfg.extract_concurrency[1], n_cpus - max(2, n_cpus // 8)))
     ds = ds.map_batches(
         OcrStage,
         fn_constructor_kwargs={
@@ -76,7 +84,7 @@ def run_pipeline(
             "cache_parts": cfg.blob_cache_parts,
         },
         batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency,
+        concurrency=pool,
         num_cpus=cfg.extract_num_cpus,
         batch_format="pyarrow",
     )
