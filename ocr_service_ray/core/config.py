@@ -26,7 +26,7 @@ class PipelineConfig:
 
     # --- Ray sizing ---
     extract_batch_size: int = 64  # spans per batch into the extract actor pool
-    extract_concurrency: tuple = (2, 24)  # actor pool (min, max)
+    extract_concurrency: tuple = (2, 16)  # actor pool (min, max); >16 actors on this box enters host-oversubscribed vCPU territory (see BENCH/BASELINE.md microbenchmark) and adds variance, not throughput
     extract_num_cpus: float = 1.0
     reassembly_num_partitions: int = 0  # 0 = let Ray pick
     # Skew control happens at the READ: the source is split into
