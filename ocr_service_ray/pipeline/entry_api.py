@@ -260,6 +260,98 @@ def q_qrcode_urls(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("media_ref", "ascending")])
 
 
+def q_multimodal_features(sf_dir: str) -> pa.Table:
+    """Audio feature extraction + video frame-sample -> OCR composition.
+
+    Deterministic synthetic payloads exercise the multimodal actor-pool
+    plumbing (stages/multimodal.py): audio -> scalar features; video ->
+    every-k-th frame -> the REAL OCR engine reads rendered text off the
+    sampled frames. Decode itself is the charter-mandated stub; schema,
+    batch sizing, actor state and output layout are the real deliverable.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    from ..fixtures.render import render_page
+    from ..stages.multimodal import AudioFeatureStage, FrameSampleStage, encode_audio, encode_video
+    from ..stages.ocr import raster
+
+    n = 32 if "0.001" in sf_dir else 96
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng([1234, i])
+        if i % 2 == 0:
+            sr = int(rng.choice([8000, 16000]))
+            dur = float(rng.uniform(0.2, 1.0))
+            t = np.arange(int(sr * dur)) / sr
+            s = np.sin(2 * np.pi * float(rng.uniform(50, 400)) * t).astype(np.float32)
+            rows.append({"media_ref": f"aud-{i:04d}", "kind": "audio",
+                         "bytes": encode_audio(s, sr)})
+        else:
+            text = f"FRAME TEXTO {i:04d}"
+            frames = []
+            for _f in range(int(rng.integers(4, 9))):
+                img = raster.decode(render_page([[(0, text)]], rng))
+                frames.append(img)
+            h = min(f.shape[0] for f in frames)
+            w = min(f.shape[1] for f in frames)
+            stack = np.stack([f[:h, :w] for f in frames])
+            rows.append({"media_ref": f"vid-{i:04d}", "kind": "video",
+                         "bytes": encode_video(stack)})
+    # corrupt payloads -> error records, never failures
+    rows.append({"media_ref": "aud-bad", "kind": "audio", "bytes": b"junk"})
+    rows.append({"media_ref": "vid-bad", "kind": "video", "bytes": b"junk"})
+
+    tbl = pa.table({
+        "media_ref": pa.array([r["media_ref"] for r in rows]),
+        "kind": pa.array([r["kind"] for r in rows]),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    audio = ds.filter(lambda r: r["kind"] == "audio").map_batches(
+        AudioFeatureStage, concurrency=(1, 2), batch_size=32, batch_format="pyarrow"
+    )
+
+    class FrameOcr:
+        """Frame-sample output -> recognized text per frame (warm engine)."""
+
+        def __init__(self):
+            from ..stages.ocr.engine import OcrEngine
+
+            self.engine = OcrEngine()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = []
+            for frame in batch.column("frame").to_pylist():
+                texts.append(self.engine.recognize_lines(frame) or "")
+            return pa.table({
+                "media_ref": batch.column("media_ref"),
+                "frame_index": batch.column("frame_index"),
+                "status": batch.column("status"),
+                "frame_text": pa.array(texts, pa.string()),
+            })
+
+    video = (
+        ds.filter(lambda r: r["kind"] == "video")
+        .map_batches(FrameSampleStage, fn_constructor_kwargs={"every_k": 3},
+                     concurrency=(1, 2), batch_size=8, batch_format="pyarrow")
+        .map_batches(FrameOcr, concurrency=(1, 2), batch_size=16, batch_format="pyarrow")
+    )
+    a = pa.concat_tables(ray.get(audio.to_arrow_refs()))
+    v = pa.concat_tables(ray.get(video.to_arrow_refs()))
+    out = pa.table({
+        "media_ref": pa.concat_arrays([a.column("media_ref").combine_chunks(), v.column("media_ref").combine_chunks()]),
+        "modality": pa.array(["audio"] * len(a) + ["video"] * len(v)),
+        "status": pa.concat_arrays([a.column("status").combine_chunks(), v.column("status").combine_chunks()]),
+        "feature": pa.concat_arrays([
+            pa.array([f"rms={r:.6f};zc={z}" for r, z in zip(a.column("rms").to_pylist(), a.column("zero_crossings").to_pylist())]),
+            pa.array([f"frame{fi}:{t}" for fi, t in zip(v.column("frame_index").to_pylist(), v.column("frame_text").to_pylist())]),
+        ]),
+    })
+    return out.sort_by([("media_ref", "ascending"), ("feature", "ascending")])
+
+
 def q_skew_profile(sf_dir: str) -> pa.Table:
     """Skewed corpus (1% 50-media docs) through the pipeline; per-part metrics."""
     from .run import run_pipeline
@@ -303,6 +395,7 @@ def queries() -> dict:
         "receipt_items": q_receipt_items,
         "html_items": q_html_items,
         "qrcode_urls": q_qrcode_urls,
+        "multimodal_features": q_multimodal_features,
         "skew_metrics": q_skew_profile,
         # training-data analytics (SQL-oracled where expressible)
         "exact_dedup": dedup.exact_dedup,

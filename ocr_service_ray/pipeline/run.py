@@ -77,12 +77,22 @@ def run_pipeline(
     # a few CPUs for read/sort/write tasks.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     pool = max(2, min(cfg.extract_concurrency[1], n_cpus - max(2, n_cpus // 8)))
+    actor_kwargs = {
+        "blobs_root": blobs_root,
+        "cache_parts": cfg.blob_cache_parts,
+    }
+    if cfg.blob_lookup_mode == "broadcast":
+        # small-corpus path: ship the whole blob dict through the object
+        # store ONCE (SURVEY.md §2.4 fallback); partition mode is the
+        # scale path
+        blobs: dict[str, bytes] = {}
+        for p in storage.list_parts(blobs_root):
+            t = storage.read_part(blobs_root, p, columns=["media_ref", "bytes"])
+            blobs.update(zip(t.column("media_ref").to_pylist(), t.column("bytes").to_pylist()))
+        actor_kwargs["blob_ref"] = ray.put(blobs)
     ds = ds.map_batches(
         OcrStage,
-        fn_constructor_kwargs={
-            "blobs_root": blobs_root,
-            "cache_parts": cfg.blob_cache_parts,
-        },
+        fn_constructor_kwargs=actor_kwargs,
         batch_size=cfg.extract_batch_size,
         concurrency=pool,
         num_cpus=cfg.extract_num_cpus,
@@ -90,7 +100,7 @@ def run_pipeline(
     )
     metrics = (
         ds.groupby("part_id")
-        .map_groups(make_partition_writer(out_root), batch_format="pyarrow")
+        .map_groups(make_partition_writer(out_root, docs_root), batch_format="pyarrow")
         .take_all()
     )
     summary["parts"] = sorted(metrics, key=lambda m: m["part_id"])

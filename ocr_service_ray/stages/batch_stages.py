@@ -115,13 +115,20 @@ class OcrStage:
     shuffled rows carry only refs, never bytes.
     """
 
-    def __init__(self, blobs_root: str, cache_parts: int = 4):
+    def __init__(self, blobs_root: str, cache_parts: int = 4, blob_ref=None):
         from .ocr.engine import OcrEngine
 
         self.engine = OcrEngine()
         self.blobs_root = blobs_root
         self.cache_parts = cache_parts
         self._cache: OrderedDict[int, dict[str, bytes]] = OrderedDict()
+        # broadcast mode: the whole blob dict was ray.put by the driver
+        # (small corpora only); partition mode leaves this None
+        self._broadcast: dict[str, bytes] | None = None
+        if blob_ref is not None:
+            import ray
+
+            self._broadcast = ray.get(blob_ref)
 
     # ------------------------------------------------------------------
     def _blob_part(self, part: int) -> dict[str, bytes]:
@@ -139,6 +146,8 @@ class OcrStage:
         return blobs
 
     def _lookup(self, ref: str) -> bytes | None:
+        if self._broadcast is not None:
+            return self._broadcast.get(ref)
         # "blob-{part:04d}-..." — partition-aligned by construction
         try:
             part = int(ref.split("-")[1])
@@ -178,7 +187,7 @@ class OcrStage:
         )
 
 
-def make_partition_writer(out_root: str):
+def make_partition_writer(out_root: str, docs_root: str | None = None):
     """Group fn for ``groupby("part_id").map_groups``: reassemble + commit.
 
     One group = every extracted span of one input partition (the doc_id →
@@ -216,16 +225,15 @@ def make_partition_writer(out_root: str):
         )
         n_errors = int(pc.sum(pc.equal(tbl.column("kind"), KIND_ERROR)).as_py() or 0)
         storage.write_part(out_root, part, out)
-        storage.commit_manifest(
-            out_root,
-            part,
-            {
-                "part_id": part,
-                "n_docs": len(out),
-                "n_spans": len(tbl),
-                "n_errors": n_errors,
-            },
-        )
+        manifest = {
+            "part_id": part,
+            "n_docs": len(out),
+            "n_spans": len(tbl),
+            "n_errors": n_errors,
+        }
+        if docs_root is not None:  # lineage: the exact input fragment
+            manifest["input"] = storage.data_path(docs_root, part)
+        storage.commit_manifest(out_root, part, manifest)
         return pa.table(
             {
                 "part_id": pa.array([part], type=pa.int32()),
