@@ -54,7 +54,31 @@ def run_pipeline(
         _write_metrics(out_root, summary)
         return summary
 
-    files = storage.data_files(docs_root, remaining)
+    # WAVES: the reassembly groupby is a barrier, so a single-wave run
+    # commits nothing until the whole job finishes — at 100 TB that
+    # makes "resume" worthless. Processing wave_size partitions per
+    # barrier bounds the work a crash can lose to one wave.
+    wave = cfg.wave_size if cfg.wave_size > 0 else len(remaining)
+    for i in range(0, len(remaining), wave):
+        summary["parts"].extend(
+            _run_wave(docs_root, blobs_root, out_root, remaining[i : i + wave], cfg)
+        )
+    summary["parts"] = sorted(summary["parts"], key=lambda m: m["part_id"])
+    for m in summary["parts"]:
+        m.update({k: int(v) for k, v in m.items()})
+    _write_metrics(out_root, summary)
+    return summary
+
+
+def _run_wave(
+    docs_root: str,
+    blobs_root: str,
+    out_root: str,
+    parts: list[int],
+    cfg: PipelineConfig,
+) -> list[dict]:
+    """One committed wave of partitions; returns their metrics rows."""
+    files = storage.data_files(docs_root, parts)
     # locality-preserving skew spread: many small read blocks per input
     # partition (spans of one partition stay contiguous -> the OCR
     # actor's blob-part cache hits; a media-heavy partition still fans
@@ -62,13 +86,13 @@ def run_pipeline(
     ds = storage.ray_read(
         files,
         include_paths=True,
-        override_num_blocks=max(1, len(remaining) * cfg.blocks_per_part),
+        override_num_blocks=max(1, len(parts) * cfg.blocks_per_part),
     )
     ds = ds.map_batches(explode_and_extract, batch_format="pyarrow")
     if cfg.cost_repartition:
         # explicit all-to-all spread for pathological skew (off by
         # default: it executes as a barrier and scrambles blob locality)
-        ds = ds.repartition(max(len(remaining), cfg.num_cost_buckets))
+        ds = ds.repartition(max(len(parts), cfg.num_cost_buckets))
     import ray
 
     # FIXED actor pool sized to the cluster: the autoscaling (min, max)
@@ -98,16 +122,11 @@ def run_pipeline(
         num_cpus=cfg.extract_num_cpus,
         batch_format="pyarrow",
     )
-    metrics = (
+    return (
         ds.groupby("part_id")
         .map_groups(make_partition_writer(out_root, docs_root), batch_format="pyarrow")
         .take_all()
     )
-    summary["parts"] = sorted(metrics, key=lambda m: m["part_id"])
-    for m in summary["parts"]:
-        m.update({k: int(v) for k, v in m.items()})
-    _write_metrics(out_root, summary)
-    return summary
 
 
 def _write_metrics(out_root: str, summary: dict) -> None:
