@@ -67,35 +67,39 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 # MinHash + LSH near-dup
 
 
-class _SignatureStage:
-    """Warm MinHasher per actor; vectorized signature per doc."""
+import functools
 
-    def __init__(self, num_perm: int, bands: int, shingle_k: int):
-        self.mh = MinHasher(num_perm=num_perm, seed=1)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.shingle_k = shingle_k
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids: list[int] = []
-        band_ids: list[int] = []
-        band_keys: list[str] = []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sig = self.mh.signature(hash_tokens(shingles(text, self.shingle_k)))
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                doc_ids.append(doc_id)
-                band_ids.append(b)
-                band_keys.append(chunk.tobytes().hex())
-        return pa.table(
-            {
-                "band": pa.array(band_ids, type=pa.int32()),
-                "key": pa.array(band_keys),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-            }
-        )
+@functools.lru_cache(maxsize=4)
+def _hasher(num_perm: int) -> MinHasher:
+    # cached per worker PROCESS: task-based map_batches reuses workers,
+    # so this gets the warm-state benefit without actor-pool startup
+    # latency (MinHasher construction is microseconds anyway)
+    return MinHasher(num_perm=num_perm, seed=1)
+
+
+def _signature_batch(batch: pa.Table, num_perm: int, bands: int, shingle_k: int) -> pa.Table:
+    mh = _hasher(num_perm)
+    rows_per_band = num_perm // bands
+    doc_ids: list[int] = []
+    band_ids: list[int] = []
+    band_keys: list[str] = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        sig = mh.signature(hash_tokens(shingles(text, shingle_k)))
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            doc_ids.append(doc_id)
+            band_ids.append(b)
+            band_keys.append(chunk.tobytes().hex())
+    return pa.table(
+        {
+            "band": pa.array(band_ids, type=pa.int32()),
+            "key": pa.array(band_keys),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+        }
+    )
 
 
 def minhash_lsh_pairs(
@@ -110,42 +114,51 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) for verified pairs above threshold.
     """
     ds = _docs(sf_dir).map_batches(
-        _SignatureStage,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "bands": bands,
-            "shingle_k": shingle_k,
-        },
-        concurrency=(1, 4),
+        _signature_batch,
+        fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        batch_size=256,
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
-        )
-
-    cand = (
-        ds.groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .to_arrow_refs()
-    )
-    tables = [t for t in ray.get(cand) if t.num_rows]
-    if not tables:
+    # Bucket-collision detection: a per-group map_groups over ~bands x
+    # n_docs mostly-singleton buckets pays Python overhead per group.
+    # Instead: vectorized count per bucket (C aggregation), keep only
+    # hot buckets (collisions are rare by construction), then one
+    # vectorized filter pass collects the colliding rows.
+    sig = ds.materialize()
+    counts = sig.groupby(["band", "key"]).count().to_pandas()
+    hot = counts[counts["count()"] > 1]
+    if hot.empty:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    pairs = pa.concat_tables(tables)
-    # dedup candidate pairs across bands (small driver-side set)
+    hot_keys = set(zip(hot["band"].tolist(), hot["key"].tolist()))
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        mask = [
+            (b, k) in hot_keys
+            for b, k in zip(batch.column("band").to_pylist(), batch.column("key").to_pylist())
+        ]
+        return batch.filter(pa.array(mask))
+
+    cand = pa.concat_tables(
+        ray.get(sig.map_batches(keep_hot, batch_format="pyarrow").to_arrow_refs())
+    )
+    buckets: dict[tuple, list[int]] = {}
+    for b, k, d in zip(
+        cand.column("band").to_pylist(),
+        cand.column("key").to_pylist(),
+        cand.column("doc_id").to_pylist(),
+    ):
+        buckets.setdefault((b, k), []).append(d)
     uniq = sorted(
-        set(zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()))
+        {
+            (ids[i], ids[j])
+            for ids in map(sorted, buckets.values())
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        }
     )
     # exact verification of candidates only (distributed)
     need_ids = {d for p in uniq for d in p}
