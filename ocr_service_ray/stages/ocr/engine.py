@@ -88,18 +88,45 @@ class OcrEngine:
         words = recognize_page(work, self.bank)
         if words and (
             (not rotated and all(w.confidence >= 0.999 for w in words))
-            or (rotated and _mean_conf(words) >= self.accept_conf)
+            or (rotated and self._page_ok(words))
         ):
             return {"tokens": self._normalize(words), "qrcode": qr}
         attempts.append(words)
 
-        # final attempt: aggressive despeckle
+        # attempt 2: aggressive despeckle
         self.retries += 1
         ink3 = P.despeckle(work, min_neighbors=2)
         words3 = recognize_page(ink3, self.bank)
         attempts.append(words3)
-        best = max(attempts, key=_mean_conf)
+        best = max(attempts, key=_attempt_rank)
+        if self._page_ok(best) or not rotated:
+            return {"tokens": self._normalize(best), "qrcode": qr}
+
+        # attempt 3 (rotated pages only): angle-jitter re-derotation.
+        # Nearest-neighbor damage depends on the resample PHASE, so a
+        # slightly different derotation angle re-renders every glyph
+        # differently — the analog of the reference's preprocessing
+        # variant ladder (app/ocr_engine.py:92-96).
+        for delta in (0.3, -0.3):
+            self.retries += 1
+            alt = _crop_to_content(P.rotate_bool(ink_r, -(angle + delta)))
+            alt, qr_alt = sqr.mask_sqr_region(alt)
+            if qr is None:
+                qr = qr_alt
+            words_alt = recognize_page(alt, self.bank)
+            attempts.append(words_alt)
+            if words_alt and self._page_ok(words_alt):
+                return {"tokens": self._normalize(words_alt), "qrcode": qr}
+        best = max(attempts, key=_attempt_rank)
         return {"tokens": self._normalize(best), "qrcode": qr}
+
+    def _page_ok(self, words: list[Word]) -> bool:
+        """Accept a page only if the MEAN is high AND no word is weak —
+        one mangled word must not drown in an otherwise clean page."""
+        if not words:
+            return False
+        confs = [w.confidence for w in words]
+        return (sum(confs) / len(confs)) >= self.accept_conf and min(confs) >= 0.75
 
     def extract_text(self, payload: bytes | None) -> list[dict]:
         """SYNR payload -> normalized token dicts; [] for garbage input."""
@@ -187,6 +214,14 @@ def _mean_conf(words: list[Word]) -> float:
     if not words:
         return 0.0
     return float(np.mean([w.confidence for w in words]))
+
+
+def _attempt_rank(words: list[Word]) -> tuple[float, float]:
+    """Best-attempt ordering: worst word first, then page mean."""
+    if not words:
+        return (0.0, 0.0)
+    confs = [w.confidence for w in words]
+    return (min(confs), sum(confs) / len(confs))
 
 
 def _crop_to_content(ink: np.ndarray, pad: int = 8, pad_x: int | None = None) -> np.ndarray:

@@ -66,7 +66,9 @@ _FONT: dict[str, tuple[str, ...]] = {
     # comma carries a 3-row diagonal tail so it stays >= 10 XOR px away
     # from "." even after +-3 deg nearest-neighbor rotation damage
     ",": (".....", ".....", ".....", ".....", ".###.", "..##.", ".#..."),
-    "-": (".....", ".....", ".....", ".###.", ".....", ".....", "....."),
+    # full-width dash: a degraded comma (tail rows lost) would otherwise
+    # be indistinguishable from a 3-cell dash after center-cropping
+    "-": (".....", ".....", ".....", "#####", ".....", ".....", "....."),
     ":": (".....", ".##..", ".##..", ".....", ".##..", ".##..", "....."),
     "/": ("....#", "....#", "...#.", "..#..", ".#...", "#....", "#...."),
 }

@@ -180,14 +180,18 @@ class TemplateBank:
             else:
                 g = self._pool_grid(p)
                 d = ((g[None, :] - self.grid_t) ** 2).sum(axis=1)
-                top = np.argpartition(d, 4)[:5]
+                # adaptive candidate width: a badly damaged glyph (large
+                # best distance) can rank its true char outside the top
+                # few pooled candidates, so widen the escalation set
+                k = 5 if float(d.min()) <= 3.0 else 10
+                top = np.argpartition(d, k - 1)[:k]
                 top = top[np.argsort(d[top])]
                 d1, d2 = float(d[top[0]]), float(d[top[1]])
                 if d1 <= 1.0 and d2 - d1 >= 4.0:
                     chars_out[i] = self.chars[top[0]]
                     scores[i] = max(0.5, 1.0 - d1 / ncell)
                     continue
-                # escalation: XOR vs the top-5 chars' degraded variants
+                # escalation: XOR vs the candidate chars' degraded variants
                 t_sel = np.concatenate([self.char_variants[c] for c in top])
             base = _embed_centered(p, self.frame_h, self.frame_w)
             obs_ink = int(base.sum())

@@ -153,7 +153,27 @@ def decode_sqr(
     if found is None:
         return None
     r0, c0, side, n = found
-    m = side / n
+    # edge erosion can shave enough off ``side`` to flip round(side/M)
+    # to the wrong module count — try neighboring grid sizes with both
+    # the measured and the nominal module pitch; a wrong combination
+    # almost always fails the length/UTF-8 validation
+    candidates = [
+        (n, side / n),
+        (n + 1, float(MODULE)),
+        (n + 1, side / (n + 1)),
+        (n, float(MODULE)),
+        (n - 1, side / max(n - 1, 1)),
+    ]
+    for n_try, m_try in candidates:
+        if n_try < 8:
+            continue
+        out = _decode_grid(ink, r0, c0, m_try, n_try)
+        if out is not None:
+            return out
+    return None
+
+
+def _decode_grid(ink: np.ndarray, r0: int, c0: int, m: float, n: int) -> str | None:
     inner = n - 2
     # sample each interior module center with a 2x2 majority
     rs = (r0 + (np.arange(1, n - 1) + 0.5) * m).astype(np.int64)
