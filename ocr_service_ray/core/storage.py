@@ -83,7 +83,10 @@ def write_part(
     if HAVE_LANCE:  # pragma: no cover
         lance.write_dataset(table, path, mode="overwrite")
     else:
-        pq.write_table(table, path, compression=compression)
+        # small row groups on blob tables enable point lookups that read
+        # ~1 row group instead of decoding the whole partition file
+        row_group_size = 64 if "bytes" in table.schema.names else 64 * 1024
+        pq.write_table(table, path, compression=compression, row_group_size=row_group_size)
     return path
 
 

@@ -100,7 +100,10 @@ def _run_wave(
     # ~40% because actors started one by one while tasks queued. Reserve
     # a few CPUs for read/sort/write tasks.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(2, min(cfg.extract_concurrency[1], n_cpus - max(2, n_cpus // 8)))
+    # reserve ~1/8 of CPUs (min 1) for read/sort/write tasks; a constant
+    # reserve skews small-cluster runs (2 of 4 cpus idle made the 4->16
+    # scaling measurement dishonestly superlinear)
+    pool = max(2, min(cfg.extract_concurrency[1], n_cpus - max(1, n_cpus // 8)))
     actor_kwargs = {
         "blobs_root": blobs_root,
         "cache_parts": cfg.blob_cache_parts,

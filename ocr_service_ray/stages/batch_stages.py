@@ -120,8 +120,15 @@ class OcrStage:
 
         self.engine = OcrEngine()
         self.blobs_root = blobs_root
-        self.cache_parts = cache_parts
-        self._cache: OrderedDict[int, dict[str, bytes]] = OrderedDict()
+        # row-group point-lookup state: per-part parquet handle +
+        # ref -> (row_group, row) index (built from the tiny media_ref
+        # column); LRU of decoded row-group dicts. Decoding a whole
+        # partition file per lookup miss cost more than the OCR itself
+        # once partitions grew past ~100 MB.
+        self.max_handles = max(cache_parts, 4)
+        self.max_rowgroups = 16
+        self._handles: OrderedDict[int, tuple] = OrderedDict()  # part -> (pf, index)
+        self._rg_cache: OrderedDict[tuple[int, int], dict[str, bytes]] = OrderedDict()
         # broadcast mode: the whole blob dict was ray.put by the driver
         # (small corpora only); partition mode leaves this None
         self._broadcast: dict[str, bytes] | None = None
@@ -131,18 +138,58 @@ class OcrStage:
             self._broadcast = ray.get(blob_ref)
 
     # ------------------------------------------------------------------
-    def _blob_part(self, part: int) -> dict[str, bytes]:
-        if part in self._cache:
-            self._cache.move_to_end(part)
-            return self._cache[part]
+    def _part_handle(self, part: int):
+        if part in self._handles:
+            self._handles.move_to_end(part)
+            return self._handles[part]
+        import pyarrow.parquet as pq
+
         try:
-            tbl = storage.read_part(self.blobs_root, part, columns=["media_ref", "bytes"])
-            blobs = dict(zip(tbl.column("media_ref").to_pylist(), tbl.column("bytes").to_pylist()))
+            pf = pq.ParquetFile(storage.data_path(self.blobs_root, part))
+            index: dict[str, tuple[int, int]] = {}
+            row = 0
+            bounds = []
+            for rg in range(pf.metadata.num_row_groups):
+                n = pf.metadata.row_group(rg).num_rows
+                bounds.append((row, rg))
+                row += n
+            refs = pq.read_table(
+                storage.data_path(self.blobs_root, part), columns=["media_ref"]
+            ).column("media_ref").to_pylist()
+            bi = 0
+            for i, ref in enumerate(refs):
+                while bi + 1 < len(bounds) and i >= bounds[bi + 1][0]:
+                    bi += 1
+                index[ref] = (bounds[bi][1], i - bounds[bi][0])
+            handle = (pf, index)
         except Exception:
-            blobs = {}
-        self._cache[part] = blobs
-        while len(self._cache) > self.cache_parts:
-            self._cache.popitem(last=False)
+            handle = (None, {})
+        self._handles[part] = handle
+        while len(self._handles) > self.max_handles:
+            old_part, _ = self._handles.popitem(last=False)
+            # drop that part's cached row groups too
+            for key in [k for k in self._rg_cache if k[0] == old_part]:
+                del self._rg_cache[key]
+        return handle
+
+    def _row_group(self, part: int, rg: int) -> dict[str, bytes]:
+        key = (part, rg)
+        if key in self._rg_cache:
+            self._rg_cache.move_to_end(key)
+            return self._rg_cache[key]
+        pf, _ = self._part_handle(part)
+        blobs: dict[str, bytes] = {}
+        if pf is not None:
+            try:
+                t = pf.read_row_group(rg, columns=["media_ref", "bytes"])
+                blobs = dict(
+                    zip(t.column("media_ref").to_pylist(), t.column("bytes").to_pylist())
+                )
+            except Exception:
+                blobs = {}
+        self._rg_cache[key] = blobs
+        while len(self._rg_cache) > self.max_rowgroups:
+            self._rg_cache.popitem(last=False)
         return blobs
 
     def _lookup(self, ref: str) -> bytes | None:
@@ -153,7 +200,11 @@ class OcrStage:
             part = int(ref.split("-")[1])
         except (IndexError, ValueError):
             return None
-        return self._blob_part(part).get(ref)
+        _, index = self._part_handle(part)
+        loc = index.get(ref)
+        if loc is None:
+            return None
+        return self._row_group(part, loc[0]).get(ref)
 
     # ------------------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
