@@ -126,15 +126,16 @@ def q_receipt_items(sf_dir: str) -> pa.Table:
             rows = {
                 "media_ref": [], "tipo_documento": [], "sq": [], "item": [],
                 "quantidade": [], "valor_unitario": [], "valor_total": [],
-                "data_compra": [],
+                "data_compra": [], "qrcode_url": [],
             }
             for ref, payload in zip(
                 batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
             ):
-                tokens = self.engine.extract_text(payload)
-                doc = structure_document(tokens)
+                page = self.engine.extract_page(payload)
+                doc = structure_document(page["tokens"])
                 for it in doc["itens"]:
                     rows["media_ref"].append(ref)
+                    rows["qrcode_url"].append(page["qrcode"] or "")
                     rows["tipo_documento"].append(doc["tipo_documento"])
                     rows["sq"].append(it["sq"])
                     rows["item"].append(it["item"])
@@ -152,6 +153,7 @@ def q_receipt_items(sf_dir: str) -> pa.Table:
                     "valor_unitario": pa.array(rows["valor_unitario"], pa.float64()),
                     "valor_total": pa.array(rows["valor_total"], pa.float64()),
                     "data_compra": pa.array(rows["data_compra"], pa.string()),
+                    "qrcode_url": pa.array(rows["qrcode_url"], pa.string()),
                 }
             )
 

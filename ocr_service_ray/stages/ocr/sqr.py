@@ -30,7 +30,9 @@ MODULE = 6  # px per module (erosion-tolerant: rotate/deskew shaves <=2 px)
 
 def _grid_size(payload: bytes) -> int:
     bits = 16 + 8 * len(payload)
-    n_inner = int(np.ceil(np.sqrt(bits)))
+    # floor of 8 inner modules: the detector requires >= 10 total
+    # (min_modules) so even 1-byte payloads stay detectable
+    n_inner = max(8, int(np.ceil(np.sqrt(bits))))
     return n_inner + 2
 
 
