@@ -187,7 +187,7 @@ class TemplateBank:
                 top = np.argpartition(d, k - 1)[:k]
                 top = top[np.argsort(d[top])]
                 d1, d2 = float(d[top[0]]), float(d[top[1]])
-                if d1 <= 1.0 and d2 - d1 >= 4.0:
+                if d1 <= 2.0 and d2 - d1 >= 4.0:
                     chars_out[i] = self.chars[top[0]]
                     scores[i] = max(0.5, 1.0 - d1 / ncell)
                     continue
@@ -195,8 +195,15 @@ class TemplateBank:
                 t_sel = np.concatenate([self.char_variants[c] for c in top])
             base = _embed_centered(p, self.frame_h, self.frame_w)
             obs_ink = int(base.sum())
+            # shifted views from one padded copy (np.roll x9 was a top
+            # profile entry)
+            pad = np.zeros((self.frame_h + 2, self.frame_w + 2), dtype=np.uint8)
+            pad[1:-1, 1:-1] = base
             obs = np.stack(
-                [np.roll(np.roll(base, dy, axis=0), dx, axis=1) for dy, dx in _SHIFTS]
+                [
+                    pad[1 + dy : 1 + dy + self.frame_h, 1 + dx : 1 + dx + self.frame_w]
+                    for dy, dx in _SHIFTS
+                ]
             )
             x = obs[:, None, :, :] ^ self.stack[t_sel][None, :, :, :]
             mism = x.reshape(len(_SHIFTS), len(t_sel), -1).sum(axis=2)
