@@ -237,6 +237,15 @@ def generate_corpus(
     expected_root = os.path.join(out_root, "expected")
     if processes is None:
         processes = min(16, os.cpu_count() or 1, n_parts)
+    try:
+        import ray
+
+        if ray.is_initialized():
+            # forking a Ray-connected process crashes in gRPC/absl;
+            # generate serially when called inside a Ray session
+            processes = 1
+    except ImportError:
+        pass
     args = [
         (out_root, seed, part, docs_per_part, profile) for part in range(n_parts)
     ]
