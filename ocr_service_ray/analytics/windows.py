@@ -1,0 +1,97 @@
+"""Windowed / session operators over the ``events`` stream table.
+
+The reference has no streaming semantics at all (SURVEY.md §2.9); these
+are the batch forms a training-data pipeline needs for event streams:
+
+- tumbling window aggregate: combiner pattern — floor timestamps to the
+  window inside ``map_batches`` (vectorized), partial-aggregate per
+  (window, type), then a small groupby over the reduced key space.
+- sessionization (gaps-and-islands): hash-shuffle by user_id, per-group
+  sort by (ts, event_id), split on inactivity gaps. The canonical
+  "order-sensitive state per key" shape — groupby().map_groups with the
+  partitioning assumption documented: one user's events fit one group.
+
+Float/time discipline for the DuckDB oracles: window starts are epoch
+SECONDS as int64, money sums are integer cents, durations are exact
+microsecond diffs divided by 1e6 (bit-identical in both engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _events(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_counts(sf_dir: str, window: str = "h") -> pa.Table:
+    """Per (window_start, event_type): event count + value sum in cents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start_s"] = (
+            df["ts"].dt.floor(window).astype("datetime64[s]").astype("int64")
+        )
+        df["value_cents"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby(["window_start_s", "event_type"], sort=True).agg(
+            n_events=("value", "size"),
+            sum_value_cents=("value_cents", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    final = (
+        partials.groupby(["window_start_s", "event_type"])
+        .sum(["n_events", "sum_value_cents"])
+        .to_pandas()
+        .rename(columns={"sum(n_events)": "n_events", "sum(sum_value_cents)": "sum_value_cents"})
+    )
+    final["n_events"] = final["n_events"].astype(np.int64)
+    final["sum_value_cents"] = final["sum_value_cents"].astype(np.int64)
+    final = final.sort_values(["window_start_s", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Per (user_id, session_idx): event count + duration.
+
+    Sessions split on inactivity > ``gap_minutes``; events ordered by
+    (ts, event_id) within user (full tie-break for determinism).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        brk = np.zeros(len(ts_us), dtype=np.int64)
+        if len(ts_us) > 1:
+            brk[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
+        sess = np.cumsum(brk)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(),
+                    "session_idx": sess,
+                    "ts_us": ts_us,
+                }
+            )
+            .groupby(["user_id", "session_idx"], sort=True)
+            .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max"))
+            .reset_index()
+        )
+        out["duration_s"] = (out["end_us"] - out["start_us"]) / 1_000_000.0
+        out = out.drop(columns=["start_us", "end_us"])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tbl = out.to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(tbl, preserve_index=False)

@@ -8,7 +8,7 @@ same knobs — plus Ray-specific sizing — in one frozen dataclass.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -388,7 +388,7 @@ def entry():
 
 
 def queries() -> dict:
-    from ..analytics import dedup, relational, similarity, text_analysis
+    from ..analytics import dedup, relational, similarity, text_analysis, windows
 
     return {
         # span-extraction pipeline (the reference's capabilities)
@@ -411,6 +411,8 @@ def queries() -> dict:
         "fingerprints": text_analysis.fingerprints,
         "lang_id": text_analysis.lang_id,
         "pricing_summary": relational.pricing_summary,
+        "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
+        "sessionize": lambda sf: windows.sessionize(sf),
     }
 
 
@@ -457,6 +459,23 @@ def oracle_sql() -> dict:
         "fingerprints": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        "tumbling_counts": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, "
+            "event_type, count(*) AS n_events, "
+            "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH e AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_idx FROM e) "
+            "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0 AS duration_s "
+            "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -75,7 +75,7 @@ class TestOracleEquivalence:
     @pytest.fixture(scope="class")
     def con(self):
         con = duckdb.connect()
-        for t in ("documents", "embeddings", "lineitem"):
+        for t in ("documents", "embeddings", "lineitem", "events"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
         return con
 
@@ -87,7 +87,8 @@ class TestOracleEquivalence:
     @pytest.mark.parametrize(
         "name",
         ["exact_dedup", "token_counts", "quality_scores", "fingerprints",
-         "pricing_summary", "ann_topk", "embedding_neardup"],
+         "pricing_summary", "ann_topk", "embedding_neardup",
+         "tumbling_counts", "sessionize"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
