@@ -72,7 +72,13 @@ def run_queries(num_cpus: int) -> dict:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
-        from ocr_service_ray.analytics import dedup, relational, similarity, text_analysis
+        from ocr_service_ray.analytics import (
+            dedup,
+            relational,
+            similarity,
+            text_analysis,
+            windows,
+        )
 
         timings = {}
         for name, fn in {
@@ -86,6 +92,8 @@ def run_queries(num_cpus: int) -> dict:
             "quality_scores": lambda: text_analysis.quality_scores(sf_dir()).materialize(),
             "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
             "pricing_summary": lambda: relational.pricing_summary(sf_dir()),
+            "tumbling_counts": lambda: windows.tumbling_counts(sf_dir()),
+            "sessionize": lambda: windows.sessionize(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

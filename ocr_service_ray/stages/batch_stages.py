@@ -275,12 +275,17 @@ def make_partition_writer(out_root: str, docs_root: str | None = None):
             }
         )
         n_errors = int(pc.sum(pc.equal(tbl.column("kind"), KIND_ERROR)).as_py() or 0)
+        kind_counts = {
+            str(r["values"]): int(r["counts"])
+            for r in tbl.column("kind").value_counts().to_pylist()
+        }
         storage.write_part(out_root, part, out)
         manifest = {
             "part_id": part,
             "n_docs": len(out),
             "n_spans": len(tbl),
             "n_errors": n_errors,
+            "spans_by_kind": kind_counts,
         }
         if docs_root is not None:  # lineage: the exact input fragment
             manifest["input"] = storage.data_path(docs_root, part)
