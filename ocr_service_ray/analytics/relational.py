@@ -28,7 +28,9 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["price_cents"] = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        # DuckDB round() is half-AWAY-from-zero; np.rint is half-to-even.
+        v = df["l_extendedprice"].to_numpy() * 100
+        df["price_cents"] = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
             sum_qty=("l_quantity", "sum"),
             sum_price_cents=("price_cents", "sum"),

@@ -37,7 +37,9 @@ def tumbling_counts(sf_dir: str, window: str = "h") -> pa.Table:
         df["window_start_s"] = (
             df["ts"].dt.floor(window).astype("datetime64[s]").astype("int64")
         )
-        df["value_cents"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        # DuckDB round() is half-AWAY-from-zero; np.rint is half-to-even.
+        v = df["value"].to_numpy() * 100
+        df["value_cents"] = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
         g = df.groupby(["window_start_s", "event_type"], sort=True).agg(
             n_events=("value", "size"),
             sum_value_cents=("value_cents", "sum"),

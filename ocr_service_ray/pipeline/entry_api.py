@@ -463,7 +463,7 @@ def oracle_sql() -> dict:
         "tumbling_counts": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, "
             "event_type, count(*) AS n_events, "
-            "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "sessionize": (
@@ -471,8 +471,8 @@ def oracle_sql() -> dict:
             "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
             "s AS (SELECT user_id, ts, "
-            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS session_idx FROM e) "
+            "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM e) "
             "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0 AS duration_s "
             "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
@@ -480,7 +480,7 @@ def oracle_sql() -> dict:
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "sum(l_quantity) AS sum_qty, "
-            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
             "count(*) AS count_order, "
             "sum(l_quantity) / count(*) AS avg_qty "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus "

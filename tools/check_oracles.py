@@ -78,10 +78,12 @@ def main() -> int:
         for c in g.columns:
             a, b = g[c], w[c]
             if a.dtype != b.dtype:
-                try:
-                    b = b.astype(a.dtype)
-                except (TypeError, ValueError):
-                    pass
+                # Driver's value hash is dtype-sensitive (round-1 lesson):
+                # a float64 oracle vs int64 pipeline is a hash FAIL even
+                # when every value is numerically equal. No coercion here.
+                print(f"FAIL  {name}: column {c} dtype {a.dtype} != oracle {b.dtype}")
+                eq = False
+                continue
             if not a.equals(b):
                 neq = (a != b) & ~(a.isna() & b.isna())
                 print(f"FAIL  {name}: column {c} differs in {neq.sum()} rows; e.g.\n"
