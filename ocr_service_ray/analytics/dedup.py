@@ -112,75 +112,120 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
     Returns (doc_a, doc_b, jaccard) for verified pairs above threshold.
+
+    Fully distributed shape (the Spark-textbook LSH plan, no driver-side
+    corpus-sized state):
+
+    1. signature map_batches -> (band, key, doc_id) rows           [map]
+    2. groupby(band, key).aggregate(collect doc_ids)               [shuffle 1:
+       the ONLY corpus-sized exchange; keys are hash digests so the
+       partitioning is uniform]
+    3. vectorized pair emission from multi-doc buckets only        [map]
+    4. groupby(doc_a, doc_b) distinct                              [shuffle 2:
+       O(candidate pairs), tiny by construction]
+    5. exact-Jaccard verify: broadcast the candidate doc-id set
+       (``ray.put`` once, O(candidates)), extract shingle sets for
+       ONLY those docs in a distributed pass over documents, then
+       verify pairs against the broadcast shingle dict              [map]
+
+    Driver memory is O(verified result + candidate shingle sets) —
+    proportional to the duplicate rate, never to the corpus.
     """
-    ds = _docs(sf_dir).map_batches(
+    from ray.data.aggregate import AggregateFn
+
+    docs = _docs(sf_dir)
+    sig = docs.map_batches(
         _signature_batch,
         fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_size=256,
         batch_format="pyarrow",
     )
 
-    # Bucket-collision detection: a per-group map_groups over ~bands x
-    # n_docs mostly-singleton buckets pays Python overhead per group.
-    # Instead: vectorized count per bucket (C aggregation), keep only
-    # hot buckets (collisions are rare by construction), then one
-    # vectorized filter pass collects the colliding rows.
-    sig = ds.materialize()
-    counts = sig.groupby(["band", "key"]).count().to_pandas()
-    hot = counts[counts["count()"] > 1]
-    if hot.empty:
+    # shuffle 1: bucket doc_ids per (band, key). accumulate_block gets the
+    # group's rows as one Arrow slice -> vectorized per bucket.
+    collect_ids = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda acc, block: acc + block.column("doc_id").to_pylist(),
+        merge=lambda a, b: a + b,
+        name="docs",
+    )
+    buckets = sig.groupby(["band", "key"]).aggregate(collect_ids)
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for ids in batch.column("docs").to_pylist():
+            if len(ids) < 2:
+                continue  # singleton buckets (the overwhelming majority)
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+        )
+
+    # shuffle 2 (tiny): the same pair fires in several bands; distinct it
+    # distributedly before paying verification.
+    distinct = (
+        buckets.map_batches(emit_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+    )
+    pair_tbl = pa.concat_tables(ray.get(distinct.to_arrow_refs()))  # O(candidates)
+    if len(pair_tbl) == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    hot_keys = set(zip(hot["band"].tolist(), hot["key"].tolist()))
+    a_ids = pair_tbl.column("doc_a").to_pylist()
+    b_ids = pair_tbl.column("doc_b").to_pylist()
+    need_ref = ray.put(frozenset(a_ids) | frozenset(b_ids))
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        mask = [
-            (b, k) in hot_keys
-            for b, k in zip(batch.column("band").to_pylist(), batch.column("key").to_pylist())
-        ]
-        return batch.filter(pa.array(mask))
+    # distributed shingle-set extraction for candidate docs only
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        ids, sets = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id in need:
+                ids.append(doc_id)
+                sets.append(sorted(set(shingles(text, shingle_k))))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "sh": pa.array(sets, pa.list_(pa.string()))}
+        )
 
-    cand = pa.concat_tables(
-        ray.get(sig.map_batches(keep_hot, batch_format="pyarrow").to_arrow_refs())
+    sh_tbl = pa.concat_tables(
+        ray.get(docs.map_batches(cand_shingles, batch_format="pyarrow").to_arrow_refs())
     )
-    buckets: dict[tuple, list[int]] = {}
-    for b, k, d in zip(
-        cand.column("band").to_pylist(),
-        cand.column("key").to_pylist(),
-        cand.column("doc_id").to_pylist(),
-    ):
-        buckets.setdefault((b, k), []).append(d)
-    uniq = sorted(
-        {
-            (ids[i], ids[j])
-            for ids in map(sorted, buckets.values())
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        }
+    sh_ref = ray.put(
+        dict(zip(sh_tbl.column("doc_id").to_pylist(),
+                 (set(s) for s in sh_tbl.column("sh").to_pylist())))
     )
-    # exact verification of candidates only (distributed)
-    need_ids = {d for p in uniq for d in p}
-    texts = {}
-    for batch in _docs(sf_dir).iter_batches(batch_format="pyarrow"):
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            if doc_id in need_ids:
-                texts[doc_id] = set(shingles(text, shingle_k))
-    out_a, out_b, out_j = [], [], []
-    for a, b in uniq:
-        j = jaccard(texts.get(a, set()), texts.get(b, set()))
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(j)
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "jaccard": pa.array(out_j, type=pa.float64()),
-        }
+
+    # distributed exact verification over the candidate-pair dataset
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
+            j = jaccard(sh.get(a, set()), sh.get(b, set()))
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
+        )
+
+    verified = ray.data.from_arrow(pair_tbl.select(["doc_a", "doc_b"])).map_batches(
+        verify, batch_format="pyarrow"
     )
+    tbl = pa.concat_tables(ray.get(verified.to_arrow_refs()))
+    return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # ----------------------------------------------------------------------

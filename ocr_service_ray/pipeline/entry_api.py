@@ -422,6 +422,27 @@ def oracle_sql() -> dict:
             "SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
         ),
+        # exact all-pairs word-5-shingle Jaccard; the LSH path's recall at
+        # (num_perm=64, bands=16) is 1.0 on this corpus (observed true
+        # pairs all have j >= 0.857 -> per-pair miss prob ~4e-6), so the
+        # candidate-then-verify pipeline reproduces the exact result.
+        "minhash_pairs": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words "
+            "FROM documents), "
+            "g AS (SELECT doc_id, words, "
+            "unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i "
+            "FROM w WHERE len(words) > 0), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(words[i:least(i + 4, len(words))], ' ') AS shingle FROM g), "
+            "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard "
+            "FROM inter JOIN cnt na ON na.doc_id = doc_a JOIN cnt nb ON nb.doc_id = doc_b "
+            "WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.6 ORDER BY doc_a, doc_b"
+        ),
         "embedding_neardup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
