@@ -233,14 +233,19 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
-    """64-bit SimHash per document (stateless vectorized map)."""
+    """64-bit SimHash per document (stateless vectorized map).
+
+    Token hash is md5-lower64 (== DuckDB ``md5_number_lower``) so the
+    whole sketch is replicable in SQL — the driver verifies it exactly.
+    """
+    from .hashing import md5_hash_tokens
 
     def sh(batch: pa.Table) -> pa.Table:
         out = []
         for text in batch.column("text").to_pylist():
             words = normalize_text(text).split()
             uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
-            out.append(simhash64(hash_tokens(list(uniq)), counts.astype(np.float64)))
+            out.append(simhash64(md5_hash_tokens(list(uniq)), counts.astype(np.float64)))
         # int64 view of the uint64 fingerprint (Arrow-friendly)
         signed = np.array(out, dtype=np.uint64).view(np.int64)
         return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(signed)})

@@ -44,6 +44,17 @@ def hash_tokens(tokens: list[str]) -> np.ndarray:
     return np.fromiter((stable_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
 
 
+def md5_hash64(token: str) -> int:
+    """Lower-64-bit md5 hash, matching DuckDB's ``md5_number_lower``
+    (bytes 8..16 of the digest, little-endian) so sketches built on it
+    are SQL-oracle-able."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[8:16], "little")
+
+
+def md5_hash_tokens(tokens: list[str]) -> np.ndarray:
+    return np.fromiter((md5_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+
+
 def shingles(text: str, k: int = 5) -> list[str]:
     """Word k-shingles of the normalized text (the MinHash item set)."""
     words = normalize_text(text).split()

@@ -100,10 +100,33 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
 
 
+def text_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Reference M4 token normalization applied corpus-wide.
+
+    Exposes ops.textops.norm_text (/root/reference/app/ocr_engine.py:374-379
+    semantics) as a driver-verifiable stateless map: the DuckDB oracle is
+    the identical replace()/regexp_replace chain.
+    """
+    from ..ops.textops import norm_text
+
+    def nt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm": pa.array(
+                    [norm_text(t) for t in batch.column("text").to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(nt, batch_format="pyarrow")
+
+
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
     """Heuristic language id: stopword votes + script ranges.
 
-    (No SQL oracle — the heuristic is not SQL-expressible; rows-only.)
+    SQL-oracled: distinct-marker votes per language + a CASE-chain argmax
+    with first-language-wins ties (matching the dict iteration order).
     """
 
     def lid(batch: pa.Table) -> pa.Table:

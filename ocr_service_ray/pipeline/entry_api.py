@@ -407,6 +407,7 @@ def queries() -> dict:
         "ann_topk": lambda sf: similarity.brute_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         "token_counts": text_analysis.token_counts,
+        "text_normalize": text_analysis.text_normalize,
         "quality_scores": text_analysis.quality_scores,
         "fingerprints": text_analysis.fingerprints,
         "lang_id": text_analysis.lang_id,
@@ -480,6 +481,53 @@ def oracle_sql() -> dict:
         "fingerprints": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        # M4 norm_text: ×->X, collapse whitespace, correction table (same
+        # sequential order as ops.textops.COMMON_CORRECTIONS).
+        "text_normalize": (
+            "SELECT doc_id, "
+            "replace(replace(replace(replace(replace(replace(replace("
+            "trim(regexp_replace(replace(text, '×', 'X'), '\\s+', ' ', 'g')), "
+            "'ZER0', 'ZERO'), 'I0G', 'IOG'), 'OUOS', 'OVOS'), 'UOS', 'OVOS'), "
+            "'UH', 'UN'), '1Ux', '1UNx'), 'SUIFT', 'SWIFT') AS norm "
+            "FROM documents"
+        ),
+        # heuristic lang-id: CJK script check, else distinct-stopword votes
+        # with first-language-wins ties (en, es, fr, de, pt order).
+        "lang_id": (
+            "WITH v AS (SELECT doc_id, lower(text) AS low, "
+            "list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS words "
+            "FROM documents), "
+            "n AS (SELECT doc_id, low, "
+            "len(list_intersect(words, ['the','and','of','is','with'])) AS n_en, "
+            "len(list_intersect(words, ['el','la','los','las','es','con','para'])) AS n_es, "
+            "len(list_intersect(words, ['le','la','les','est','avec','pour'])) AS n_fr, "
+            "len(list_intersect(words, ['der','die','das','und','ist','mit'])) AS n_de, "
+            "len(list_intersect(words, ['o','os','das','com','para','nao'])) AS n_pt FROM v) "
+            "SELECT doc_id, CASE "
+            "WHEN regexp_matches(low, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+            "WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_de AND n_en >= n_pt THEN 'en' "
+            "WHEN n_es >= n_fr AND n_es >= n_de AND n_es >= n_pt THEN 'es' "
+            "WHEN n_fr >= n_de AND n_fr >= n_pt THEN 'fr' "
+            "WHEN n_de >= n_pt THEN 'de' ELSE 'pt' END AS lang_pred FROM n"
+        ),
+        # SimHash with md5-lower64 token hashes: bit b of the signed int64
+        # = sign of the count-weighted vote over that hash bit; bit 63
+        # contributes -2^63 (two's-complement view of the uint64 sketch).
+        "simhash": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word "
+            "FROM documents), "
+            "tc AS (SELECT doc_id, word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY 1, 2), "
+            "bits AS (SELECT doc_id, gs.b AS bitpos, "
+            "sum(CASE WHEN (md5_number_lower(word) >> gs.b) & 1 = 1 THEN cnt ELSE -cnt END) AS score "
+            "FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs GROUP BY 1, 2), "
+            "packed AS (SELECT doc_id, "
+            "CAST(sum(CASE WHEN score > 0 AND bitpos < 63 THEN (CAST(1 AS BIGINT) << bitpos) "
+            "WHEN score > 0 AND bitpos = 63 THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS simhash "
+            "FROM bits GROUP BY 1) "
+            "SELECT d.doc_id AS doc_id, COALESCE(p.simhash, 0) AS simhash "
+            "FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id ORDER BY d.doc_id"
         ),
         "tumbling_counts": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, "
