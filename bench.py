@@ -176,7 +176,7 @@ def main() -> int:
             {
                 "metric": "extracted_docs_per_sec",
                 "value": head["docs_per_sec"],
-                "unit": "sec",
+                "unit": "docs/sec",
                 "queries": queries,
                 "sf": sf_dir(),
                 "num_cpus": args.num_cpus or default_cpus(),

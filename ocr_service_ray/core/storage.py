@@ -127,23 +127,68 @@ def read_manifest(root: str, part_id: int) -> dict[str, Any]:
         return json.load(f)
 
 
+def _rm_part_dir(d: str) -> None:
+    """Remove a partition dir whose entries may be files (parquet) or
+    directories (``data.lance`` is a directory tree)."""
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=False)
+
+
 def clear_uncommitted(root: str) -> list[int]:
     """Delete partition dirs that have data but no manifest; return their ids."""
     removed = []
     for p in list_parts(root):
         if not os.path.exists(manifest_path(root, p)):
-            d = part_dir(root, p)
-            for name in os.listdir(d):
-                os.unlink(os.path.join(d, name))
-            os.rmdir(d)
+            _rm_part_dir(part_dir(root, p))
             removed.append(p)
     return removed
 
 
+def clear_all_parts(root: str) -> list[int]:
+    """Delete every partition dir (fresh-run semantics, resume=False):
+    stale committed partitions from a prior run must not survive into a
+    new run's output or they pollute verify_output/readers."""
+    removed = []
+    for p in list_parts(root):
+        _rm_part_dir(part_dir(root, p))
+        removed.append(p)
+    return removed
+
+
 def ray_read(paths: list[str], **kwargs):
-    """ray.data reader over the adapter's data files (parquet leg in-sandbox)."""
+    """ray.data reader over the adapter's data files (parquet leg in-sandbox).
+
+    The lance leg reads each dataset URI separately (``read_lance`` is a
+    single-URI API with no ``include_paths``/``override_num_blocks``),
+    stamps the path column the pipeline derives part ids from, and unions
+    the per-partition datasets. ``override_num_blocks`` is approximated
+    per URI; unsupported kwargs are not forwarded.
+    """
     import ray.data as rd
 
-    if HAVE_LANCE:  # pragma: no cover
-        return rd.read_lance(paths, **kwargs)
+    if HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
+        include_paths = kwargs.pop("include_paths", False)
+        total_blocks = kwargs.pop("override_num_blocks", None)
+        kwargs.pop("columns", None)  # read_lance has no column pruning kwarg here
+        per_uri = max(1, (total_blocks or len(paths)) // max(1, len(paths)))
+        parts = []
+        for p in paths:
+            ds = rd.read_lance(p, **kwargs)
+            if total_blocks:
+                ds = ds.repartition(per_uri)
+            if include_paths:
+                path = p
+
+                def stamp(batch, _path=path):
+                    import pyarrow as _pa
+
+                    return batch.append_column(
+                        "path", _pa.array([_path] * len(batch), _pa.string())
+                    )
+
+                ds = ds.map_batches(stamp, batch_format="pyarrow")
+            parts.append(ds)
+        out = parts[0]
+        return out.union(*parts[1:]) if len(parts) > 1 else out
     return rd.read_parquet(paths, **kwargs)

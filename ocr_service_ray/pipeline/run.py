@@ -41,7 +41,9 @@ def run_pipeline(
     else:
         done = set()
         redone = []
-        storage.clear_uncommitted(out_root)
+        # fresh run: stale committed partitions from a prior run (possibly
+        # over different input) must not survive into this run's output
+        storage.clear_all_parts(out_root)
     remaining = [p for p in all_parts if p not in done]
     summary = {
         "n_parts": len(all_parts),
@@ -103,7 +105,9 @@ def _run_wave(
     # reserve ~1/8 of CPUs (min 1) for read/sort/write tasks; a constant
     # reserve skews small-cluster runs (2 of 4 cpus idle made the 4->16
     # scaling measurement dishonestly superlinear)
-    pool = max(2, min(cfg.extract_concurrency[1], n_cpus - max(1, n_cpus // 8)))
+    # never reserve ALL cpus for actors: on a 1-2 CPU cluster an actor
+    # pool of 2 (each 1.0 CPU) would starve read/groupby tasks
+    pool = max(1, min(cfg.extract_concurrency[1], n_cpus - max(1, n_cpus // 8)))
     actor_kwargs = {
         "blobs_root": blobs_root,
         "cache_parts": cfg.blob_cache_parts,

@@ -43,3 +43,25 @@ class TestPartitionLayout:
             storage.write_part(root, p, _tbl())
         assert len(storage.data_files(root)) == 3
         assert storage.data_files(root, [2]) == [storage.data_path(root, 2)]
+
+
+class TestFreshRunCleanup:
+    def test_clear_all_parts_removes_committed(self, tmp_path):
+        root = str(tmp_path)
+        storage.write_part(root, 0, _tbl())
+        storage.commit_manifest(root, 0, {"n": 3})
+        storage.write_part(root, 5, _tbl())
+        removed = storage.clear_all_parts(root)
+        assert removed == [0, 5]
+        assert storage.list_parts(root) == []
+
+    def test_clear_uncommitted_handles_dir_entries(self, tmp_path):
+        # lance datasets are DIRECTORIES named data.lance; cleanup must
+        # remove them too, not just flat files
+        root = str(tmp_path)
+        d = os.path.join(root, "part=2", "data.lance")
+        os.makedirs(os.path.join(d, "data"))
+        with open(os.path.join(d, "data", "frag.bin"), "w") as f:
+            f.write("x")
+        assert storage.clear_uncommitted(root) == [2]
+        assert storage.list_parts(root) == []
