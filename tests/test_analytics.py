@@ -187,3 +187,31 @@ class TestMultimodal:
         out = resize_gray(img, 2, 2)
         assert out.shape == (2, 2)
         assert out[0, 0] == img[0, 0]
+
+
+class TestEmbeddingNeardup:
+    def test_block_pair_join_invariant_to_blocking(self):
+        # the cross-block wedge logic must keep each unordered pair
+        # exactly once regardless of how rows land in blocks
+        import pyarrow as pa
+        import ray
+        import ray.data
+
+        from ocr_service_ray.analytics.dedup import (
+            _block_pair_sims,
+            embedding_neardup_pairs,
+        )
+
+        ds = ray.data.read_parquet(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).repartition(7)
+        refs = ds.to_arrow_refs()
+        assert len(refs) > 1
+        futs = []
+        for i in range(len(refs)):
+            for j in range(i, len(refs)):
+                futs.append(_block_pair_sims.remote(refs[i], refs[j], 0.45, i == j))
+        many = pa.concat_tables(ray.get(futs)).sort_by(
+            [("vec_a", "ascending"), ("vec_b", "ascending")]
+        )
+        assert many.equals(embedding_neardup_pairs(SF))
