@@ -27,11 +27,24 @@ SPAN_STRUCT = pa.struct(
     ]
 )
 
-# Input / output document table (the north-rule shape).
+# Input document table (the north-rule shape).
 DOC_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
         ("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+# Output document table: input shape + the reference's doc-level response
+# fields (tipo_documento/confianca/mensagem, app/models.py:21-27) computed
+# at reassembly.
+DOC_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+        ("tipo_documento", pa.string()),
+        ("confianca", pa.float64()),
+        ("mensagem", pa.string()),
     ]
 )
 

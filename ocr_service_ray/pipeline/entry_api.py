@@ -216,6 +216,73 @@ def q_html_items(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
 
 
+def q_doc_status(sf_dir: str) -> pa.Table:
+    """Per-document status of the flagship output: the reference's
+    doc-level response fields (tipo_documento / confianca / mensagem,
+    app/models.py:21-27) surfaced as output columns at reassembly."""
+    _, out = run_span_pipeline(scale_for(sf_dir))
+    tables = []
+    for p in storage.list_parts(out):
+        t = storage.read_part(
+            out, p, columns=["doc_id", "tipo_documento", "confianca", "mensagem"]
+        )
+        tables.append(t)
+    tbl = pa.concat_tables(tables)
+    # mensagem is nullable; canonicalize for the driver's value hash
+    msg = pc.fill_null(tbl.column("mensagem"), "")
+    tbl = tbl.set_column(tbl.schema.get_field_index("mensagem"), "mensagem", msg)
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
+def q_html_totals(sf_dir: str) -> pa.Table:
+    """HTML spans -> per-span (data_compra, total_nota) extraction
+    (app/nfce_parser.py:81-95 semantics via stages/html_extract.py)."""
+    import ray
+    import ray.data
+
+    info = span_corpus(scale_for(sf_dir))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        from ..stages.html_extract import parse_html_document
+
+        spans = batch.column("spans").combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        doc_ids = pc.take(batch.column("doc_id"), parents).to_pylist()
+        rows = {"doc_id": [], "offset": [], "data_compra": [], "total_nota": [],
+                "n_itens": []}
+        for d, k, t, o in zip(
+            doc_ids,
+            flat.field("kind").to_pylist(),
+            flat.field("text").to_pylist(),
+            flat.field("offset").to_pylist(),
+        ):
+            if k != "html":
+                continue
+            doc = parse_html_document(t)
+            rows["doc_id"].append(d)
+            rows["offset"].append(o)
+            rows["data_compra"].append(doc["data_compra"] or "")
+            rows["total_nota"].append(
+                doc["total_nota"] if doc["total_nota"] is not None else -1.0
+            )
+            rows["n_itens"].append(len(doc["itens"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "offset": pa.array(rows["offset"], pa.int32()),
+                "data_compra": pa.array(rows["data_compra"], pa.string()),
+                "total_nota": pa.array(rows["total_nota"], pa.float64()),
+                "n_itens": pa.array(rows["n_itens"], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(storage.data_files(info["docs"]))
+    out = ds.map_batches(extract, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+
+
 def q_qrcode_urls(sf_dir: str) -> pa.Table:
     """QR extraction over media blobs (the reference's /api/ocr/qrcode-only
     path, app/main.py:146-166): (media_ref, found, url, url_clean)."""
@@ -396,6 +463,8 @@ def queries() -> dict:
         "span_errors": q_span_errors,
         "receipt_items": q_receipt_items,
         "html_items": q_html_items,
+        "html_totals": q_html_totals,
+        "doc_status": q_doc_status,
         "qrcode_urls": q_qrcode_urls,
         "multimodal_features": q_multimodal_features,
         "skew_metrics": q_skew_profile,

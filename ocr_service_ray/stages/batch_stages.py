@@ -72,26 +72,35 @@ def explode_and_extract(batch: pa.Table) -> pa.Table:
     texts = flat.field("text").to_pylist()
     out_kind: list[str] = []
     out_text: list[str] = []
+    out_conf: list[float] = []  # per-span confidence: 1.0 deterministic
+    # extraction, 0.0 pending-OCR/erro; the OCR stage overwrites media
+    # rows with the engine's mean token confidence
     for k, t in zip(kinds, texts):
         try:
             if k == KIND_TEXT:
                 out_kind.append(KIND_TEXT)
                 out_text.append(T.norm_text(t))
+                out_conf.append(1.0)
             elif k == "html":
                 out_kind.append(KIND_TEXT)
                 out_text.append(extract_main_text(t))
+                out_conf.append(1.0)
             elif k == "pdf":
                 out_kind.append(KIND_TEXT)
                 out_text.append(extract_pdf_text(t))
+                out_conf.append(1.0)
             elif k == KIND_MEDIA:
                 out_kind.append(KIND_MEDIA)
                 out_text.append("")
+                out_conf.append(0.0)
             else:
                 out_kind.append(KIND_ERROR)
                 out_text.append("")
+                out_conf.append(0.0)
         except Exception:
             out_kind.append(KIND_ERROR)
             out_text.append("")
+            out_conf.append(0.0)
     return pa.table(
         {
             "doc_id": doc_id,
@@ -100,6 +109,7 @@ def explode_and_extract(batch: pa.Table) -> pa.Table:
             "kind": pa.array(out_kind, type=pa.string()),
             "text": pa.array(out_text, type=pa.string()),
             "media_ref": flat.field("media_ref"),
+            "conf": pa.array(out_conf, type=pa.float64()),
         }
     )
 
@@ -214,18 +224,21 @@ class OcrStage:
             return batch
         refs = batch.column("media_ref").to_pylist()
         texts = batch.column("text").to_pylist()
+        confs = batch.column("conf").to_pylist()
         # visit refs in partition order for blob-cache locality
         for i in sorted(media_idx, key=lambda i: refs[i]):
             try:
-                recognized = self.engine.recognize_lines(self._lookup(refs[i]))
+                page = self.engine.recognize_page(self._lookup(refs[i]))
             except Exception:
-                recognized = None
-            if recognized is None:
+                page = None
+            if page is None:
                 kinds[i] = KIND_ERROR
                 texts[i] = ""
+                confs[i] = 0.0
             else:
                 kinds[i] = KIND_TEXT
-                texts[i] = recognized
+                texts[i] = page["text"]
+                confs[i] = page["confidence"]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -234,6 +247,7 @@ class OcrStage:
                 "kind": pa.array(kinds, type=pa.string()),
                 "text": pa.array(texts, type=pa.string()),
                 "media_ref": batch.column("media_ref"),
+                "conf": pa.array(confs, type=pa.float64()),
             }
         )
 
@@ -268,10 +282,44 @@ def make_partition_writer(out_root: str, docs_root: str | None = None):
             names=["kind", "text", "media_ref", "offset"],
         )
         spans_list = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+
+        # doc-level status (reference structure_data semantics,
+        # app/ocr_engine.py:152-173 / app/models.py:21-27, batch analog):
+        # - tipo "erro" + mensagem when a doc yields NO text spans at all
+        #   (= "Nenhuma linha OCR encontrada")
+        # - else venda/gasto keyword classify over the joined span text
+        # - confianca = mean per-span confidence (OCR mean token conf for
+        #   recognized media, 1.0 deterministic extraction, 0.0 erro)
+        kinds_np = np.asarray(tbl.column("kind"))
+        texts_np = np.asarray(tbl.column("text"))
+        conf_np = np.asarray(tbl.column("conf"), dtype=np.float64)
+        is_text = kinds_np == KIND_TEXT
+        is_err = kinds_np == KIND_ERROR
+        seg = np.append(starts, len(doc_ids))
+        n_text = np.add.reduceat(is_text.astype(np.int64), starts)
+        n_err_doc = np.add.reduceat(is_err.astype(np.int64), starts)
+        confianca = np.round(
+            np.add.reduceat(conf_np, starts) / np.diff(seg), 3
+        )
+        tipos: list[str] = []
+        msgs: list[str | None] = []
+        for d in range(len(starts)):
+            if n_text[d] == 0:
+                tipos.append("erro")
+                msgs.append("Nenhuma linha OCR encontrada")
+                confianca[d] = 0.0
+                continue
+            lo, hi = seg[d], seg[d + 1]
+            joined = "\n".join(texts_np[lo:hi][is_text[lo:hi]])
+            tipos.append(T.classify_document(joined))
+            msgs.append(f"{int(n_err_doc[d])} spans com erro" if n_err_doc[d] else None)
         out = pa.table(
             {
                 "doc_id": pa.array(doc_ids[starts], type=pa.string()),
                 "spans": spans_list,
+                "tipo_documento": pa.array(tipos, type=pa.string()),
+                "confianca": pa.array(confianca, type=pa.float64()),
+                "mensagem": pa.array(msgs, type=pa.string()),
             }
         )
         n_errors = int(pc.sum(pc.equal(tbl.column("kind"), KIND_ERROR)).as_py() or 0)

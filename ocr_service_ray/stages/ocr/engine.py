@@ -162,6 +162,15 @@ class OcrEngine:
         left-right words), whitespace-normalized per line. ``None`` when
         the payload is undecodable or yields no text.
         """
+        page = self.recognize_page(payload)
+        return page["text"] if page else None
+
+    def recognize_page(self, payload: bytes | None) -> dict | None:
+        """Like ``recognize_lines`` but also reports the mean token
+        confidence (the reference's per-document ``confianca`` is the
+        mean OCR confidence, app/models.py:26 / README example 0.956).
+        Returns ``{"text": str, "confidence": float}`` or ``None``.
+        """
         tokens = self.extract_text(payload)
         if not tokens:
             return None
@@ -177,7 +186,10 @@ class OcrEngine:
             cur.append(t["text"])
         if cur:
             lines.append(" ".join(cur))
-        return "\n".join(lines)
+        import numpy as _np
+
+        conf = float(round(_np.mean([t["confidence"] for t in tokens]), 3))
+        return {"text": "\n".join(lines), "confidence": conf}
 
     # ------------------------------------------------------------------
     def _normalize(self, words: list[Word]) -> list[dict]:

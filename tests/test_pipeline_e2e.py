@@ -70,9 +70,28 @@ class TestPipelineE2E:
     def test_output_schema_matches_input_hint(self, tiny_corpus, tmp_path):
         import pyarrow as pa
 
-        from ocr_service_ray.core.schema import DOC_SCHEMA
+        from ocr_service_ray.core.schema import DOC_OUT_SCHEMA
 
         out = str(tmp_path / "out")
         run_pipeline(tiny_corpus["docs"], tiny_corpus["blobs"], out)
         tbl = storage.read_part(out, 0)
-        assert tbl.schema.equals(DOC_SCHEMA) or tbl.cast(DOC_SCHEMA).schema.equals(DOC_SCHEMA)
+        assert tbl.schema.equals(DOC_OUT_SCHEMA) or tbl.cast(DOC_OUT_SCHEMA).schema.equals(
+            DOC_OUT_SCHEMA
+        )
+        # doc-level status invariants (reference structure_data semantics)
+        tipos = set(tbl.column("tipo_documento").to_pylist())
+        assert tipos <= {"venda", "gasto", "erro"}
+        confs = tbl.column("confianca").to_pylist()
+        assert all(0.0 <= c <= 1.0 for c in confs)
+        for row in tbl.to_pylist():
+            has_text = any(s["kind"] == "text" for s in row["spans"])
+            if not has_text:
+                assert row["tipo_documento"] == "erro"
+                assert row["mensagem"] == "Nenhuma linha OCR encontrada"
+                assert row["confianca"] == 0.0
+            else:
+                n_err = sum(1 for s in row["spans"] if s["kind"] == "erro")
+                if n_err:
+                    assert row["mensagem"] == f"{n_err} spans com erro"
+                else:
+                    assert row["mensagem"] is None
