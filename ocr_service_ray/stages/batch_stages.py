@@ -43,6 +43,23 @@ def part_id_of_path(path: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+def _norm_text_arrow(arr: pa.Array) -> pa.Array:
+    """Vectorized ops.textops.norm_text over a string array.
+
+    Same semantics (×->X, collapse whitespace, trim, correction chain in
+    COMMON_CORRECTIONS order); equality with the scalar form is pinned by
+    tests/test_pipeline_e2e.py and the generator oracle. RE2's ``\\s`` is
+    ASCII [ \\t\\n\\f\\r] so ``\\v`` is added explicitly (Python parity);
+    the corpus alphabet has no other exotic whitespace.
+    """
+    a = pc.replace_substring(pc.fill_null(arr, ""), "×", "X")
+    a = pc.replace_substring_regex(a, "[ \\t\\n\\r\\f\\v]+", " ")
+    a = pc.utf8_trim_whitespace(a)
+    for wrong, right in T.COMMON_CORRECTIONS:
+        a = pc.replace_substring(a, wrong, right)
+    return a
+
+
 def explode_and_extract(batch: pa.Table) -> pa.Table:
     """(doc_id, spans, path) docs -> flat extracted span rows.
 
@@ -68,39 +85,32 @@ def explode_and_extract(batch: pa.Table) -> pa.Table:
     else:
         part_id = pa.array(np.zeros(len(flat), dtype=np.int32))
 
-    kinds = flat.field("kind").to_pylist()
-    texts = flat.field("text").to_pylist()
-    out_kind: list[str] = []
-    out_text: list[str] = []
-    out_conf: list[float] = []  # per-span confidence: 1.0 deterministic
-    # extraction, 0.0 pending-OCR/erro; the OCR stage overwrites media
-    # rows with the engine's mean token confidence
-    for k, t in zip(kinds, texts):
+    kinds_np = np.asarray(flat.field("kind").to_numpy(zero_copy_only=False))
+    # text spans: fully vectorized pyarrow.compute normalization (the hot
+    # leg — most spans are text); html/pdf keep per-row Python parsers
+    out_text = np.asarray(_norm_text_arrow(flat.field("text")).to_numpy(zero_copy_only=False)).copy()
+    out_kind = np.full(len(kinds_np), KIND_TEXT, dtype=object)
+    out_conf = np.ones(len(kinds_np), dtype=np.float64)
+    texts = flat.field("text")
+    for i in np.flatnonzero(~np.isin(kinds_np, (KIND_TEXT,))):
+        k = kinds_np[i]
         try:
-            if k == KIND_TEXT:
-                out_kind.append(KIND_TEXT)
-                out_text.append(T.norm_text(t))
-                out_conf.append(1.0)
-            elif k == "html":
-                out_kind.append(KIND_TEXT)
-                out_text.append(extract_main_text(t))
-                out_conf.append(1.0)
+            if k == "html":
+                out_text[i] = extract_main_text(texts[i].as_py())
             elif k == "pdf":
-                out_kind.append(KIND_TEXT)
-                out_text.append(extract_pdf_text(t))
-                out_conf.append(1.0)
+                out_text[i] = extract_pdf_text(texts[i].as_py())
             elif k == KIND_MEDIA:
-                out_kind.append(KIND_MEDIA)
-                out_text.append("")
-                out_conf.append(0.0)
+                out_kind[i] = KIND_MEDIA
+                out_text[i] = ""
+                out_conf[i] = 0.0
             else:
-                out_kind.append(KIND_ERROR)
-                out_text.append("")
-                out_conf.append(0.0)
+                out_kind[i] = KIND_ERROR
+                out_text[i] = ""
+                out_conf[i] = 0.0
         except Exception:
-            out_kind.append(KIND_ERROR)
-            out_text.append("")
-            out_conf.append(0.0)
+            out_kind[i] = KIND_ERROR
+            out_text[i] = ""
+            out_conf[i] = 0.0
     return pa.table(
         {
             "doc_id": doc_id,

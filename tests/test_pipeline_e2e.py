@@ -95,3 +95,16 @@ class TestPipelineE2E:
                     assert row["mensagem"] == f"{n_err} spans com erro"
                 else:
                     assert row["mensagem"] is None
+
+
+class TestVectorizedNorm:
+    def test_arrow_norm_matches_scalar(self):
+        import pyarrow as pa
+
+        from ocr_service_ray.ops.textops import norm_text
+        from ocr_service_ray.stages.batch_stages import _norm_text_arrow
+
+        cases = ["", "  a  b ", "x×y", "ZER0 I0G", "a\t\nb\v c",
+                 "OUOS UOS", "1Ux SUIFT", None, "a\f b\r", "2×3  4"]
+        got = _norm_text_arrow(pa.array(cases, pa.string())).to_pylist()
+        assert got == [norm_text(c) for c in cases]
