@@ -124,7 +124,10 @@ def scale_for_sf() -> str:
         return "tiny"
     if "sf0.01" in d:
         return "small"
-    return "medium"
+    # sf0.1 headline runs the full 65k-doc bench corpus: fixed costs
+    # (session spin-up, actor-pool warm-up) amortize over 4x the docs,
+    # so the number reflects steady-state throughput, not ramp.
+    return os.environ.get("GRAFT_BENCH_SCALE", "bench")
 
 
 def main() -> int:

@@ -27,16 +27,25 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        # Arrow-native combiner: no pandas conversion in the hot path.
         # DuckDB round() is half-AWAY-from-zero; np.rint is half-to-even.
-        v = df["l_extendedprice"].to_numpy() * 100
-        df["price_cents"] = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price_cents=("price_cents", "sum"),
-            count_order=("l_quantity", "size"),
+        v = batch.column("l_extendedprice").to_numpy() * 100
+        cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": batch.column("l_quantity"),
+                "sum_price_cents": pa.array(cents, pa.int64()),
+                "count_order": pa.array(np.ones(len(batch), np.int64)),
+            }
         )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"), ("count_order", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "count_order"]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     final = (

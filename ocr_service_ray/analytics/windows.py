@@ -29,22 +29,38 @@ def _events(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+_ARROW_UNIT = {"h": "hour", "min": "minute", "d": "day"}
+
+
 def tumbling_counts(sf_dir: str, window: str = "h") -> pa.Table:
     """Per (window_start, event_type): event count + value sum in cents."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["window_start_s"] = (
-            df["ts"].dt.floor(window).astype("datetime64[s]").astype("int64")
+        # Arrow-native combiner: floor_temporal + int cast, no pandas.
+        import pyarrow.compute as pc
+
+        win = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit=_ARROW_UNIT[window]),
+                    pa.timestamp("s")),
+            pa.int64(),
         )
         # DuckDB round() is half-AWAY-from-zero; np.rint is half-to-even.
-        v = df["value"].to_numpy() * 100
-        df["value_cents"] = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
-        g = df.groupby(["window_start_s", "event_type"], sort=True).agg(
-            n_events=("value", "size"),
-            sum_value_cents=("value_cents", "sum"),
+        v = batch.column("value").to_numpy() * 100
+        cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        t = pa.table(
+            {
+                "window_start_s": win,
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(np.ones(len(batch), np.int64)),
+                "sum_value_cents": pa.array(cents, pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        g = pa.TableGroupBy(t, ["window_start_s", "event_type"]).aggregate(
+            [("n_events", "sum"), ("sum_value_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["window_start_s", "event_type", "n_events", "sum_value_cents"]
+        )
 
     partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
         partial, batch_format="pyarrow"
