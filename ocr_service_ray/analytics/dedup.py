@@ -229,6 +229,122 @@ def minhash_lsh_pairs(
 
 
 # ----------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index join — no sketch)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, shingle_k: int = 5, threshold: float = 0.6
+) -> pa.Table:
+    """EXACT word-k-shingle Jaccard pairs >= threshold.
+
+    A different distributed shape from MinHash-LSH: the classic
+    inverted-index join (the same plan the DuckDB oracle runs):
+
+    1. (shingle_hash, doc_id) posting rows, DISTINCT per doc       [map]
+    2. groupby(shingle_hash) -> postings list -> co-occurring
+       pair increments                                             [shuffle 1]
+    3. groupby(doc_a, doc_b).sum -> intersection size c            [shuffle 2,
+       O(co-occurring pairs)]
+    4. |A|,|B| from a filtered distributed pass + broadcast;
+       jaccard = c / (|A| + |B| - c)                               [map]
+
+    Exactness rests on 64-bit blake2b shingle hashing (collision prob
+    ~ n_shingles^2 / 2^64, negligible and deterministic). Compute is
+    O(sum of posting-list sizes squared): right when near-dup shingles
+    are rare; the sketch path (minhash_lsh_pairs) is the scale path
+    when they are not.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    docs = _docs(sf_dir)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        ids: list[int] = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            uniq = set(shingles(text, shingle_k))
+            sig = hash_tokens(sorted(uniq)).view(np.int64)
+            hs.extend(sig.tolist())
+            ids.extend([doc_id] * len(sig))
+        return pa.table(
+            {"h": pa.array(hs, pa.int64()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    collect_ids = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda acc, block: acc + block.column("doc_id").to_pylist(),
+        merge=lambda a, b: a + b,
+        name="docs",
+    )
+    buckets = docs.map_batches(postings, batch_format="pyarrow").groupby("h").aggregate(
+        collect_ids
+    )
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for ids in batch.column("docs").to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+        )
+
+    inter = (
+        buckets.map_batches(emit_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+    )
+    inter_tbl = pa.concat_tables(ray.get(inter.to_arrow_refs()))
+    if len(inter_tbl) == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    a_ids = inter_tbl.column("doc_a").to_pylist()
+    b_ids = inter_tbl.column("doc_b").to_pylist()
+    need_ref = ray.put(frozenset(a_ids) | frozenset(b_ids))
+
+    def cand_sizes(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        ids, ns = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id in need:
+                ids.append(doc_id)
+                ns.append(len(set(shingles(text, shingle_k))))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    sz_tbl = pa.concat_tables(
+        ray.get(docs.map_batches(cand_sizes, batch_format="pyarrow").to_arrow_refs())
+    )
+    sizes = dict(zip(sz_tbl.column("doc_id").to_pylist(), sz_tbl.column("n").to_pylist()))
+    c = np.asarray(inter_tbl.column("count()"), dtype=np.int64)
+    na = np.array([sizes[a] for a in a_ids], dtype=np.int64)
+    nb = np.array([sizes[b] for b in b_ids], dtype=np.int64)
+    jac = c / (na + nb - c)
+    keep = jac >= threshold
+    out = pa.table(
+        {
+            "doc_a": pa.array(np.asarray(a_ids)[keep], pa.int64()),
+            "doc_b": pa.array(np.asarray(b_ids)[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        }
+    )
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# ----------------------------------------------------------------------
 # SimHash fingerprints
 
 

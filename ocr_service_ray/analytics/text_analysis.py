@@ -130,10 +130,11 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     """
 
     def lid(batch: pa.Table) -> pa.Table:
+        cjk = re.compile("[一-鿿]")
         preds = []
         for t in batch.column("text").to_pylist():
             t = t or ""
-            if any("一" <= ch <= "鿿" for ch in t):
+            if cjk.search(t):
                 preds.append("zh")
                 continue
             words = set(t.lower().split())

@@ -471,6 +471,7 @@ def queries() -> dict:
         # training-data analytics (SQL-oracled where expressible)
         "exact_dedup": dedup.exact_dedup,
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf),
         "simhash": dedup.simhash_fingerprints,
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
         "ann_topk": lambda sf: similarity.brute_topk(sf),
@@ -486,33 +487,39 @@ def queries() -> dict:
     }
 
 
+# exact all-pairs word-5-shingle Jaccard (the ground truth for BOTH the
+# LSH sketch path and the inverted-index ngram path).
+_SHINGLE_JACCARD_SQL = (
+    "WITH w AS (SELECT doc_id, "
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words "
+    "FROM documents), "
+    "g AS (SELECT doc_id, words, "
+    "unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i "
+    "FROM w WHERE len(words) > 0), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "array_to_string(words[i:least(i + 4, len(words))], ' ') AS shingle FROM g), "
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard "
+    "FROM inter JOIN cnt na ON na.doc_id = doc_a JOIN cnt nb ON nb.doc_id = doc_b "
+    "WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.6 ORDER BY doc_a, doc_b"
+)
+
+
 def oracle_sql() -> dict:
     return {
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
         ),
-        # exact all-pairs word-5-shingle Jaccard; the LSH path's recall at
-        # (num_perm=64, bands=16) is 1.0 on this corpus (observed true
-        # pairs all have j >= 0.857 -> per-pair miss prob ~4e-6), so the
-        # candidate-then-verify pipeline reproduces the exact result.
-        "minhash_pairs": (
-            "WITH w AS (SELECT doc_id, "
-            "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words "
-            "FROM documents), "
-            "g AS (SELECT doc_id, words, "
-            "unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i "
-            "FROM w WHERE len(words) > 0), "
-            "sh AS (SELECT DISTINCT doc_id, "
-            "array_to_string(words[i:least(i + 4, len(words))], ' ') AS shingle FROM g), "
-            "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
-            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-            "GROUP BY 1, 2) "
-            "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard "
-            "FROM inter JOIN cnt na ON na.doc_id = doc_a JOIN cnt nb ON nb.doc_id = doc_b "
-            "WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.6 ORDER BY doc_a, doc_b"
-        ),
+        # the LSH path's recall at (num_perm=64, bands=16) is 1.0 on this
+        # corpus (observed true pairs all have j >= 0.857 -> per-pair miss
+        # prob ~4e-6), so candidate-then-verify reproduces the exact result.
+        "minhash_pairs": _SHINGLE_JACCARD_SQL,
+        # the inverted-index join is exact by construction (same plan).
+        "ngram_jaccard": _SHINGLE_JACCARD_SQL,
         "embedding_neardup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

@@ -88,7 +88,8 @@ class TestOracleEquivalence:
         "name",
         ["exact_dedup", "token_counts", "quality_scores", "fingerprints",
          "pricing_summary", "ann_topk", "embedding_neardup",
-         "tumbling_counts", "sessionize"],
+         "tumbling_counts", "sessionize", "minhash_pairs", "ngram_jaccard",
+         "lang_id", "simhash", "text_normalize"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
