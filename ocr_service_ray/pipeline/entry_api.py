@@ -160,7 +160,7 @@ def q_receipt_items(sf_dir: str) -> pa.Table:
     files = storage.data_files(info["blobs"])
     ds = ray.data.read_parquet(files, columns=["media_ref", "bytes"])
     out = ds.map_batches(
-        ItemStage, concurrency=(1, 4), batch_size=32, batch_format="pyarrow"
+        ItemStage, concurrency=4, batch_size=32, batch_format="pyarrow"
     )
     tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
     return tbl.sort_by([("media_ref", "ascending"), ("sq", "ascending")])
@@ -324,7 +324,7 @@ def q_qrcode_urls(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(
         storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
     )
-    out = ds.map_batches(QrStage, concurrency=(1, 4), batch_size=32, batch_format="pyarrow")
+    out = ds.map_batches(QrStage, concurrency=4, batch_size=32, batch_format="pyarrow")
     tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
     return tbl.sort_by([("media_ref", "ascending")])
 
@@ -379,7 +379,7 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     })
     ds = ray.data.from_arrow(tbl)
     audio = ds.filter(lambda r: r["kind"] == "audio").map_batches(
-        AudioFeatureStage, concurrency=(1, 2), batch_size=32, batch_format="pyarrow"
+        AudioFeatureStage, concurrency=2, batch_size=32, batch_format="pyarrow"
     )
 
     class FrameOcr:
@@ -404,8 +404,8 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     video = (
         ds.filter(lambda r: r["kind"] == "video")
         .map_batches(FrameSampleStage, fn_constructor_kwargs={"every_k": 3},
-                     concurrency=(1, 2), batch_size=8, batch_format="pyarrow")
-        .map_batches(FrameOcr, concurrency=(1, 2), batch_size=16, batch_format="pyarrow")
+                     concurrency=2, batch_size=8, batch_format="pyarrow")
+        .map_batches(FrameOcr, concurrency=2, batch_size=16, batch_format="pyarrow")
     )
     a = pa.concat_tables(ray.get(audio.to_arrow_refs()))
     v = pa.concat_tables(ray.get(video.to_arrow_refs()))
