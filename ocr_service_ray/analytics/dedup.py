@@ -43,6 +43,16 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _collect(ds: "ray.data.Dataset", empty_schema: pa.Schema) -> pa.Table:
+    """Concat a (small) dataset's Arrow blocks, tolerating the degenerate
+    schemas Ray attaches to EMPTY shuffle output blocks (null-typed
+    columns), which break a naive ``pa.concat_tables``."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tables:
+        return empty_schema.empty_table()
+    return pa.concat_tables(tables)
+
+
 # ----------------------------------------------------------------------
 # Exact dedup
 
@@ -173,7 +183,10 @@ def minhash_lsh_pairs(
         .groupby(["doc_a", "doc_b"])
         .count()
     )
-    pair_tbl = pa.concat_tables(ray.get(distinct.to_arrow_refs()))  # O(candidates)
+    pair_tbl = _collect(
+        distinct,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("count()", pa.int64())]),
+    )  # O(candidates)
     if len(pair_tbl) == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
@@ -224,7 +237,10 @@ def minhash_lsh_pairs(
     verified = ray.data.from_arrow(pair_tbl.select(["doc_a", "doc_b"])).map_batches(
         verify, batch_format="pyarrow"
     )
-    tbl = pa.concat_tables(ray.get(verified.to_arrow_refs()))
+    tbl = _collect(
+        verified,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]),
+    )
     return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
@@ -302,7 +318,10 @@ def ngram_jaccard_pairs(
         .groupby(["doc_a", "doc_b"])
         .count()
     )
-    inter_tbl = pa.concat_tables(ray.get(inter.to_arrow_refs()))
+    inter_tbl = _collect(
+        inter,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("count()", pa.int64())]),
+    )
     if len(inter_tbl) == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
