@@ -65,3 +65,151 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     final["count_order"] = final["count_order"].astype(np.int64)
     final["sum_price_cents"] = final["sum_price_cents"].astype(np.int64)
     return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def orders_by_nation(sf_dir: str) -> pa.Table:
+    """Broadcast hash join: orders ⋈ customer ⋈ nation -> per-nation stats.
+
+    The canonical small-side pattern the engine charter mandates: the
+    customer->nation map (tiny vs orders) is built once and ``ray.put``
+    ONCE; every task reads it zero-copy and does a vectorized lookup —
+    the big side streams, no shuffle join. Final aggregate is the
+    combiner shape (per-batch partial, 25-key final groupby).
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ckeys = np.asarray(cust.column("c_custkey"))
+    order_ck = np.argsort(ckeys)
+    lookup_ref = ray.put((ckeys[order_ck], np.asarray(cust.column("c_nationkey"))[order_ck]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys_sorted, nk_sorted = ray.get(lookup_ref)
+        ck = np.asarray(batch.column("o_custkey"))
+        pos = np.searchsorted(keys_sorted, ck)
+        nk = nk_sorted[pos]  # referential integrity: every o_custkey exists
+        v = batch.column("o_totalprice").to_numpy() * 100
+        cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        t = pa.table(
+            {
+                "n_nationkey": pa.array(nk, pa.int64()),
+                "n_orders": pa.array(np.ones(len(batch), np.int64)),
+                "sum_price_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["n_nationkey"]).aggregate(
+            [("n_orders", "sum"), ("sum_price_cents", "sum")]
+        )
+        return g.rename_columns(["n_nationkey", "n_orders", "sum_price_cents"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .sum(["n_orders", "sum_price_cents"])
+        .to_pandas()
+        .rename(columns={"sum(n_orders)": "n_orders",
+                         "sum(sum_price_cents)": "sum_price_cents"})
+    )
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    final["n_name"] = final["n_nationkey"].map(names)
+    final["n_orders"] = final["n_orders"].astype(np.int64)
+    final["sum_price_cents"] = final["sum_price_cents"].astype(np.int64)
+    final = final[["n_name", "n_orders", "sum_price_cents"]].sort_values("n_name")
+    return pa.Table.from_pandas(final.reset_index(drop=True), preserve_index=False)
+
+
+def hash_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic ~5% hash sample of documents (md5-prefix < '0d').
+
+    Sampling that is reproducible across cluster sizes and restarts
+    (unlike random_shuffle/random sample): membership is a pure function
+    of the key — the property a 100 TB resumable pipeline needs.
+    """
+    from .hashing import md5_hex
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = pa.array([md5_hex(str(i))[:2] < "0d" for i in ids])
+        return batch.filter(mask).select(["doc_id"])
+
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(pick, batch_format="pyarrow")
+
+
+def top_docs_by_words(sf_dir: str, k: int = 50) -> pa.Table:
+    """Top-k documents by word count: distributed sort + limit.
+
+    Full (n_words DESC, doc_id ASC) tie-break so the boundary is
+    deterministic and matches the SQL ORDER BY exactly.
+    """
+    import re as _re
+
+    import ray
+    import ray.data
+
+    token = _re.compile(r"\S+")
+
+    def count_words(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(
+                    [len(token.findall(t or "")) for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(count_words, batch_format="pyarrow")
+        .sort(["n_words", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    return pa.concat_tables(ray.get(ds.to_arrow_refs()))
+
+
+def source_stats(sf_dir: str) -> pa.Table:
+    """Per (source, lang): doc count, char sum, mean chars (combiner)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(len(batch), np.int64)),
+                "sum_chars": batch.column("n_chars"),
+            }
+        )
+        g = pa.TableGroupBy(t, ["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "sum_chars"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum(["n_docs", "sum_chars"])
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(sum_chars)": "sum_chars"})
+    )
+    final["n_docs"] = final["n_docs"].astype(np.int64)
+    final["sum_chars"] = final["sum_chars"].astype(np.int64)
+    final["avg_chars"] = final["sum_chars"] / final["n_docs"]
+    final = final.sort_values(["source", "lang"]).reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)

@@ -482,6 +482,10 @@ def queries() -> dict:
         "fingerprints": text_analysis.fingerprints,
         "lang_id": text_analysis.lang_id,
         "pricing_summary": relational.pricing_summary,
+        "orders_by_nation": relational.orders_by_nation,
+        "hash_sample": relational.hash_sample,
+        "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
+        "source_stats": relational.source_stats,
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
         "sessionize": lambda sf: windows.sessionize(sf),
     }
@@ -621,6 +625,27 @@ def oracle_sql() -> dict:
             "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0 AS duration_s "
             "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "hash_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'"
+        ),
+        "top_docs_by_words": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words "
+            "FROM documents ORDER BY n_words DESC, doc_id LIMIT 50"
+        ),
+        "source_stats": (
+            "SELECT source, lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
+            "FROM documents GROUP BY source, lang ORDER BY source, lang"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -75,7 +75,8 @@ class TestOracleEquivalence:
     @pytest.fixture(scope="class")
     def con(self):
         con = duckdb.connect()
-        for t in ("documents", "embeddings", "lineitem", "events"):
+        for t in ("documents", "embeddings", "lineitem", "events", "orders",
+                  "customer", "nation"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
         return con
 
@@ -89,7 +90,8 @@ class TestOracleEquivalence:
         ["exact_dedup", "token_counts", "quality_scores", "fingerprints",
          "pricing_summary", "ann_topk", "embedding_neardup",
          "tumbling_counts", "sessionize", "minhash_pairs", "ngram_jaccard",
-         "lang_id", "simhash", "text_normalize"],
+         "lang_id", "simhash", "text_normalize", "orders_by_nation",
+         "hash_sample", "top_docs_by_words", "source_stats"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
