@@ -113,3 +113,54 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
     tbl = out.to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
     return pa.Table.from_pandas(tbl, preserve_index=False)
+
+
+def hopping_counts(sf_dir: str, size_s: int = 3600, hop_s: int = 900) -> pa.Table:
+    """Hopping (sliding) window aggregate: each event lands in
+    size/hop overlapping windows (here 4: 1h windows every 15min).
+
+    Combiner shape like tumbling, but the per-batch map REPLICATES each
+    event into its windows vectorized (tile/repeat) before the partial
+    aggregate — the window fan-out never leaves the batch, so the
+    shuffle still moves only (window, type) partials.
+    """
+    import pyarrow.compute as pc
+
+    n_hops = size_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        base = us // hop_us  # hop index of the event's own hop bucket
+        win = ((base[None, :] - np.arange(n_hops)[:, None]) * hop_s).reshape(-1)
+        v = batch.column("value").to_numpy() * 100
+        cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        et = np.asarray(batch.column("event_type").to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "window_start_s": pa.array(win, pa.int64()),
+                "event_type": pa.array(np.tile(et, n_hops)),
+                "n_events": pa.array(np.ones(len(win), np.int64)),
+                "sum_value_cents": pa.array(np.tile(cents, n_hops), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["window_start_s", "event_type"]).aggregate(
+            [("n_events", "sum"), ("sum_value_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["window_start_s", "event_type", "n_events", "sum_value_cents"]
+        )
+
+    partials = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    final = (
+        partials.groupby(["window_start_s", "event_type"])
+        .sum(["n_events", "sum_value_cents"])
+        .to_pandas()
+        .rename(columns={"sum(n_events)": "n_events", "sum(sum_value_cents)": "sum_value_cents"})
+    )
+    final["n_events"] = final["n_events"].astype(np.int64)
+    final["sum_value_cents"] = final["sum_value_cents"].astype(np.int64)
+    final = final.sort_values(["window_start_s", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)

@@ -487,6 +487,7 @@ def queries() -> dict:
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
         "source_stats": relational.source_stats,
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
+        "hopping_counts": lambda sf: windows.hopping_counts(sf),
         "sessionize": lambda sf: windows.sessionize(sf),
     }
 
@@ -614,6 +615,17 @@ def oracle_sql() -> dict:
             "event_type, count(*) AS n_events, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # hopping windows: each event replicated into size/hop = 4
+        # overlapping windows (1h window, 15min hop).
+        "hopping_counts": (
+            "WITH k AS (SELECT unnest(generate_series(0, 3)) AS kk), "
+            "e AS (SELECT epoch_us(ts) AS us, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT CAST(((us // 900000000) - kk) * 900 AS BIGINT) AS window_start_s, "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(cents) AS BIGINT) AS sum_value_cents "
+            "FROM e CROSS JOIN k GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "sessionize": (
             "WITH e AS (SELECT user_id, event_id, ts, "
