@@ -84,6 +84,7 @@ def run_queries(num_cpus: int) -> dict:
         for name, fn in {
             "exact_dedup": lambda: dedup.exact_dedup(sf_dir()).materialize(),
             "minhash_pairs": lambda: dedup.minhash_lsh_pairs(sf_dir()),
+            "ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(sf_dir()),
             "simhash": lambda: dedup.simhash_fingerprints(sf_dir()).materialize(),
             "embedding_neardup": lambda: dedup.embedding_neardup_pairs(sf_dir()),
             "ann_topk": lambda: similarity.brute_topk(sf_dir()),
@@ -92,7 +93,11 @@ def run_queries(num_cpus: int) -> dict:
             "quality_scores": lambda: text_analysis.quality_scores(sf_dir()).materialize(),
             "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
             "pricing_summary": lambda: relational.pricing_summary(sf_dir()),
+            "orders_by_nation": lambda: relational.orders_by_nation(sf_dir()),
+            "top_docs_by_words": lambda: relational.top_docs_by_words(sf_dir()),
+            "source_stats": lambda: relational.source_stats(sf_dir()),
             "tumbling_counts": lambda: windows.tumbling_counts(sf_dir()),
+            "hopping_counts": lambda: windows.hopping_counts(sf_dir()),
             "sessionize": lambda: windows.sessionize(sf_dir()),
         }.items():
             t0 = time.perf_counter()

@@ -6,18 +6,23 @@ stages/ocr/layout.py). At 100 TB a training-data engine needs corpus-
 level dedup; these operators are the canonical Ray Data shapes:
 
 - exact:    hash-partition (groupby on content hash) + min-per-group
-- MinHash:  shingle → signature (vectorized, warm actor state) → LSH
-            band buckets → groupby(bucket) emits candidate pairs →
-            exact-Jaccard verification of candidates only
-- SimHash:  64-bit signature per doc (stateless vectorized map)
-- embedding near-dup: block x broadcast-matrix cosine (ray.put once,
-  zero-copy numpy view in every task), emit pairs above threshold
+- MinHash:  shingle → signature (vectorized) → LSH band buckets →
+            distributed bucket aggregate → distributed pair emission →
+            exact-Jaccard verify of candidates (broadcast shingle dict)
+- n-gram Jaccard: EXACT pairs via the inverted-index join (posting
+            lists per shingle hash → co-occurrence counts) — the same
+            plan the SQL oracle runs; the sketch path is the scale path
+- SimHash:  64-bit signature per doc (stateless vectorized map; token
+            hash = md5-lower64 so DuckDB can replicate it exactly)
+- embedding near-dup: EXACT block-pair join over object-store block
+            refs (one task per block pair, never a driver-side matrix)
 
-Scale notes: the only all-to-all ops are the content-hash groupby
-(exact) and the tiny band-bucket groupby (LSH); candidate verification
-touches only bucket-colliding pairs, never the n^2 cross product. The
-brute-force embedding pass is the correctness baseline; the LSH/IVF
-path in similarity.py is the scale path.
+Scale notes: the only corpus-sized all-to-all ops are the content-hash
+groupby (exact), the band-bucket groupby (LSH), and the posting-list
+groupby (ngram); every candidate/verify structure is bounded by the
+duplicate rate, not the corpus — the driver never holds corpus-sized
+state. Exact embedding all-pairs is O(n^2) compute by definition; the
+sub-quadratic approximate route is IVF/LSH in similarity.py.
 """
 
 from __future__ import annotations

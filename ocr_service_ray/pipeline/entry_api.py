@@ -421,6 +421,26 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     return out.sort_by([("media_ref", "ascending"), ("feature", "ascending")])
 
 
+def q_image_features(sf_dir: str) -> pa.Table:
+    """Image modality leg: raster decode + ink-density features over the
+    blob sidecar (the fully-REAL image path — SYNR codec + Otsu, no
+    stub), as an actor-pool map_batches stage."""
+    import ray
+    import ray.data
+
+    from ..stages.multimodal import ImageFeatureStage
+
+    info = span_corpus(scale_for(sf_dir))
+    ds = ray.data.read_parquet(
+        storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
+    )
+    out = ds.map_batches(
+        ImageFeatureStage, concurrency=4, batch_size=32, batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by([("media_ref", "ascending")])
+
+
 def q_skew_profile(sf_dir: str) -> pa.Table:
     """Skewed corpus (1% 50-media docs) through the pipeline; per-part metrics."""
     from .run import run_pipeline
@@ -467,6 +487,7 @@ def queries() -> dict:
         "doc_status": q_doc_status,
         "qrcode_urls": q_qrcode_urls,
         "multimodal_features": q_multimodal_features,
+        "image_features": q_image_features,
         "skew_metrics": q_skew_profile,
         # training-data analytics (SQL-oracled where expressible)
         "exact_dedup": dedup.exact_dedup,

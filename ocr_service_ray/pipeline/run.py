@@ -129,11 +129,13 @@ def _run_wave(
         num_cpus=cfg.extract_num_cpus,
         batch_format="pyarrow",
     )
-    return (
-        ds.groupby("part_id")
-        .map_groups(make_partition_writer(out_root, docs_root), batch_format="pyarrow")
-        .take_all()
+    sink = ds.groupby("part_id").map_groups(
+        make_partition_writer(out_root, docs_root), batch_format="pyarrow"
     )
+    rows = sink.take_all()
+    if os.environ.get("GRAFT_STATS"):
+        print(sink.stats())
+    return rows
 
 
 def _write_metrics(out_root: str, summary: dict) -> None:

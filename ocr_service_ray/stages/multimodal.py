@@ -172,3 +172,58 @@ def resize_gray(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     rr = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
     cc = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
     return img[rr][:, cc]
+
+
+IMAGE_FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("ink_ratio", pa.float64()),
+        ("n_rows_with_ink", pa.int64()),
+        ("status", pa.string()),
+    ]
+)
+
+
+class ImageFeatureStage:
+    """Actor stage: raster payload -> image features (size, ink density).
+
+    The IMAGE leg is fully real in-sandbox — decode is the SYNR raster
+    codec + Otsu binarization of the actual OCR path, not a stub.
+    Same actor-pool contract: warm state in ``__init__``, error records
+    for undecodable payloads, never a raise.
+    """
+
+    def __init__(self):
+        from .ocr import preprocess, raster
+
+        self._decode = raster.decode
+        self._binarize = preprocess.binarize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        rows = {k: [] for k in IMAGE_FEATURE_SCHEMA.names}
+        for ref, payload in zip(refs, batch.column("bytes").to_pylist()):
+            img = self._decode(payload)
+            if img is None:
+                rows["media_ref"].append(ref)
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["ink_ratio"].append(0.0)
+                rows["n_rows_with_ink"].append(0)
+                rows["status"].append("erro")
+                continue
+            ink = self._binarize(img)
+            rows["media_ref"].append(ref)
+            rows["height"].append(int(ink.shape[0]))
+            rows["width"].append(int(ink.shape[1]))
+            rows["ink_ratio"].append(round(float(ink.mean()), 6))
+            rows["n_rows_with_ink"].append(int((ink.any(axis=1)).sum()))
+            rows["status"].append("ok")
+        return pa.table(
+            {
+                name: pa.array(rows[name], IMAGE_FEATURE_SCHEMA.field(name).type)
+                for name in IMAGE_FEATURE_SCHEMA.names
+            }
+        )

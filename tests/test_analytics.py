@@ -218,3 +218,24 @@ class TestEmbeddingNeardup:
             [("vec_a", "ascending"), ("vec_b", "ascending")]
         )
         assert many.equals(embedding_neardup_pairs(SF))
+
+
+class TestImageFeatures:
+    def test_features_and_error_records(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_service_ray.fixtures.render import render_page
+        from ocr_service_ray.stages.multimodal import ImageFeatureStage
+
+        rng = np.random.default_rng(3)
+        pay = render_page([[(0, "HELLO WORLD")]], rng)
+        batch = pa.table({"media_ref": ["img-a", "img-bad"],
+                          "bytes": [pay, b"not a raster"]})
+        out = ImageFeatureStage()(batch).to_pylist()
+        ok, bad = out
+        assert ok["status"] == "ok"
+        assert ok["width"] > 0 and ok["height"] > 0
+        assert 0.0 < ok["ink_ratio"] < 0.5
+        assert ok["n_rows_with_ink"] > 0
+        assert bad["status"] == "erro" and bad["width"] == 0
