@@ -164,3 +164,50 @@ def hopping_counts(sf_dir: str, size_s: int = 3600, hop_s: int = 900) -> pa.Tabl
     final["sum_value_cents"] = final["sum_value_cents"].astype(np.int64)
     final = final.sort_values(["window_start_s", "event_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def asof_last_purchase(sf_dir: str) -> pa.Table:
+    """AS-OF join: each 'click' event matched to the SAME user's latest
+    strictly-earlier 'purchase' event (or -1 if none).
+
+    The canonical time-series join Ray Data lacks natively, composed as
+    the charter prescribes: hash-shuffle by user_id, then a vectorized
+    per-group ``searchsorted`` (both sides of one user fit one group —
+    the same partitioning assumption as sessionize, documented there).
+    Oracle: DuckDB native ``ASOF LEFT JOIN``.
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        etypes = df["event_type"].to_numpy()
+        eids = df["event_id"].to_numpy()
+        is_click = etypes == "click"
+        is_buy = etypes == "purchase"
+        click_ts, click_id = ts_us[is_click], eids[is_click]
+        buy_ts, buy_id = ts_us[is_buy], eids[is_buy]
+        if buy_ts.size == 0:
+            prior = np.full(len(click_id), -1, dtype=np.int64)
+            gap = np.full(len(click_id), -1.0)
+        else:
+            # latest purchase strictly before each click
+            pos = np.searchsorted(buy_ts, click_ts, side="left") - 1
+            has = pos >= 0
+            safe = np.clip(pos, 0, None)
+            prior = np.where(has, buy_id[safe], -1).astype(np.int64)
+            gap = np.where(has, (click_ts - buy_ts[safe]) / 1_000_000.0, -1.0)
+        return pa.table(
+            {
+                "event_id": pa.array(click_id, pa.int64()),
+                "prior_purchase_id": pa.array(prior, pa.int64()),
+                "gap_s": pa.array(gap, pa.float64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
+    return tbl.sort_by([("event_id", "ascending")])
+
+
+import ray  # noqa: E402  (used by asof_last_purchase's collection)

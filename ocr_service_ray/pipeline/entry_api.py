@@ -510,6 +510,7 @@ def queries() -> dict:
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
         "hopping_counts": lambda sf: windows.hopping_counts(sf),
         "sessionize": lambda sf: windows.sessionize(sf),
+        "asof_join": lambda sf: windows.asof_last_purchase(sf),
     }
 
 
@@ -679,6 +680,15 @@ def oracle_sql() -> dict:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
             "FROM documents GROUP BY source, lang ORDER BY source, lang"
+        ),
+        "asof_join": (
+            "SELECT a.event_id AS event_id, "
+            "COALESCE(b.event_id, -1) AS prior_purchase_id, "
+            "COALESCE(CAST(epoch_us(a.ts) - epoch_us(b.ts) AS DOUBLE) / 1000000.0, -1.0) AS gap_s "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') a "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b "
+            "ON a.user_id = b.user_id AND a.ts > b.ts "
+            "ORDER BY a.event_id"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -91,7 +91,8 @@ class TestOracleEquivalence:
          "pricing_summary", "ann_topk", "embedding_neardup",
          "tumbling_counts", "sessionize", "minhash_pairs", "ngram_jaccard",
          "lang_id", "simhash", "text_normalize", "orders_by_nation",
-         "hash_sample", "top_docs_by_words", "source_stats", "hopping_counts"],
+         "hash_sample", "top_docs_by_words", "source_stats", "hopping_counts",
+         "asof_join"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
