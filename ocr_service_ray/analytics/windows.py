@@ -211,3 +211,84 @@ def asof_last_purchase(sf_dir: str) -> pa.Table:
 
 
 import ray  # noqa: E402  (used by asof_last_purchase's collection)
+
+
+def range_join_error_clicks(sf_dir: str, lookback_s: int = 300) -> pa.Table:
+    """Range join: per 'error' event, the count of 'click' events (any
+    user) in the strictly-preceding ``lookback_s`` window.
+
+    Bucketed range-join shape (the scale-safe plan for interval joins):
+    both sides are keyed by a time bucket of width = lookback; the probe
+    side is REPLICATED into the 2 buckets its window can overlap, so
+    every matching pair is co-located by one hash shuffle; within a
+    bucket the count is a vectorized two-``searchsorted`` difference.
+    A final groupby(event_id).sum merges the per-bucket partials.
+    Oracle: DuckDB inequality join + group-count.
+    """
+    import pyarrow.compute as pc
+
+    bucket_us = lookback_s * 1_000_000
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_numpy(zero_copy_only=False))
+        eid = np.asarray(batch.column("event_id"))
+        is_click = et == "click"
+        is_err = et == "error"
+        bins = us // bucket_us
+        # build side: clicks in their own bucket
+        cb = bins[is_click]
+        # probe side: errors live in their bucket and the previous one
+        eb = bins[is_err]
+        out_bin = np.concatenate([cb, eb, eb - 1])
+        out_role = np.concatenate(
+            [np.zeros(cb.size, np.int8), np.ones(2 * eb.size, np.int8)]
+        )
+        out_us = np.concatenate([us[is_click], us[is_err], us[is_err]])
+        out_id = np.concatenate([eid[is_click], eid[is_err], eid[is_err]])
+        return pa.table(
+            {
+                "bin": pa.array(out_bin, pa.int64()),
+                "role": pa.array(out_role, pa.int8()),
+                "us": pa.array(out_us, pa.int64()),
+                "event_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        role = np.asarray(group.column("role"))
+        us = np.asarray(group.column("us"))
+        eid = np.asarray(group.column("event_id"))
+        clicks = np.sort(us[role == 0])
+        err_us = us[role == 1]
+        err_id = eid[role == 1]
+        if err_id.size == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        # clicks in this bucket within [err - lookback, err)
+        lo = np.searchsorted(clicks, err_us - bucket_us, side="left")
+        hi = np.searchsorted(clicks, err_us, side="left")
+        # clicks is already limited to this bucket, so the absolute-range
+        # searchsorted yields exactly this bucket's share of the window;
+        # the probe's replica in the other bucket contributes the rest
+        n = (hi - lo).astype(np.int64)
+        return pa.table(
+            {"event_id": pa.array(err_id, pa.int64()), "n": pa.array(n, pa.int64())}
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+    partials = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bin")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    final = (
+        partials.groupby("event_id")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n_clicks"})
+    )
+    final["n_clicks"] = final["n_clicks"].astype(np.int64)
+    final = final.sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)

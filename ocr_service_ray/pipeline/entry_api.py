@@ -511,6 +511,7 @@ def queries() -> dict:
         "hopping_counts": lambda sf: windows.hopping_counts(sf),
         "sessionize": lambda sf: windows.sessionize(sf),
         "asof_join": lambda sf: windows.asof_last_purchase(sf),
+        "range_join": lambda sf: windows.range_join_error_clicks(sf),
     }
 
 
@@ -680,6 +681,14 @@ def oracle_sql() -> dict:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
             "FROM documents GROUP BY source, lang ORDER BY source, lang"
+        ),
+        "range_join": (
+            "SELECT a.event_id AS event_id, "
+            "CAST(count(b.event_id) AS BIGINT) AS n_clicks "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') a "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b "
+            "ON b.ts >= a.ts - INTERVAL 300 SECOND AND b.ts < a.ts "
+            "GROUP BY a.event_id ORDER BY a.event_id"
         ),
         "asof_join": (
             "SELECT a.event_id AS event_id, "
