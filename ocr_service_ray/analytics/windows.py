@@ -292,3 +292,137 @@ def range_join_error_clicks(sf_dir: str, lookback_s: int = 300) -> pa.Table:
     final["n_clicks"] = final["n_clicks"].astype(np.int64)
     final = final.sort_values("event_id").reset_index(drop=True)
     return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def sessionize_segmented(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Sessionization WITHOUT the one-group-per-user assumption — the
+    scale path for mega-users whose raw events exceed a single group.
+
+    Segmented-scan shape:
+
+    1. global ``sort(user_id, ts, event_id)`` (range partition)
+    2. per sorted block: vectorized run detection -> session SEGMENTS;
+       a segment is FINAL (interior) unless it is its user's first or
+       last segment in the block — only those can continue across a
+       block boundary (interior segments are fenced by > gap on both
+       sides, so cross-block merging cannot reach them)
+    3. boundary segments (O(blocks + users), tiny) merge distributed in
+       a per-user ``map_groups`` over SEGMENTS, not events
+    4. final ranks: one groupby over the SESSION table (events/session
+       smaller than the input by the compression factor)
+
+    Output and oracle are identical to ``sessionize``; equality of the
+    two plans is pinned in tests.
+
+    Partitioning assumption (documented per the engine charter): each
+    map task's batch is a CONTIGUOUS run of the sorted order (Ray
+    bundles sorted blocks in order). Interior-segment finality only
+    holds for contiguous runs; a non-contiguous bundle could misclassify
+    a junction segment.
+    """
+    import pyarrow.compute as pc
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def segments(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "start_us": pa.array([], pa.int64()),
+                 "end_us": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "boundary": pa.array([], pa.bool_())}
+            )
+        uid = np.asarray(batch.column("user_id"))
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        new_user = uid[1:] != uid[:-1]
+        brk = new_user | (np.diff(us) > gap_us)
+        starts_idx = np.flatnonzero(np.concatenate(([True], brk)))
+        ends_idx = np.concatenate((starts_idx[1:] - 1, [len(us) - 1]))
+        seg_user = uid[starts_idx]
+        first_of_user = np.concatenate(([True], seg_user[1:] != seg_user[:-1]))
+        last_of_user = np.concatenate((seg_user[1:] != seg_user[:-1], [True]))
+        return pa.table(
+            {
+                "user_id": pa.array(seg_user, pa.int64()),
+                "start_us": pa.array(us[starts_idx], pa.int64()),
+                "end_us": pa.array(us[ends_idx], pa.int64()),
+                "n_events": pa.array((ends_idx - starts_idx + 1).astype(np.int64)),
+                "boundary": pa.array(first_of_user | last_of_user),
+            }
+        )
+
+    # materialize ONCE: the segment table is consumed by two filters
+    # below, and re-executing a lazy sort gives different (sampled)
+    # range boundaries per execution — the two views would disagree on
+    # which segments are interior. Segments ~= sessions, far smaller
+    # than events, so pinning them in the object store is cheap.
+    segs = (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(segments, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def split(batch: pa.Table, keep_boundary: bool) -> pa.Table:
+        mask = batch.column("boundary")
+        if not keep_boundary:
+            mask = pc.invert(mask)
+        return batch.filter(mask).drop_columns(["boundary"])
+
+    interior = segs.map_batches(split, fn_kwargs={"keep_boundary": False},
+                                batch_format="pyarrow")
+    bnd = segs.map_batches(split, fn_kwargs={"keep_boundary": True},
+                           batch_format="pyarrow")
+
+    def merge_user(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("start_us", "ascending"), ("end_us", "ascending")])
+        s = np.asarray(t.column("start_us"))
+        e = np.asarray(t.column("end_us"))
+        n = np.asarray(t.column("n_events"))
+        uid = t.column("user_id")[0].as_py()
+        out = []
+        cs, ce, cn = s[0], e[0], n[0]
+        for i in range(1, len(s)):
+            if s[i] - ce <= gap_us:
+                ce = max(ce, e[i])
+                cn += n[i]
+            else:
+                out.append((cs, ce, cn))
+                cs, ce, cn = s[i], e[i], n[i]
+        out.append((cs, ce, cn))
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(out), pa.int64()),
+                "start_us": pa.array([o[0] for o in out], pa.int64()),
+                "end_us": pa.array([o[1] for o in out], pa.int64()),
+                "n_events": pa.array([int(o[2]) for o in out], pa.int64()),
+            }
+        )
+
+    merged = bnd.groupby("user_id").map_groups(merge_user, batch_format="pyarrow")
+
+    def rank_user(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("start_us", "ascending")])
+        s = np.asarray(t.column("start_us"))
+        e = np.asarray(t.column("end_us"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "session_idx": pa.array(np.arange(len(t), dtype=np.int64)),
+                "n_events": t.column("n_events"),
+                "duration_s": pa.array((e - s) / 1_000_000.0, pa.float64()),
+            }
+        )
+
+    sessions = (
+        interior.union(merged).groupby("user_id").map_groups(
+            rank_user, batch_format="pyarrow"
+        )
+    )
+    tables = [t for t in ray.get(sessions.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tables) if tables else pa.table(
+        {"user_id": pa.array([], pa.int64()), "session_idx": pa.array([], pa.int64()),
+         "n_events": pa.array([], pa.int64()), "duration_s": pa.array([], pa.float64())}
+    )
+    return tbl.sort_by([("user_id", "ascending"), ("session_idx", "ascending")])

@@ -512,6 +512,7 @@ def queries() -> dict:
         "sessionize": lambda sf: windows.sessionize(sf),
         "asof_join": lambda sf: windows.asof_last_purchase(sf),
         "range_join": lambda sf: windows.range_join_error_clicks(sf),
+        "sessionize_scan": lambda sf: windows.sessionize_segmented(sf),
     }
 
 
@@ -651,6 +652,18 @@ def oracle_sql() -> dict:
             "FROM e CROSS JOIN k GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "sessionize": (
+            "WITH e AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, "
+            "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM e) "
+            "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0 AS duration_s "
+            "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+        ),
+        # same semantics, different distributed plan (segmented scan)
+        "sessionize_scan": (
             "WITH e AS (SELECT user_id, event_id, ts, "
             "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "

@@ -92,7 +92,7 @@ class TestOracleEquivalence:
          "tumbling_counts", "sessionize", "minhash_pairs", "ngram_jaccard",
          "lang_id", "simhash", "text_normalize", "orders_by_nation",
          "hash_sample", "top_docs_by_words", "source_stats", "hopping_counts",
-         "asof_join", "range_join"],
+         "asof_join", "range_join", "sessionize_scan"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
