@@ -426,3 +426,51 @@ def sessionize_segmented(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
          "n_events": pa.array([], pa.int64()), "duration_s": pa.array([], pa.float64())}
     )
     return tbl.sort_by([("user_id", "ascending"), ("session_idx", "ascending")])
+
+
+def distinct_users(sf_dir: str) -> pa.Table:
+    """Exact count-distinct per event_type via the two-level groupby:
+    dedupe on (event_type, user_id) first (uniform hash shuffle), then a
+    tiny per-type count. The scale-safe exact plan — the approximate
+    alternative (HyperLogLog) trades the first shuffle for a sketch."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type"])
+    pairs = (
+        ds.groupby(["event_type", "user_id"])
+        .count()
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_users"})
+    )
+    pairs["n_users"] = pairs["n_users"].astype(np.int64)
+    pairs = pairs.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+def value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> pa.Table:
+    """Per event_type discrete quantiles of ``value`` (DuckDB
+    quantile_disc convention: 0-based index ceil(q*n) - 1 of the sorted
+    values).
+
+    Shape: groupby(event_type).map_groups — one group per type (5 here).
+    At corpus scale the exact path is a distributed sort + rank pick (or
+    a t-digest when approximation is acceptable); the per-type group
+    holds only the value column.
+    """
+
+    def per_type(group: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(group.column("value"), dtype=np.float64))
+        n = len(v)
+        row = {"event_type": [group.column("event_type")[0].as_py()]}
+        for q in qs:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            row[f"q{int(q * 100)}"] = [float(v[idx])]
+        return pa.table(
+            {k: pa.array(vals, pa.string() if k == "event_type" else pa.float64())
+             for k, vals in row.items()}
+        )
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    out = ds.groupby("event_type").map_groups(per_type, batch_format="pyarrow")
+    tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
+    return tbl.sort_by([("event_type", "ascending")])

@@ -513,6 +513,9 @@ def queries() -> dict:
         "asof_join": lambda sf: windows.asof_last_purchase(sf),
         "range_join": lambda sf: windows.range_join_error_clicks(sf),
         "sessionize_scan": lambda sf: windows.sessionize_segmented(sf),
+        "distinct_users": windows.distinct_users,
+        "value_quantiles": lambda sf: windows.value_quantiles(sf),
+        "ocr_raw_lines": q_ocr_raw_lines,
     }
 
 
@@ -695,6 +698,18 @@ def oracle_sql() -> dict:
             "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
             "FROM documents GROUP BY source, lang ORDER BY source, lang"
         ),
+        "distinct_users": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "value_quantiles": (
+            "SELECT event_type, "
+            "CAST(quantile_disc(value, 0.25) AS DOUBLE) AS q25, "
+            "CAST(quantile_disc(value, 0.5) AS DOUBLE) AS q50, "
+            "CAST(quantile_disc(value, 0.75) AS DOUBLE) AS q75, "
+            "CAST(quantile_disc(value, 0.9) AS DOUBLE) AS q90 "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
         "range_join": (
             "SELECT a.event_id AS event_id, "
             "CAST(count(b.event_id) AS BIGINT) AS n_clicks "
@@ -722,3 +737,50 @@ def oracle_sql() -> dict:
             "ORDER BY l_returnflag, l_linestatus"
         ),
     }
+
+
+def q_ocr_raw_lines(sf_dir: str) -> pa.Table:
+    """The reference's debug surface (app/main.py:126-127 returns
+    ``ocr_raw_lines``; OCRRawLine = text/confidence/y/x,
+    app/models.py:5-9): normalized OCR tokens per media blob."""
+    import ray
+    import ray.data
+
+    info = span_corpus(scale_for(sf_dir))
+
+    class RawLines:
+        def __init__(self):
+            from ..stages.ocr.engine import OcrEngine
+
+            self.engine = OcrEngine()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = {"media_ref": [], "token_idx": [], "text": [],
+                    "confidence": [], "y_position": [], "x_position": []}
+            for ref, payload in zip(
+                batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
+            ):
+                for i, t in enumerate(self.engine.extract_text(payload)):
+                    rows["media_ref"].append(ref)
+                    rows["token_idx"].append(i)
+                    rows["text"].append(t["text"])
+                    rows["confidence"].append(t["confidence"])
+                    rows["y_position"].append(t["y_position"])
+                    rows["x_position"].append(t["x_position"])
+            return pa.table(
+                {
+                    "media_ref": pa.array(rows["media_ref"], pa.string()),
+                    "token_idx": pa.array(rows["token_idx"], pa.int32()),
+                    "text": pa.array(rows["text"], pa.string()),
+                    "confidence": pa.array(rows["confidence"], pa.float64()),
+                    "y_position": pa.array(rows["y_position"], pa.int32()),
+                    "x_position": pa.array(rows["x_position"], pa.int32()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
+    )
+    out = ds.map_batches(RawLines, concurrency=4, batch_size=32, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by([("media_ref", "ascending"), ("token_idx", "ascending")])

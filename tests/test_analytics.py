@@ -92,7 +92,8 @@ class TestOracleEquivalence:
          "tumbling_counts", "sessionize", "minhash_pairs", "ngram_jaccard",
          "lang_id", "simhash", "text_normalize", "orders_by_nation",
          "hash_sample", "top_docs_by_words", "source_stats", "hopping_counts",
-         "asof_join", "range_join", "sessionize_scan"],
+         "asof_join", "range_join", "sessionize_scan", "distinct_users",
+         "value_quantiles"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
