@@ -6,10 +6,16 @@ are the batch forms a training-data pipeline needs for event streams:
 - tumbling window aggregate: combiner pattern — floor timestamps to the
   window inside ``map_batches`` (vectorized), partial-aggregate per
   (window, type), then a small groupby over the reduced key space.
-- sessionization (gaps-and-islands): hash-shuffle by user_id, per-group
-  sort by (ts, event_id), split on inactivity gaps. The canonical
-  "order-sensitive state per key" shape — groupby().map_groups with the
-  partitioning assumption documented: one user's events fit one group.
+- hopping windows: same combiner, events replicated into their
+  size/hop overlapping windows inside the batch.
+- sessionization (gaps-and-islands), two plans: hash-shuffle by user +
+  per-group scan (one user = one group), and the segmented-scan plan
+  (global sort + interior/boundary split + distributed merge) with no
+  per-user group bound — both oracle-exact.
+- as-of join (per-user searchsorted) and bucketed range join
+  (probe-side replication into overlapping time buckets).
+- exact count-distinct (two-level groupby) and discrete quantiles
+  (quantile_disc convention).
 
 Float/time discipline for the DuckDB oracles: window starts are epoch
 SECONDS as int64, money sums are integer cents, durations are exact

@@ -74,12 +74,17 @@ def build_pipeline(ds, stages: list[str | tuple[str, dict]]):
 
 def _register_builtins() -> None:
     from ..stages.batch_stages import OcrStage, explode_and_extract
-    from ..stages.multimodal import AudioFeatureStage, FrameSampleStage
+    from ..stages.multimodal import (
+        AudioFeatureStage,
+        FrameSampleStage,
+        ImageFeatureStage,
+    )
 
     register_stage("explode_extract", explode_and_extract)
     register_stage("ocr", OcrStage)
     register_stage("audio_features", AudioFeatureStage, batch_size=64)
     register_stage("frame_sample", FrameSampleStage, batch_size=16)
+    register_stage("image_features", ImageFeatureStage, batch_size=32)
 
 
 _register_builtins()

@@ -1,0 +1,100 @@
+"""JSONL ingest: interleaved span documents from line-delimited JSON.
+
+The reference accepts documents one HTTP request at a time
+(/root/reference/app/main.py:108-143); batch users arrive with files.
+This source reads JSONL of the form
+
+    {"doc_id": "...", "spans": [{"kind": "text", "text": "...",
+                                 "media_ref": "", "offset": 0}, ...]}
+
+through ``ray.data.read_json`` and lands it in the engine's partitioned
+storage layout (DOC_SCHEMA), ready for ``run_pipeline``. Missing span
+fields get schema defaults; malformed rows become ``erro``-span docs
+rather than failures (the engine's error-record discipline).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..core import storage
+from ..core.schema import DOC_SCHEMA, SPAN_STRUCT
+
+
+def _norm_span(s: dict) -> dict:
+    return {
+        "kind": str(s.get("kind", "erro")),
+        "text": str(s.get("text", "") or ""),
+        "media_ref": str(s.get("media_ref", "") or ""),
+        "offset": int(s.get("offset", 0)),
+    }
+
+
+def rows_to_doc_table(rows: list[dict]) -> pa.Table:
+    """Python dict rows -> DOC_SCHEMA table (malformed -> erro span)."""
+    doc_ids: list[str] = []
+    spans: list[list[dict]] = []
+    for r in rows:
+        try:
+            did = str(r["doc_id"])
+            sp = [_norm_span(s) for s in (r.get("spans") or [])]
+        except (KeyError, TypeError, AttributeError):
+            did = str(r.get("doc_id", f"bad-{len(doc_ids)}"))
+            sp = [{"kind": "erro", "text": "", "media_ref": "", "offset": 0}]
+        doc_ids.append(did)
+        spans.append(sp)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "spans": pa.array(spans, pa.list_(SPAN_STRUCT)),
+        }
+    ).cast(DOC_SCHEMA)
+
+
+def ingest_jsonl(src_path: str, docs_root: str, n_parts: int = 4) -> dict:
+    """Distributed JSONL read -> partitioned doc storage (one data file +
+    manifest per partition, the pipeline's resume unit).
+
+    Partition assignment is a deterministic hash of doc_id so re-ingest
+    is idempotent and independent of read parallelism.
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+
+    ds = ray.data.read_json(src_path)
+
+    def to_part_rows(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        t = rows_to_doc_table(rows)
+        parts = [
+            int.from_bytes(
+                hashlib.md5(d.encode("utf-8")).digest()[:4], "big"
+            ) % n_parts
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("part_id", pa.array(parts, pa.int32()))
+
+    tagged = ds.map_batches(to_part_rows, batch_format="pyarrow")
+
+    def write_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("part_id")[0].as_py())
+        out = group.drop_columns(["part_id"]).sort_by([("doc_id", "ascending")])
+        storage.write_part(docs_root, part, out)
+        storage.commit_manifest(
+            docs_root, part, {"part_id": part, "n_docs": len(out), "source": src_path}
+        )
+        return pa.table({"part_id": pa.array([part], pa.int32()),
+                         "n_docs": pa.array([len(out)], pa.int64())})
+
+    rows = (
+        tagged.groupby("part_id")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        "docs_root": docs_root,
+        "n_parts": len(rows),
+        "n_docs": int(sum(r["n_docs"] for r in rows)),
+    }

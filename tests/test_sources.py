@@ -1,0 +1,69 @@
+"""JSONL ingest source: schema mapping, idempotent partitioning, e2e."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ocr_service_ray.core import storage
+from ocr_service_ray.core.schema import DOC_SCHEMA
+from ocr_service_ray.sources.jsonl import ingest_jsonl, rows_to_doc_table
+
+
+class TestRowsToDocTable:
+    def test_normalizes_missing_fields(self):
+        t = rows_to_doc_table(
+            [
+                {"doc_id": "a", "spans": [{"kind": "text", "text": "hi"}]},
+                {"doc_id": "b", "spans": None},
+                {"doc_id": "c", "spans": "not-a-list"},
+            ]
+        )
+        assert t.schema.equals(DOC_SCHEMA)
+        rows = t.to_pylist()
+        assert rows[0]["spans"][0] == {
+            "kind": "text", "text": "hi", "media_ref": "", "offset": 0
+        }
+        assert rows[1]["spans"] == []
+        assert rows[2]["spans"][0]["kind"] == "erro"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIngest:
+    def test_jsonl_roundtrip_through_pipeline(self, tmp_path):
+        src = tmp_path / "docs.jsonl"
+        with open(src, "w") as f:
+            for i in range(40):
+                f.write(json.dumps({
+                    "doc_id": f"j-{i:03d}",
+                    "spans": [
+                        {"kind": "text", "text": f"hello   doc {i}", "offset": 0},
+                        {"kind": "text", "text": "2×3", "offset": 1},
+                    ],
+                }) + "\n")
+        docs_root = str(tmp_path / "docs")
+        info = ingest_jsonl(str(src), docs_root, n_parts=3)
+        assert info["n_docs"] == 40
+        assert set(storage.list_parts(docs_root)) <= {0, 1, 2}
+        # ingest is idempotent: re-run produces identical partitions
+        got_before = {p: storage.read_part(docs_root, p) for p in storage.list_parts(docs_root)}
+        ingest_jsonl(str(src), docs_root, n_parts=3)
+        for p, tbl in got_before.items():
+            assert storage.read_part(docs_root, p).equals(tbl)
+        # and the pipeline runs over the ingested layout
+        from ocr_service_ray.pipeline.run import run_pipeline
+
+        out = str(tmp_path / "out")
+        run_pipeline(docs_root, str(tmp_path / "noblobs"), out)
+        flat = [
+            s
+            for p in storage.list_parts(out)
+            for r in storage.read_part(out, p).to_pylist()
+            for s in r["spans"]
+        ]
+        assert len(flat) == 80
+        # normalization applied: whitespace collapsed, × -> X
+        texts = {s["text"] for s in flat}
+        assert "2X3" in texts
+        assert any(t.startswith("hello doc") for t in texts)
