@@ -108,14 +108,18 @@ def run_queries(num_cpus: int) -> dict:
         ray.shutdown()
 
 
-def child_run(num_cpus: int, scale: str) -> dict:
+def child_run(num_cpus: int, scale: str, env_extra: dict | None = None) -> dict:
     """Spawn a FRESH process for a timed pipeline run."""
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
     out = subprocess.run(
         [sys.executable, __file__, "--one-run", "--num-cpus", str(num_cpus), "--bench-scale", scale],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=3600,
+        env=env,
     )
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("{"):
@@ -162,8 +166,14 @@ def main() -> int:
         # measures the PIPELINE's scaling, not the CPU topology's.
         lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
         hi_n = 4 * lo_n
-        lo = child_run(lo_n, scale)
-        hi = child_run(hi_n, scale)
+        # equal actor fraction at both sizes (3/4 vs 12/16): the default
+        # integer reserve gives 3/4 vs 14/16 actors, which reads as
+        # dishonest SUPERLINEAR efficiency even though per-actor
+        # throughput is flat. Production default (no env) keeps the
+        # larger pool.
+        env = {"GRAFT_POOL_FRACTION": "0.75"}
+        lo = child_run(lo_n, scale, env)
+        hi = child_run(hi_n, scale, env)
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_n / lo_n)
         result = {
             "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}_cpus",

@@ -107,7 +107,15 @@ def _run_wave(
     # scaling measurement dishonestly superlinear)
     # never reserve ALL cpus for actors: on a 1-2 CPU cluster an actor
     # pool of 2 (each 1.0 CPU) would starve read/groupby tasks
-    pool = max(1, min(cfg.extract_concurrency[1], n_cpus - max(1, n_cpus // 8)))
+    frac = os.environ.get("GRAFT_POOL_FRACTION")
+    if frac:
+        # scaling-measurement mode: pin the actor fraction so two
+        # cluster sizes are compared at EQUAL proportions — the integer
+        # reserve (3/4 vs 14/16 actors) otherwise makes the bigger
+        # cluster look superlinear (per-ACTOR throughput is flat)
+        pool = max(1, min(cfg.extract_concurrency[1], int(n_cpus * float(frac))))
+    else:
+        pool = max(1, min(cfg.extract_concurrency[1], n_cpus - max(1, n_cpus // 8)))
     actor_kwargs = {
         "blobs_root": blobs_root,
         "cache_parts": cfg.blob_cache_parts,
