@@ -53,13 +53,24 @@ def span_corpus(scale: str = "small", seed: int = 42, profile: str = "default") 
     return info
 
 
+_PIPELINE_CACHE: dict[tuple[str, int], tuple[dict, str]] = {}
+
+
 def run_span_pipeline(scale: str = "small", seed: int = 42) -> tuple[dict, str]:
-    """Run the flagship pipeline on the cached corpus; returns (info, out_root)."""
+    """Run the flagship pipeline on the cached corpus; returns (info, out_root).
+
+    Memoized per process: several queries (span_extract, span_errors,
+    doc_status) read the same run's output — one execution serves all.
+    """
+    key = (scale, seed)
+    if key in _PIPELINE_CACHE:
+        return _PIPELINE_CACHE[key]
     from .run import run_pipeline
 
     info = span_corpus(scale, seed)
     out = tempfile.mkdtemp(prefix=f"graft_out_{scale}_")
     run_pipeline(info["docs"], info["blobs"], out)
+    _PIPELINE_CACHE[key] = (info, out)
     return info, out
 
 
