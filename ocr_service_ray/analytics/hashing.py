@@ -134,3 +134,49 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+class HyperLogLog:
+    """Classic HLL (Flajolet et al.) over md5-lower64 hashes.
+
+    Registers are a numpy uint8 array; ``add_hashes`` is vectorized;
+    ``merge`` is elementwise max — the shape a distributed AggregateFn
+    needs. Deterministic: same inputs -> same registers -> same estimate.
+    """
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> "HyperLogLog":
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # remaining 64-p bits, top-aligned
+        # rank = position of the leftmost 1-bit in the remaining bits
+        rank = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        found = np.zeros(len(h), dtype=bool)
+        for r in range(1, 64 - self.p + 2):
+            hit = (~found) & ((rest & mask) != 0)
+            rank[hit] = r
+            found |= hit
+            rest = rest << np.uint64(1)
+            if found.all():
+                break
+        rank[~found] = 64 - self.p + 1
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)  # small-range correction
+        return float(e)

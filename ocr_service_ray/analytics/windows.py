@@ -480,3 +480,72 @@ def value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> pa.Table
     out = ds.groupby("event_type").map_groups(per_type, batch_format="pyarrow")
     tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
     return tbl.sort_by([("event_type", "ascending")])
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
+    """HyperLogLog approximate count-distinct per event_type.
+
+    The sketch alternative to ``distinct_users``: ONE shuffle of 2^p-byte
+    register blobs per (batch, type) instead of a corpus-sized
+    (type, user) dedupe exchange — the shape that wins when the key
+    cardinality itself is huge. Deterministic (md5-based hashing); the
+    estimate's error bound (~1.04/sqrt(2^p) ≈ 1.6% at p=12) is pinned
+    against the exact plan in tests. No SQL oracle by design
+    (approximate); the driver records a rows-only check.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    from .hashing import HyperLogLog, md5_hash64
+
+    def sketch_batches(batch: pa.Table) -> pa.Table:
+        # one partial sketch per (batch, event_type): the combiner step
+        et = np.asarray(batch.column("event_type").to_numpy(zero_copy_only=False))
+        uid = np.asarray(batch.column("user_id"))
+        types, regs = [], []
+        for t in np.unique(et):
+            hll = HyperLogLog(p)
+            hashes = np.fromiter(
+                (md5_hash64(str(u)) for u in uid[et == t]), dtype=np.uint64
+            )
+            hll.add_hashes(hashes)
+            types.append(str(t))
+            regs.append(hll.registers.tobytes())
+        return pa.table(
+            {"event_type": pa.array(types, pa.string()),
+             "regs": pa.array(regs, pa.binary())}
+        )
+
+    def merge_regs(acc: bytes | None, block: pa.Table) -> bytes:
+        out = np.frombuffer(acc, dtype=np.uint8).copy() if acc else np.zeros(1 << p, np.uint8)
+        for b in block.column("regs").to_pylist():
+            np.maximum(out, np.frombuffer(b, dtype=np.uint8), out=out)
+        return out.tobytes()
+
+    agg = AggregateFn(
+        init=lambda k: None,
+        accumulate_block=merge_regs,
+        merge=lambda a, b: (
+            np.maximum(
+                np.frombuffer(a, np.uint8), np.frombuffer(b, np.uint8)
+            ).tobytes()
+            if a and b else (a or b)
+        ),
+        name="regs",
+    )
+    partials = _events(sf_dir, ["user_id", "event_type"]).map_batches(
+        sketch_batches, batch_format="pyarrow"
+    )
+    merged = partials.groupby("event_type").aggregate(agg)
+    rows = []
+    for t in ray.get(merged.to_arrow_refs()):
+        for r in t.to_pylist():
+            hll = HyperLogLog(p)
+            hll.registers = np.frombuffer(r["regs"], dtype=np.uint8).copy()
+            rows.append((r["event_type"], int(round(hll.estimate()))))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "approx_users": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

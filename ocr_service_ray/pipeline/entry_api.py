@@ -525,6 +525,7 @@ def queries() -> dict:
         "range_join": lambda sf: windows.range_join_error_clicks(sf),
         "sessionize_scan": lambda sf: windows.sessionize_segmented(sf),
         "distinct_users": windows.distinct_users,
+        "approx_distinct_users": lambda sf: windows.approx_distinct_users(sf),
         "value_quantiles": lambda sf: windows.value_quantiles(sf),
         "ocr_raw_lines": q_ocr_raw_lines,
     }

@@ -98,3 +98,34 @@ class TestWindowEdges:
         a = sessionize(sf).to_pandas().reset_index(drop=True)
         b = sessionize_segmented(sf).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHll:
+    def test_hll_within_error_bound_of_exact(self):
+        from ocr_service_ray.analytics.windows import (
+            approx_distinct_users,
+            distinct_users,
+        )
+
+        SF = "/root/testdata/sf0.001"
+        exact = {r["event_type"]: r["n_users"] for r in distinct_users(SF).to_pylist()}
+        approx = {r["event_type"]: r["approx_users"]
+                  for r in approx_distinct_users(SF).to_pylist()}
+        assert set(exact) == set(approx)
+        for t, n in exact.items():
+            assert abs(approx[t] - n) / max(n, 1) < 0.05, (t, n, approx[t])
+
+    def test_hll_merge_equals_single_pass(self):
+        import numpy as np
+
+        from ocr_service_ray.analytics.hashing import HyperLogLog, md5_hash64
+
+        hashes = np.fromiter(
+            (md5_hash64(str(i)) for i in range(5000)), dtype=np.uint64
+        )
+        one = HyperLogLog(12).add_hashes(hashes)
+        a = HyperLogLog(12).add_hashes(hashes[:2000])
+        b = HyperLogLog(12).add_hashes(hashes[2000:])
+        assert np.array_equal(a.merge(b).registers, one.registers)
+        assert abs(one.estimate() - 5000) / 5000 < 0.05
