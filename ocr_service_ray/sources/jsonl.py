@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+import ray
+
 from ..core import storage
 from ..core.schema import DOC_SCHEMA, SPAN_STRUCT
 
@@ -98,3 +100,32 @@ def ingest_jsonl(src_path: str, docs_root: str, n_parts: int = 4) -> dict:
         "n_parts": len(rows),
         "n_docs": int(sum(r["n_docs"] for r in rows)),
     }
+
+
+@ray.remote
+def _export_part(root: str, part: int, dest_dir: str) -> int:
+    import json
+    import os
+
+    t = storage.read_part(root, part)
+    os.makedirs(dest_dir, exist_ok=True)
+    tmp = os.path.join(dest_dir, f".part-{part:05d}.jsonl.tmp")
+    final = os.path.join(dest_dir, f"part-{part:05d}.jsonl")
+    with open(tmp, "w") as f:
+        for row in t.to_pylist():
+            f.write(json.dumps(row, ensure_ascii=False, default=str) + "\n")
+    os.replace(tmp, final)
+    return len(t)
+
+
+def export_jsonl(root: str, dest_dir: str) -> dict:
+    """Partitioned-storage docs -> one JSONL file per partition.
+
+    Sink parity with the ingest side: one file per partition (the
+    resume unit), atomic tmp+rename per file, parallel via one Ray task
+    per partition. Re-export overwrites idempotently.
+    """
+    parts = storage.list_parts(root)
+    counts = ray.get([_export_part.remote(root, p, dest_dir) for p in parts])
+    return {"dest": dest_dir, "n_parts": len(parts), "n_docs": int(sum(counts))}
+

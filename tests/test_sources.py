@@ -67,3 +67,31 @@ class TestIngest:
         texts = {s["text"] for s in flat}
         assert "2X3" in texts
         assert any(t.startswith("hello doc") for t in texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExport:
+    def test_jsonl_export_roundtrip(self, tmp_path):
+        import pyarrow as pa
+
+        from ocr_service_ray.sources.jsonl import export_jsonl
+
+        docs_root = str(tmp_path / "docs")
+        tbl = pa.table({
+            "doc_id": pa.array(["a", "b"]),
+            "spans": pa.array(
+                [[{"kind": "text", "text": "olá", "media_ref": "", "offset": 0}],
+                 [{"kind": "media", "text": "", "media_ref": "m-1", "offset": 0}]],
+                DOC_SCHEMA.field("spans").type),
+        })
+        storage.write_part(docs_root, 0, tbl)
+        dest = str(tmp_path / "exported")
+        info = export_jsonl(docs_root, dest)
+        assert info == {"dest": dest, "n_parts": 1, "n_docs": 2}
+        # ingest the export -> identical doc table
+        back_root = str(tmp_path / "back")
+        ingest_jsonl(f"{dest}/part-00000.jsonl", back_root, n_parts=1)
+        got = pa.concat_tables(
+            storage.read_part(back_root, p) for p in storage.list_parts(back_root)
+        ).sort_by([("doc_id", "ascending")])
+        assert got.equals(tbl)
