@@ -29,9 +29,14 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.compute as pc
+
     tbl = (
         _emb(sf_dir)
-        .filter(lambda r: r["vec_id"] < n_queries)
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), n_queries)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
         .sort_values("vec_id")
     )
