@@ -217,6 +217,12 @@ SCALES = {
 }
 
 
+#: bump when generated bytes change for the same (scale, seed, profile)
+#: — cached corpora under /tmp are keyed by this so stale caches from a
+#: prior code version can never poison a run
+GEN_VERSION = 1
+
+
 def generate_corpus(
     out_root: str,
     seed: int = 42,

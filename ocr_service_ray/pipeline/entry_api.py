@@ -36,7 +36,9 @@ def scale_for(sf_dir: str) -> str:
 
 def span_corpus(scale: str = "small", seed: int = 42, profile: str = "default") -> dict:
     """Generate (once, cached in /tmp) the synthetic span corpus."""
-    root = f"/tmp/graft_corpus/{scale}-{seed}-{profile}"
+    from ..fixtures.gen import GEN_VERSION
+
+    root = f"/tmp/graft_corpus/v{GEN_VERSION}/{scale}-{seed}-{profile}"
     done_marker = os.path.join(root, "GENERATED")
     if os.path.exists(done_marker):
         import json

@@ -16,7 +16,13 @@ import time
 
 
 def main() -> int:
-    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_corpus/small-42-default"
+    if len(sys.argv) > 1:
+        corpus = sys.argv[1]
+    else:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from ocr_service_ray.pipeline.entry_api import span_corpus
+
+        corpus = os.path.dirname(span_corpus("small")["docs"])
     out = tempfile.mkdtemp(prefix="killdrill_")
     script = f"""
 import ray
