@@ -43,17 +43,27 @@ def part_id_of_path(path: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+# Python re's unicode \s, spelled out for RE2 (which has ASCII \s):
+# [ \t\n\r\f\v], file/group/record/unit separators, NEL, NBSP, ogham
+# space, Zs block 2000-200A, LS/PS, NNBSP, MMSP, ideographic space.
+_PY_WS_CLASS = (
+    "[ \\t\\n\\r\\f\\v\\x{001c}-\\x{001f}\\x{0085}\\x{00a0}\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
+)
+
+
 def _norm_text_arrow(arr: pa.Array) -> pa.Array:
     """Vectorized ops.textops.norm_text over a string array.
 
     Same semantics (×->X, collapse whitespace, trim, correction chain in
     COMMON_CORRECTIONS order); equality with the scalar form is pinned by
     tests/test_pipeline_e2e.py and the generator oracle. RE2's ``\\s`` is
-    ASCII [ \\t\\n\\f\\r] so ``\\v`` is added explicitly (Python parity);
-    the corpus alphabet has no other exotic whitespace.
+    ASCII-only, so the class below spells out Python's unicode ``\\s``
+    exactly (controls 1C-1F, NEL, NBSP, Zs spaces, line/para separators)
+    — the two forms are fuzz-verified equal on arbitrary unicode text.
     """
     a = pc.replace_substring(pc.fill_null(arr, ""), "×", "X")
-    a = pc.replace_substring_regex(a, "[ \\t\\n\\r\\f\\v]+", " ")
+    a = pc.replace_substring_regex(a, _PY_WS_CLASS, " ")
     a = pc.utf8_trim_whitespace(a)
     for wrong, right in T.COMMON_CORRECTIONS:
         a = pc.replace_substring(a, wrong, right)

@@ -108,3 +108,19 @@ class TestVectorizedNorm:
                  "OUOS UOS", "1Ux SUIFT", None, "a\f b\r", "2×3  4"]
         got = _norm_text_arrow(pa.array(cases, pa.string())).to_pylist()
         assert got == [norm_text(c) for c in cases]
+
+    def test_arrow_norm_unicode_whitespace_fuzz(self):
+        import random
+
+        import pyarrow as pa
+
+        from ocr_service_ray.ops.textops import norm_text
+        from ocr_service_ray.stages.batch_stages import _norm_text_arrow
+
+        ws = " \t\n\r\f\v\x1c\x1d\x1e\x1f\x85\xa0      　"
+        alpha = "abXZ09×ZER0UOSUH.," + ws
+        rng = random.Random(99)
+        cases = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+                 for _ in range(2000)]
+        got = _norm_text_arrow(pa.array(cases, pa.string())).to_pylist()
+        assert got == [norm_text(c) for c in cases]
