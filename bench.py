@@ -99,6 +99,13 @@ def run_queries(num_cpus: int) -> dict:
             "tumbling_counts": lambda: windows.tumbling_counts(sf_dir()),
             "hopping_counts": lambda: windows.hopping_counts(sf_dir()),
             "sessionize": lambda: windows.sessionize(sf_dir()),
+            "sessionize_scan": lambda: windows.sessionize_segmented(sf_dir()),
+            "asof_join": lambda: windows.asof_last_purchase(sf_dir()),
+            "range_join": lambda: windows.range_join_error_clicks(sf_dir()),
+            "distinct_users": lambda: windows.distinct_users(sf_dir()),
+            "approx_distinct_users": lambda: windows.approx_distinct_users(sf_dir()),
+            "value_quantiles": lambda: windows.value_quantiles(sf_dir()),
+            "hash_sample": lambda: relational.hash_sample(sf_dir()).materialize(),
         }.items():
             t0 = time.perf_counter()
             fn()
