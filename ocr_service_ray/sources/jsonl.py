@@ -129,3 +129,54 @@ def export_jsonl(root: str, dest_dir: str) -> dict:
     counts = ray.get([_export_part.remote(root, p, dest_dir) for p in parts])
     return {"dest": dest_dir, "n_parts": len(parts), "n_docs": int(sum(counts))}
 
+
+
+def ingest_text_csv(src_path: str, docs_root: str, n_parts: int = 4) -> dict:
+    """CSV of (doc_id, text) -> single-text-span docs in the partitioned
+    layout — the text-only on-ramp (CSV cannot carry nested spans; rows
+    become one ``text`` span at offset 0). Same deterministic hash
+    partitioning as the JSONL path."""
+    import hashlib
+
+    import ray
+    import ray.data
+
+    ds = ray.data.read_csv(src_path)
+
+    def to_part_rows(batch: pa.Table) -> pa.Table:
+        rows = [
+            {"doc_id": str(d),
+             "spans": [{"kind": "text", "text": str(t or ""), "offset": 0}]}
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            )
+        ]
+        t = rows_to_doc_table(rows)
+        parts = [
+            int.from_bytes(hashlib.md5(d.encode("utf-8")).digest()[:4], "big") % n_parts
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("part_id", pa.array(parts, pa.int32()))
+
+    tagged = ds.map_batches(to_part_rows, batch_format="pyarrow")
+
+    def write_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("part_id")[0].as_py())
+        out = group.drop_columns(["part_id"]).sort_by([("doc_id", "ascending")])
+        storage.write_part(docs_root, part, out)
+        storage.commit_manifest(
+            docs_root, part, {"part_id": part, "n_docs": len(out), "source": src_path}
+        )
+        return pa.table({"part_id": pa.array([part], pa.int32()),
+                         "n_docs": pa.array([len(out)], pa.int64())})
+
+    rows = (
+        tagged.groupby("part_id")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        "docs_root": docs_root,
+        "n_parts": len(rows),
+        "n_docs": int(sum(r["n_docs"] for r in rows)),
+    }

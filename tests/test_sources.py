@@ -95,3 +95,33 @@ class TestExport:
             storage.read_part(back_root, p) for p in storage.list_parts(back_root)
         ).sort_by([("doc_id", "ascending")])
         assert got.equals(tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCsvIngest:
+    def test_csv_text_docs_through_pipeline(self, tmp_path):
+        import csv
+
+        from ocr_service_ray.sources.jsonl import ingest_text_csv
+
+        src = tmp_path / "docs.csv"
+        with open(src, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["doc_id", "text"])
+            for i in range(20):
+                w.writerow([f"c-{i:03d}", f"csv  doc {i} ×"])
+        docs_root = str(tmp_path / "docs")
+        info = ingest_text_csv(str(src), docs_root, n_parts=2)
+        assert info["n_docs"] == 20
+        from ocr_service_ray.pipeline.run import run_pipeline
+
+        out = str(tmp_path / "out")
+        run_pipeline(docs_root, str(tmp_path / "noblobs"), out)
+        texts = [
+            s["text"]
+            for p in storage.list_parts(out)
+            for r in storage.read_part(out, p).to_pylist()
+            for s in r["spans"]
+        ]
+        assert len(texts) == 20
+        assert all(t.startswith("csv doc") and t.endswith("X") for t in texts)
