@@ -44,7 +44,13 @@ class PipelineConfig:
     blob_cache_parts: int = 2  # per-actor LRU of blob partition dicts (locality-preserving read blocks keep hit rates high; large caches x many actors = tens of GB of heap)
 
     # --- resume ---
-    wave_size: int = 0  # input partitions per committed wave; 0 = all remaining
+    # input partitions per committed wave; 0 = all remaining (single
+    # barrier). Measured at medium/16cpu: wave 8 costs 15%, wave 4 costs
+    # 2x — barriers dominate when a wave is seconds of work. At 100 TB a
+    # wave is hours of work and the barrier amortizes to noise: size
+    # waves there so one wave ~= 10-30 min (bounds crash loss; resume
+    # skips committed waves — drill in tools/kill_resume_drill.py).
+    wave_size: int = 0
 
 
 DEFAULT_CONFIG = PipelineConfig()
