@@ -119,6 +119,7 @@ def _run_wave(
     actor_kwargs = {
         "blobs_root": blobs_root,
         "cache_parts": cfg.blob_cache_parts,
+        "conf_floor": cfg.conf_floor,
     }
     if cfg.blob_lookup_mode == "broadcast":
         # small-corpus path: ship the whole blob dict through the object

@@ -145,10 +145,16 @@ class OcrStage:
     shuffled rows carry only refs, never bytes.
     """
 
-    def __init__(self, blobs_root: str, cache_parts: int = 4, blob_ref=None):
+    def __init__(
+        self,
+        blobs_root: str,
+        cache_parts: int = 4,
+        blob_ref=None,
+        conf_floor: float = 0.35,
+    ):
         from .ocr.engine import OcrEngine
 
-        self.engine = OcrEngine()
+        self.engine = OcrEngine(conf_floor=conf_floor)
         self.blobs_root = blobs_root
         # row-group point-lookup state: per-part parquet handle +
         # ref -> (row_group, row) index (built from the tiny media_ref

@@ -67,6 +67,21 @@ class TestPipelineE2E:
         assert check["docs"] == 200
         assert check["mismatched"] == 0, check["examples"][:1]
 
+    def test_broken_engine_constant_trips_span_gate(self):
+        """The span-query family is self-verifying: a deliberately-broken
+        engine constant (conf_floor above every token's confidence, plumbed
+        through PipelineConfig to the OCR actors) must make run_span_pipeline
+        RAISE on the generator oracle, not return plausible rows."""
+        from ocr_service_ray.core.config import PipelineConfig
+        from ocr_service_ray.pipeline import entry_api
+
+        broken = PipelineConfig(conf_floor=1.01)
+        with pytest.raises(entry_api.SpanVerificationError):
+            entry_api.run_span_pipeline("tiny", seed=42, cfg=broken)
+        # the good (default-config) path still passes and caches
+        info, out = entry_api.run_span_pipeline("tiny", seed=42)
+        assert verify_output(out, info["expected"])["mismatched"] == 0
+
     def test_output_schema_matches_input_hint(self, tiny_corpus, tmp_path):
         import pyarrow as pa
 
