@@ -8,6 +8,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from ocr_service_ray.analytics.hashing import (
@@ -110,6 +111,35 @@ class TestOracleEquivalence:
             if a.dtype != b.dtype:
                 b = b.astype(a.dtype)
             pd.testing.assert_series_equal(a, b, check_names=False)
+
+    def test_value_quantiles_mega_type_skew(self, con):
+        """One type holding ~99% of all rows must still be exact — the
+        distributed rank-pick never materializes a type in one task."""
+        import ray.data
+
+        from ocr_service_ray.analytics.windows import value_quantiles
+
+        rng = np.random.default_rng(31337)
+        n_big = 50_000
+        vals = np.concatenate(
+            [np.round(rng.uniform(0, 1000, n_big), 4), [1.5, 2.5, 3.5]]
+        )
+        types = np.array(["mega"] * n_big + ["rare"] * 3)
+        tbl = pa.table({"event_type": pa.array(types), "value": pa.array(vals)})
+        # many small blocks: rank-pick must stitch ranks across blocks
+        ds = ray.data.from_arrow(tbl).repartition(32)
+        got = value_quantiles("", events=ds).to_pandas()
+        con2 = duckdb.connect()
+        con2.register("t", tbl.to_pandas())
+        want = con2.execute(
+            "SELECT event_type, "
+            "CAST(quantile_disc(value, 0.25) AS DOUBLE) AS q25, "
+            "CAST(quantile_disc(value, 0.5) AS DOUBLE) AS q50, "
+            "CAST(quantile_disc(value, 0.75) AS DOUBLE) AS q75, "
+            "CAST(quantile_disc(value, 0.9) AS DOUBLE) AS q90 "
+            "FROM t GROUP BY event_type ORDER BY event_type"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
 
     def test_ivf_recall_vs_brute(self):
         from ocr_service_ray.analytics.similarity import brute_topk, ivf_topk
