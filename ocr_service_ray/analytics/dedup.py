@@ -123,6 +123,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.6,
+    max_bucket: int = 256,
 ) -> pa.Table:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
@@ -145,6 +146,20 @@ def minhash_lsh_pairs(
 
     Driver memory is O(verified result + candidate shingle sets) —
     proportional to the duplicate rate, never to the corpus.
+
+    Hot-bucket bound: a degenerate bucket of k colliding docs (k
+    boilerplate-identical pages at web scale) would emit k(k-1)/2 pairs
+    inside ONE task. Buckets larger than ``max_bucket`` instead emit
+    STAR pairs to the bucket's min doc_id — O(k) output, and the
+    cluster stays connected through that representative (identical docs
+    co-bucket in every band with the same min, so dedup-by-component is
+    unaffected). Recall consequence, documented: a pair of two
+    non-representative members of an oversized bucket is reported only
+    if some other (smaller) bucket also contains both. Precision is
+    untouched — every emitted candidate still passes the exact-Jaccard
+    verify. The cap never triggers on the sf corpora (pairs identical
+    with the cap disabled); the adversarial identical-cluster test pins
+    the bounded-output behavior.
     """
     from ray.data.aggregate import AggregateFn
 
@@ -173,6 +188,12 @@ def minhash_lsh_pairs(
             if len(ids) < 2:
                 continue  # singleton buckets (the overwhelming majority)
             ids = sorted(set(ids))
+            if len(ids) > max_bucket:
+                # hot bucket: O(k) star pairs to the representative
+                rep = ids[0]
+                out_a.extend([rep] * (len(ids) - 1))
+                out_b.extend(ids[1:])
+                continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
@@ -254,7 +275,7 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, shingle_k: int = 5, threshold: float = 0.6
+    sf_dir: str, shingle_k: int = 5, threshold: float = 0.6, max_posting: int = 512
 ) -> pa.Table:
     """EXACT word-k-shingle Jaccard pairs >= threshold.
 
@@ -274,6 +295,20 @@ def ngram_jaccard_pairs(
     O(sum of posting-list sizes squared): right when near-dup shingles
     are rare; the sketch path (minhash_lsh_pairs) is the scale path
     when they are not.
+
+    Hot-posting bound: a stop-shingle shared by k docs would emit
+    k(k-1)/2 increments in one task. Posting lists longer than
+    ``max_posting`` are deterministically truncated to the max_posting
+    SMALLEST doc_ids before pairing, bounding per-bucket output at
+    O(max_posting^2). Consequence, documented: the result is EXACT iff
+    no posting exceeds the cap (true on the sf corpora — pairs
+    identical with the cap disabled); above it, the intersection count
+    c loses the truncated shingle's contribution for pairs outside the
+    kept prefix, so jaccard is only ever UNDER-estimated — precision is
+    preserved (every reported pair is a true >= threshold pair among
+    the kept index), recall degrades on hot-shingle pairs. The
+    identical-cluster fixture pins the bound; the LSH path remains the
+    recall-safe route for hot corpora.
     """
     from ray.data.aggregate import AggregateFn
 
@@ -309,7 +344,7 @@ def ngram_jaccard_pairs(
         for ids in batch.column("docs").to_pylist():
             if len(ids) < 2:
                 continue
-            ids = sorted(set(ids))
+            ids = sorted(set(ids))[:max_posting]  # deterministic stop-shingle truncation
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])

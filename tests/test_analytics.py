@@ -112,6 +112,41 @@ class TestOracleEquivalence:
                 b = b.astype(a.dtype)
             pd.testing.assert_series_equal(a, b, check_names=False)
 
+    def test_hot_bucket_bound_identical_cluster(self, tmp_path):
+        """A giant identical-doc cluster must yield bounded task output:
+        LSH emits O(k) star pairs to the representative (cluster stays
+        connected); ngram truncates hot postings to the cap's smallest
+        doc_ids (exact pairs within the kept prefix)."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        k = 300
+        text = "the same boilerplate page body repeated on every mirror " * 4
+        uniq = [f"unique document number {i} with its own words entirely" for i in range(5)]
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(k + len(uniq))), pa.int64()),
+            "text": pa.array([text] * k + uniq),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        sf = str(tmp_path)
+
+        lsh = minhash_lsh_pairs(sf, max_bucket=16).to_pandas()
+        # star pairs only: every member linked to the representative (0)
+        assert len(lsh) == k - 1
+        assert (lsh["doc_a"] == 0).all()
+        assert sorted(lsh["doc_b"]) == list(range(1, k))
+        assert (lsh["jaccard"] == 1.0).all()
+
+        ng = ngram_jaccard_pairs(sf, max_posting=8).to_pandas()
+        # pairs among the 8 smallest doc_ids of the hot postings, exact
+        assert len(ng) == 8 * 7 // 2
+        assert set(ng["doc_a"]) | set(ng["doc_b"]) == set(range(8))
+        assert (ng["jaccard"] == 1.0).all()
+
     def test_value_quantiles_mega_type_skew(self, con):
         """One type holding ~99% of all rows must still be exact — the
         distributed rank-pick never materializes a type in one task."""
