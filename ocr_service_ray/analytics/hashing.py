@@ -180,3 +180,27 @@ class HyperLogLog:
         if e <= 2.5 * m and zeros:
             e = m * np.log(m / zeros)  # small-range correction
         return float(e)
+
+    def estimate_rounded(self) -> int:
+        """Deterministic SQL-replicable estimate (rounded to an int).
+
+        The register sum Z = Σ 2^-M_j is computed as an EXACT integer
+        (every term is dyadic: Σ 2^(S-M_j) with S = 64-p+1, arbitrary-
+        precision Python int == DuckDB HUGEINT), so the only float ops
+        are the final alpha/division/ln — each a single IEEE-double op
+        identical between numpy/libm and DuckDB. The matching SQL lives
+        in pipeline/entry_api.oracle_sql()['approx_distinct_users'];
+        operation ORDER there mirrors this method token for token.
+        """
+        import math
+
+        S = 64 - self.p + 1
+        m_f = float(self.m)
+        vals, cnts = np.unique(self.registers, return_counts=True)
+        z_int = sum(int(c) << (S - int(v)) for v, c in zip(vals, cnts))
+        alpha = 0.7213 / (1.0 + 1.079 / m_f)
+        e = (alpha * (m_f * m_f)) * float(1 << S) / float(z_int)
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m_f and zeros > 0:
+            e = m_f * math.log(m_f / zeros)
+        return int(math.floor(e + 0.5))  # DuckDB round(): half away from zero

@@ -546,10 +546,13 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
     The sketch alternative to ``distinct_users``: ONE shuffle of 2^p-byte
     register blobs per (batch, type) instead of a corpus-sized
     (type, user) dedupe exchange — the shape that wins when the key
-    cardinality itself is huge. Deterministic (md5-based hashing); the
-    estimate's error bound (~1.04/sqrt(2^p) ≈ 1.6% at p=12) is pinned
-    against the exact plan in tests. No SQL oracle by design
-    (approximate); the driver records a rows-only check.
+    cardinality itself is huge. Deterministic (md5-based hashing), and —
+    since the hash is DuckDB's md5_number_lower and the register sum is
+    computed in exact dyadic-integer space — the whole sketch is
+    replicated in SQL: the driver hash-verifies the ESTIMATE itself, not
+    just row counts. The exact count is emitted alongside (n_users), so
+    the ~1.6% error bound at p=12 is visible in the output; it is also
+    pinned by a tolerance test.
     """
     from ray.data.aggregate import AggregateFn
 
@@ -599,11 +602,16 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
         for r in t.to_pylist():
             hll = HyperLogLog(p)
             hll.registers = np.frombuffer(r["regs"], dtype=np.uint8).copy()
-            rows.append((r["event_type"], int(round(hll.estimate()))))
+            rows.append((r["event_type"], hll.estimate_rounded()))
     rows.sort()
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in distinct_users(sf_dir).to_pylist()
+    }
     return pa.table(
         {
             "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_users": pa.array([exact[r[0]] for r in rows], pa.int64()),
             "approx_users": pa.array([r[1] for r in rows], pa.int64()),
         }
     )

@@ -533,6 +533,11 @@ def queries() -> dict:
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
         "ann_topk": lambda sf: similarity.brute_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+        # exhaustive probe (nprobe == n_clusters): must equal the brute
+        # oracle EXACTLY — driver-verifies the full IVF machinery (index
+        # build, hive-cell pruned read, per-cell masking, top-k merge);
+        # the nprobe<k variant above stays the approximate scale demo.
+        "ann_ivf_exhaustive": lambda sf: similarity.ivf_topk(sf, nprobe=16),
         "token_counts": text_analysis.token_counts,
         "text_normalize": text_analysis.text_normalize,
         "quality_scores": text_analysis.quality_scores,
@@ -577,6 +582,19 @@ _SHINGLE_JACCARD_SQL = (
 )
 
 
+# exact cosine top-k — the oracle for BOTH the brute plan and the
+# exhaustive-probe IVF plan (nprobe == n_clusters covers every cell).
+_BRUTE_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8), "
+    "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim "
+    "FROM q CROSS JOIN embeddings e) "
+    "SELECT query_id, neighbor_id, "
+    "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank "
+    "FROM s QUALIFY rank <= 10 ORDER BY query_id, rank"
+)
+
+
 def oracle_sql() -> dict:
     return {
         "exact_dedup": (
@@ -596,15 +614,8 @@ def oracle_sql() -> dict:
             "CAST(b.embedding AS DOUBLE[])) > 0.45 "
             "ORDER BY vec_a, vec_b"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8), "
-            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim "
-            "FROM q CROSS JOIN embeddings e) "
-            "SELECT query_id, neighbor_id, "
-            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank "
-            "FROM s QUALIFY rank <= 10 ORDER BY query_id, rank"
-        ),
+        "ann_topk": _BRUTE_TOPK_SQL,
+        "ann_ivf_exhaustive": _BRUTE_TOPK_SQL,
         "token_counts": (
             "SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
@@ -738,6 +749,36 @@ def oracle_sql() -> dict:
         "distinct_users": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        # full SQL replica of the p=12 HyperLogLog sketch (md5-lower64
+        # hash == md5_number_lower; register index = top 12 bits; rank =
+        # 53 - bitlength of the low 52 bits; register sum in EXACT
+        # dyadic-integer space — HUGEINT here, Python int in
+        # hashing.HyperLogLog.estimate_rounded — so the only float ops
+        # are single IEEE doubles in matching order on both sides).
+        # Constants: 2^52 = 4503599627370496, 2^53 = 9007199254740992.
+        "approx_distinct_users": (
+            "WITH h AS (SELECT event_type, "
+            "md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events), "
+            "r AS (SELECT event_type, CAST(hv >> 52 AS BIGINT) AS idx, "
+            "CASE WHEN hv % 4503599627370496 = 0 THEN 53 "
+            "ELSE 53 - length(bin(hv % 4503599627370496)) END AS mr FROM h), "
+            "regs AS (SELECT event_type, idx, max(mr) AS mr FROM r GROUP BY 1, 2), "
+            "z AS (SELECT event_type, "
+            "sum(CAST(1 AS BIGINT) << (53 - mr)) AS z_present, "
+            "count(*) AS n_present FROM regs GROUP BY 1), "
+            "e1 AS (SELECT event_type, CAST(z_present + "
+            "CAST(4096 - n_present AS HUGEINT) * 9007199254740992 AS DOUBLE) AS zd, "
+            "4096 - n_present AS zeros FROM z), "
+            "e2 AS (SELECT event_type, zeros, "
+            "((0.7213 / (1.0 + 1.079 / 4096.0)) * (4096.0 * 4096.0)) "
+            "* 9007199254740992.0 / zd AS e FROM e1), "
+            "ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1) "
+            "SELECT e2.event_type AS event_type, ex.n_users AS n_users, "
+            "CAST(floor((CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0 "
+            "THEN 4096.0 * ln(4096.0 / zeros) ELSE e END) + 0.5) AS BIGINT) AS approx_users "
+            "FROM e2 JOIN ex ON e2.event_type = ex.event_type ORDER BY event_type"
         ),
         "value_quantiles": (
             "SELECT event_type, "

@@ -94,7 +94,7 @@ class TestOracleEquivalence:
          "lang_id", "simhash", "text_normalize", "orders_by_nation",
          "hash_sample", "top_docs_by_words", "source_stats", "hopping_counts",
          "asof_join", "range_join", "sessionize_scan", "distinct_users",
-         "value_quantiles"],
+         "value_quantiles", "approx_distinct_users", "ann_ivf_exhaustive"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
