@@ -117,6 +117,107 @@ def _flatten_docs(root: str) -> pa.Table:
 
 
 # ----------------------------------------------------------------------
+# shared blob scan: ONE actor-pool pass over the blob sidecar serving
+# every blob-scan query (receipt_items, qrcode_urls, image_features,
+# ocr_raw_lines). Before this, each of the four re-ran full OCR over all
+# blobs per invocation (~bench cost ×4); now extract_page runs once per
+# blob and the queries are cheap reshapes of the cached wide table.
+
+_BLOB_SCAN_CACHE: dict[str, pa.Table] = {}
+
+_TOKEN_T = pa.struct(
+    [("text", pa.string()), ("confidence", pa.float64()),
+     ("y_position", pa.int32()), ("x_position", pa.int32())]
+)
+_ITEM_T = pa.struct(
+    [("sq", pa.string()), ("item", pa.string()), ("quantidade", pa.float64()),
+     ("valor_unitario", pa.float64()), ("valor_total", pa.float64()),
+     ("data_compra", pa.string())]
+)
+
+
+class BlobScanStage:
+    """Actor: per blob — extract_page once (tokens + embedded code),
+    structure_document, the QR-only ladder, and image features."""
+
+    def __init__(self):
+        from ..stages.ocr import preprocess, raster
+        from ..stages.ocr.engine import OcrEngine
+
+        self.engine = OcrEngine()
+        self._decode = raster.decode
+        self._binarize = preprocess.binarize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.ocr.layout import structure_document
+
+        refs = batch.column("media_ref").to_pylist()
+        tokens_col, items_col, tipo_col, page_qr_col, qr_col = [], [], [], [], []
+        width, height, ink_ratio, n_rows_ink, status = [], [], [], [], []
+        for payload in batch.column("bytes").to_pylist():
+            page = self.engine.extract_page(payload)
+            doc = structure_document(page["tokens"])
+            tokens_col.append(
+                [{k: t[k] for k in ("text", "confidence", "y_position", "x_position")}
+                 for t in page["tokens"]]
+            )
+            items_col.append(
+                [{k: it[k] for k in ("sq", "item", "quantidade", "valor_unitario",
+                                     "valor_total", "data_compra")}
+                 for it in doc["itens"]]
+            )
+            tipo_col.append(doc["tipo_documento"])
+            page_qr_col.append(page["qrcode"] or "")
+            r = self.engine.extract_qrcode(payload)
+            qr_col.append(r[0]["data"] if r else None)
+            img = self._decode(payload)
+            if img is None:
+                width.append(0); height.append(0); ink_ratio.append(0.0)
+                n_rows_ink.append(0); status.append("erro")
+            else:
+                ink = self._binarize(img)
+                height.append(int(ink.shape[0])); width.append(int(ink.shape[1]))
+                ink_ratio.append(round(float(ink.mean()), 6))
+                n_rows_ink.append(int(ink.any(axis=1).sum())); status.append("ok")
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "tokens": pa.array(tokens_col, pa.list_(_TOKEN_T)),
+                "items": pa.array(items_col, pa.list_(_ITEM_T)),
+                "tipo_documento": pa.array(tipo_col, pa.string()),
+                "page_qr": pa.array(page_qr_col, pa.string()),
+                "qr_url": pa.array(qr_col, pa.string()),
+                "width": pa.array(width, pa.int32()),
+                "height": pa.array(height, pa.int32()),
+                "ink_ratio": pa.array(ink_ratio, pa.float64()),
+                "n_rows_with_ink": pa.array(n_rows_ink, pa.int64()),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+
+def blob_scan(scale: str) -> pa.Table:
+    """Memoized single scan of the blob sidecar (sorted by media_ref)."""
+    if scale in _BLOB_SCAN_CACHE:
+        return _BLOB_SCAN_CACHE[scale]
+    import ray
+    import ray.data
+
+    info = span_corpus(scale)
+    ds = ray.data.read_parquet(
+        storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
+    )
+    out = ds.map_batches(
+        BlobScanStage, concurrency=4, batch_size=32, batch_format="pyarrow"
+    )
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by(
+        [("media_ref", "ascending")]
+    )
+    _BLOB_SCAN_CACHE[scale] = tbl
+    return tbl
+
+
+# ----------------------------------------------------------------------
 # span-pipeline queries (rows-only checks; pinned by pipeline tests)
 
 
@@ -134,66 +235,27 @@ def q_span_errors(sf_dir: str) -> pa.Table:
 
 
 def q_receipt_items(sf_dir: str) -> pa.Table:
-    """OCR receipts -> structured item rows (reference Item semantics).
-
-    Actor-pool map_batches over the blob sidecar table; per-blob
-    recognize -> classify -> band/group/parse/impute/dedupe
-    (/root/reference/app/ocr_engine.py:152-292 semantics).
-    """
-    import ray
-    import ray.data
-
-    info = span_corpus(scale_for(sf_dir))
-
-    class ItemStage:
-        def __init__(self):
-            from ..stages.ocr.engine import OcrEngine
-
-            self.engine = OcrEngine()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..stages.ocr.layout import structure_document
-
-            rows = {
-                "media_ref": [], "tipo_documento": [], "sq": [], "item": [],
-                "quantidade": [], "valor_unitario": [], "valor_total": [],
-                "data_compra": [], "qrcode_url": [],
-            }
-            for ref, payload in zip(
-                batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
-            ):
-                page = self.engine.extract_page(payload)
-                doc = structure_document(page["tokens"])
-                for it in doc["itens"]:
-                    rows["media_ref"].append(ref)
-                    rows["qrcode_url"].append(page["qrcode"] or "")
-                    rows["tipo_documento"].append(doc["tipo_documento"])
-                    rows["sq"].append(it["sq"])
-                    rows["item"].append(it["item"])
-                    rows["quantidade"].append(it["quantidade"])
-                    rows["valor_unitario"].append(it["valor_unitario"])
-                    rows["valor_total"].append(it["valor_total"])
-                    rows["data_compra"].append(it["data_compra"])
-            return pa.table(
-                {
-                    "media_ref": pa.array(rows["media_ref"], pa.string()),
-                    "tipo_documento": pa.array(rows["tipo_documento"], pa.string()),
-                    "sq": pa.array(rows["sq"], pa.string()),
-                    "item": pa.array(rows["item"], pa.string()),
-                    "quantidade": pa.array(rows["quantidade"], pa.float64()),
-                    "valor_unitario": pa.array(rows["valor_unitario"], pa.float64()),
-                    "valor_total": pa.array(rows["valor_total"], pa.float64()),
-                    "data_compra": pa.array(rows["data_compra"], pa.string()),
-                    "qrcode_url": pa.array(rows["qrcode_url"], pa.string()),
-                }
-            )
-
-    files = storage.data_files(info["blobs"])
-    ds = ray.data.read_parquet(files, columns=["media_ref", "bytes"])
-    out = ds.map_batches(
-        ItemStage, concurrency=4, batch_size=32, batch_format="pyarrow"
+    """OCR receipts -> structured item rows (reference Item semantics:
+    recognize -> classify -> band/group/parse/impute/dedupe,
+    /root/reference/app/ocr_engine.py:152-292). Reshape of the shared
+    ``blob_scan`` pass (items exploded per media_ref)."""
+    scan = blob_scan(scale_for(sf_dir))
+    items = scan.column("items").combine_chunks()
+    parents = pc.list_parent_indices(items)
+    flat = items.flatten()
+    tbl = pa.table(
+        {
+            "media_ref": pc.take(scan.column("media_ref"), parents),
+            "tipo_documento": pc.take(scan.column("tipo_documento"), parents),
+            "sq": flat.field("sq"),
+            "item": flat.field("item"),
+            "quantidade": flat.field("quantidade"),
+            "valor_unitario": flat.field("valor_unitario"),
+            "valor_total": flat.field("valor_total"),
+            "data_compra": flat.field("data_compra"),
+            "qrcode_url": pc.take(scan.column("page_qr"), parents),
+        }
     )
-    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
     return tbl.sort_by([("media_ref", "ascending"), ("sq", "ascending")])
 
 
@@ -316,48 +378,22 @@ def q_html_totals(sf_dir: str) -> pa.Table:
 
 def q_qrcode_urls(sf_dir: str) -> pa.Table:
     """QR extraction over media blobs (the reference's /api/ocr/qrcode-only
-    path, app/main.py:146-166): (media_ref, found, url, url_clean)."""
-    import ray
-    import ray.data
+    path, app/main.py:146-166): (media_ref, found, url, url_clean).
+    Reshape of the shared ``blob_scan`` pass (QR-only ladder column)."""
+    from ..ops.textops import clean_url
 
-    info = span_corpus(scale_for(sf_dir))
-
-    class QrStage:
-        def __init__(self):
-            from ..stages.ocr.engine import OcrEngine
-
-            self.engine = OcrEngine()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..ops.textops import clean_url
-
-            refs = batch.column("media_ref").to_pylist()
-            found, urls, cleaned = [], [], []
-            for payload in batch.column("bytes").to_pylist():
-                r = self.engine.extract_qrcode(payload)
-                if r:
-                    found.append(True)
-                    urls.append(r[0]["data"])
-                    cleaned.append(clean_url(r[0]["data"]))
-                else:
-                    found.append(False)
-                    urls.append("")
-                    cleaned.append("")
-            return pa.table(
-                {
-                    "media_ref": pa.array(refs, pa.string()),
-                    "found": pa.array(found, pa.bool_()),
-                    "url": pa.array(urls, pa.string()),
-                    "url_clean": pa.array(cleaned, pa.string()),
-                }
-            )
-
-    ds = ray.data.read_parquet(
-        storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
+    scan = blob_scan(scale_for(sf_dir))
+    urls = scan.column("qr_url").to_pylist()
+    return pa.table(
+        {
+            "media_ref": scan.column("media_ref"),
+            "found": pa.array([u is not None for u in urls], pa.bool_()),
+            "url": pa.array([u if u is not None else "" for u in urls], pa.string()),
+            "url_clean": pa.array(
+                [clean_url(u) if u is not None else "" for u in urls], pa.string()
+            ),
+        }
     )
-    out = ds.map_batches(QrStage, concurrency=4, batch_size=32, batch_format="pyarrow")
-    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
-    return tbl.sort_by([("media_ref", "ascending")])
 
 
 def q_multimodal_features(sf_dir: str) -> pa.Table:
@@ -455,21 +491,14 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
 def q_image_features(sf_dir: str) -> pa.Table:
     """Image modality leg: raster decode + ink-density features over the
     blob sidecar (the fully-REAL image path — SYNR codec + Otsu, no
-    stub), as an actor-pool map_batches stage."""
-    import ray
-    import ray.data
+    stub). Same computation as stages.multimodal.ImageFeatureStage,
+    served from the shared ``blob_scan`` pass."""
+    from ..stages.multimodal import IMAGE_FEATURE_SCHEMA
 
-    from ..stages.multimodal import ImageFeatureStage
-
-    info = span_corpus(scale_for(sf_dir))
-    ds = ray.data.read_parquet(
-        storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
-    )
-    out = ds.map_batches(
-        ImageFeatureStage, concurrency=4, batch_size=32, batch_format="pyarrow"
-    )
-    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
-    return tbl.sort_by([("media_ref", "ascending")])
+    scan = blob_scan(scale_for(sf_dir))
+    return pa.table(
+        {name: scan.column(name) for name in IMAGE_FEATURE_SCHEMA.names}
+    ).cast(IMAGE_FEATURE_SCHEMA)
 
 
 def q_skew_profile(sf_dir: str) -> pa.Table:
@@ -820,45 +849,25 @@ def oracle_sql() -> dict:
 def q_ocr_raw_lines(sf_dir: str) -> pa.Table:
     """The reference's debug surface (app/main.py:126-127 returns
     ``ocr_raw_lines``; OCRRawLine = text/confidence/y/x,
-    app/models.py:5-9): normalized OCR tokens per media blob."""
-    import ray
-    import ray.data
+    app/models.py:5-9): normalized OCR tokens per media blob. Reshape of
+    the shared ``blob_scan`` pass (token lists exploded with an index)."""
+    import numpy as np
 
-    info = span_corpus(scale_for(sf_dir))
-
-    class RawLines:
-        def __init__(self):
-            from ..stages.ocr.engine import OcrEngine
-
-            self.engine = OcrEngine()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = {"media_ref": [], "token_idx": [], "text": [],
-                    "confidence": [], "y_position": [], "x_position": []}
-            for ref, payload in zip(
-                batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
-            ):
-                for i, t in enumerate(self.engine.extract_text(payload)):
-                    rows["media_ref"].append(ref)
-                    rows["token_idx"].append(i)
-                    rows["text"].append(t["text"])
-                    rows["confidence"].append(t["confidence"])
-                    rows["y_position"].append(t["y_position"])
-                    rows["x_position"].append(t["x_position"])
-            return pa.table(
-                {
-                    "media_ref": pa.array(rows["media_ref"], pa.string()),
-                    "token_idx": pa.array(rows["token_idx"], pa.int32()),
-                    "text": pa.array(rows["text"], pa.string()),
-                    "confidence": pa.array(rows["confidence"], pa.float64()),
-                    "y_position": pa.array(rows["y_position"], pa.int32()),
-                    "x_position": pa.array(rows["x_position"], pa.int32()),
-                }
-            )
-
-    ds = ray.data.read_parquet(
-        storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
+    scan = blob_scan(scale_for(sf_dir))
+    tokens = scan.column("tokens").combine_chunks()
+    parents = pc.list_parent_indices(tokens)
+    flat = tokens.flatten()
+    # token_idx = position within each blob's list (offset-relative)
+    starts = np.asarray(tokens.offsets)[np.asarray(parents)]
+    token_idx = np.arange(len(flat), dtype=np.int32) - starts.astype(np.int32)
+    tbl = pa.table(
+        {
+            "media_ref": pc.take(scan.column("media_ref"), parents),
+            "token_idx": pa.array(token_idx, pa.int32()),
+            "text": flat.field("text"),
+            "confidence": flat.field("confidence"),
+            "y_position": flat.field("y_position"),
+            "x_position": flat.field("x_position"),
+        }
     )
-    out = ds.map_batches(RawLines, concurrency=4, batch_size=32, batch_format="pyarrow")
-    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
     return tbl.sort_by([("media_ref", "ascending"), ("token_idx", "ascending")])
