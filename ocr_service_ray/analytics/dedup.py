@@ -434,6 +434,11 @@ def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 
 def _load_block(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(tbl.column("vec_id"))
+    if len(ids) == 0:
+        # degenerate empty shuffle/read block: np.vstack of an empty
+        # list raises — return an empty matrix so the pair task emits
+        # an empty table instead of crashing the query
+        return ids, np.zeros((0, 1), dtype=np.float64)
     m = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     return ids, m
@@ -448,6 +453,10 @@ def _block_pair_sims(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -
     (min, max)."""
     ids_a, ma = _load_block(ta)
     ids_b, mb = _load_block(tb)
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+        )
     sims = ma @ mb.T
     ai, bj = np.nonzero(sims > threshold)
     a = ids_a[ai]

@@ -52,7 +52,147 @@ def md5_hash64(token: str) -> int:
 
 
 def md5_hash_tokens(tokens: list[str]) -> np.ndarray:
-    return np.fromiter((md5_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    """Vector of md5-lower64 hashes. Short tokens (<= 55 utf-8 bytes —
+    the overwhelming majority of words) go through the fully-vectorized
+    single-block numpy MD5; longer ones fall back to hashlib."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    enc = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    short = lens <= 55
+    out = np.zeros(len(enc), dtype=np.uint64)
+    if short.any():
+        digests = md5_batch([b for b, s in zip(enc, short) if s])
+        # bytes 8..16 little-endian == DuckDB md5_number_lower
+        out[short] = digests[:, 8:16].copy().view(np.uint64).ravel()
+    for i in np.flatnonzero(~short):
+        out[i] = md5_hash64(tokens[i])
+    return out
+
+
+# ----------------------------------------------------------------------
+# Vectorized single-block MD5 (messages <= 55 bytes -> one 64-byte
+# block). The hot per-row hashlib loops (hash sampling over int ids,
+# SimHash word hashing) become a handful of numpy passes; parity with
+# hashlib.md5 is fuzz-pinned in tests/test_analytics.py.
+
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+_MD5_K = np.array(
+    [int(abs(np.sin(i + 1)) * (1 << 32)) & 0xFFFFFFFF for i in range(64)],
+    dtype=np.uint32,
+)
+_MD5_G = np.array(
+    [i for i in range(16)]
+    + [(5 * i + 1) % 16 for i in range(16, 32)]
+    + [(3 * i + 5) % 16 for i in range(32, 48)]
+    + [(7 * i) % 16 for i in range(48, 64)],
+    dtype=np.int64,
+)
+
+
+def _md5_compress(M: np.ndarray) -> np.ndarray:
+    """One MD5 compression over n parallel 16-word blocks -> (n,4) uint32.
+
+    In-place temporaries: each round is ~6 elementwise passes over the
+    n-vector instead of ~12 fresh allocations. The block matrix is
+    transposed once so each round's message word is a contiguous row
+    (the strided (n,16) column gather was the cache hot spot).
+
+    Measured honestly (BENCH note): ~parity with a hashlib-C per-row
+    loop at 400k rows (~0.3 µs/row both) — the win over the PREVIOUS
+    code is removing the per-row str/hexdigest/compare overhead (~2x on
+    hash_sample's filter stage), not beating OpenSSL's md5."""
+    M = np.ascontiguousarray(M.T)  # (16, n)
+    n = M.shape[1]
+    a = np.full(n, 0x67452301, np.uint32)
+    b = np.full(n, 0xEFCDAB89, np.uint32)
+    c = np.full(n, 0x98BADCFE, np.uint32)
+    d = np.full(n, 0x10325476, np.uint32)
+    a0, b0, c0, d0 = a.copy(), b.copy(), c.copy(), d.copy()
+    f = np.empty(n, np.uint32)
+    t = np.empty(n, np.uint32)
+    for i in range(64):
+        if i < 16:
+            # (b & c) | (~b & d)  ==  d ^ (b & (c ^ d))
+            np.bitwise_xor(c, d, out=f); np.bitwise_and(f, b, out=f)
+            np.bitwise_xor(f, d, out=f)
+        elif i < 32:
+            # (d & b) | (~d & c)  ==  c ^ (d & (b ^ c))
+            np.bitwise_xor(b, c, out=f); np.bitwise_and(f, d, out=f)
+            np.bitwise_xor(f, c, out=f)
+        elif i < 48:
+            np.bitwise_xor(b, c, out=f); np.bitwise_xor(f, d, out=f)
+        else:
+            # c ^ (b | ~d)
+            np.bitwise_not(d, out=f); np.bitwise_or(f, b, out=f)
+            np.bitwise_xor(f, c, out=f)
+        np.add(f, a, out=f)
+        np.add(f, _MD5_K[i], out=f)
+        np.add(f, M[_MD5_G[i]], out=f)
+        s = int(_MD5_S[i])
+        np.right_shift(f, np.uint32(32 - s), out=t)
+        np.left_shift(f, np.uint32(s), out=f)
+        np.bitwise_or(f, t, out=f)
+        np.add(f, b, out=f)
+        a, d, c, b, f = d, c, b, f, a  # rotate registers; old a becomes scratch
+    return np.stack([a0 + a, b0 + b, c0 + c, d0 + d], axis=1)
+
+
+def md5_batch(msgs: list[bytes]) -> np.ndarray:
+    """md5 digests of short messages (each <= 55 bytes) -> (n,16) uint8."""
+    n = len(msgs)
+    if n == 0:
+        return np.zeros((0, 16), dtype=np.uint8)
+    lens = np.fromiter((len(m) for m in msgs), dtype=np.int64, count=n)
+    if (lens > 55).any():
+        raise ValueError("md5_batch: message exceeds single-block limit (55 bytes)")
+    block = np.zeros((n, 64), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    cols = np.arange(len(flat)) - np.repeat(offs, lens)
+    block[rows, cols] = flat
+    block[np.arange(n), lens] = 0x80  # padding bit
+    bitlen = (lens * 8).astype(np.uint64)
+    block[:, 56:64] = bitlen[:, None].view(np.uint8).reshape(n, 8)  # LE length
+    M = block.view(np.uint32)  # (n, 16) little-endian words
+    return _md5_compress(M).view(np.uint8).reshape(n, 16)
+
+
+def md5_batch_int_ids(ids: np.ndarray) -> np.ndarray:
+    """md5 digests of the DECIMAL-STRING form of integer ids (the exact
+    bytes ``md5(CAST(id AS VARCHAR))`` hashes) -> (n,16) uint8, with the
+    digit rendering itself vectorized (no per-row str())."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if (ids < 0).any():
+        raise ValueError("md5_batch_int_ids: negative ids unsupported")
+    n = len(ids)
+    if n == 0:
+        return np.zeros((0, 16), dtype=np.uint8)
+    # decimal length without float log10 edge cases: compare to 10^k
+    pows = np.array([10**k for k in range(1, 19)], dtype=np.int64)
+    lens = 1 + (ids[:, None] >= pows[None, :]).sum(axis=1)
+    maxlen = int(lens.max())
+    # right-aligned digit matrix (one column op per digit), then ONE
+    # gather shifts each row left-aligned into the message block
+    digits = np.empty((n, maxlen), dtype=np.uint8)
+    rem = ids.copy()
+    for j in range(maxlen):
+        digits[:, maxlen - 1 - j] = rem % 10
+        rem //= 10
+    digits += 0x30
+    src_col = (maxlen - lens)[:, None] + np.arange(maxlen)[None, :]
+    aligned = np.take_along_axis(digits, np.minimum(src_col, maxlen - 1), axis=1)
+    block = np.zeros((n, 64), dtype=np.uint8)
+    valid = np.arange(maxlen)[None, :] < lens[:, None]
+    block[:, :maxlen] = np.where(valid, aligned, 0)
+    block[np.arange(n), lens] = 0x80
+    bitlen = (lens * 8).astype(np.uint64)
+    block[:, 56:64] = bitlen[:, None].view(np.uint8).reshape(n, 8)
+    return _md5_compress(block.view(np.uint32)).view(np.uint8).reshape(n, 16)
 
 
 def shingles(text: str, k: int = 5) -> list[str]:

@@ -91,8 +91,19 @@ def orders_by_nation(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         keys_sorted, nk_sorted = ray.get(lookup_ref)
         ck = np.asarray(batch.column("o_custkey"))
-        pos = np.searchsorted(keys_sorted, ck)
-        nk = nk_sorted[pos]  # referential integrity: every o_custkey exists
+        pos = np.clip(np.searchsorted(keys_sorted, ck), 0, len(keys_sorted) - 1)
+        # validate the hit instead of assuming referential integrity: an
+        # o_custkey absent from customer would silently join to a wrong
+        # nation (and one past max(c_custkey) would IndexError). Inner-
+        # join semantics on mismatch would silently drop revenue, so a
+        # broken input fails LOUDLY here.
+        bad = keys_sorted[pos] != ck
+        if bad.any():
+            raise ValueError(
+                f"orders_by_nation: {int(bad.sum())} o_custkey values missing "
+                f"from customer (first: {ck[bad][:5].tolist()})"
+            )
+        nk = nk_sorted[pos]
         v = batch.column("o_totalprice").to_numpy() * 100
         cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
         t = pa.table(
@@ -134,11 +145,14 @@ def hash_sample(sf_dir: str) -> "ray.data.Dataset":
     (unlike random_shuffle/random sample): membership is a pure function
     of the key — the property a 100 TB resumable pipeline needs.
     """
-    from .hashing import md5_hex
+    from .hashing import md5_batch_int_ids
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        mask = pa.array([md5_hex(str(i))[:2] < "0d" for i in ids])
+        # vectorized md5 over the decimal id renderings; the oracle's
+        # substr(md5(...), 1, 2) < '0d' on 2 hex chars == digest byte 0
+        # < 0x0d (lexicographic hex compare of one byte is numeric)
+        ids = np.asarray(batch.column("doc_id"))
+        mask = pa.array(md5_batch_int_ids(ids)[:, 0] < 0x0D)
         return batch.filter(mask).select(["doc_id"])
 
     import ray.data

@@ -160,23 +160,28 @@ def ray_read(paths: list[str], **kwargs):
     """ray.data reader over the adapter's data files (parquet leg in-sandbox).
 
     The lance leg reads each dataset URI separately (``read_lance`` is a
-    single-URI API with no ``include_paths``/``override_num_blocks``),
-    stamps the path column the pipeline derives part ids from, and unions
-    the per-partition datasets. ``override_num_blocks`` is approximated
-    per URI; unsupported kwargs are not forwarded.
+    single-URI API with no ``include_paths``), forwarding ``columns``
+    (pruned read at the source — Ray 2.49 read_lance supports it) and an
+    ``override_num_blocks`` share per URI, stamps the path column the
+    pipeline derives part ids from, and unions the per-partition
+    datasets. The leg is dormant in-sandbox (no ``lance`` package) but
+    covered by fake-module tests (tests/test_storage.py::TestLanceLeg).
     """
     import ray.data as rd
 
-    if HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
+    if HAVE_LANCE:
         include_paths = kwargs.pop("include_paths", False)
         total_blocks = kwargs.pop("override_num_blocks", None)
-        kwargs.pop("columns", None)  # read_lance has no column pruning kwarg here
+        columns = kwargs.pop("columns", None)
         per_uri = max(1, (total_blocks or len(paths)) // max(1, len(paths)))
         parts = []
         for p in paths:
-            ds = rd.read_lance(p, **kwargs)
-            if total_blocks:
-                ds = ds.repartition(per_uri)
+            ds = rd.read_lance(
+                p,
+                columns=columns,
+                override_num_blocks=per_uri if total_blocks else None,
+                **kwargs,
+            )
             if include_paths:
                 path = p
 

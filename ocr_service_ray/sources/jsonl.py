@@ -58,13 +58,18 @@ def ingest_jsonl(src_path: str, docs_root: str, n_parts: int = 4) -> dict:
     manifest per partition, the pipeline's resume unit).
 
     Partition assignment is a deterministic hash of doc_id so re-ingest
-    is idempotent and independent of read parallelism.
+    is idempotent and independent of read parallelism. The target root
+    is CLEARED first: a prior ingest with a different (source, n_parts)
+    would otherwise leave stale committed partitions whose docs get
+    silently duplicated into the new layout (same hazard run_pipeline
+    guards against with clear_all_parts on resume=False).
     """
     import hashlib
 
     import ray
     import ray.data
 
+    storage.clear_all_parts(docs_root)
     ds = ray.data.read_json(src_path)
 
     def to_part_rows(batch: pa.Table) -> pa.Table:
@@ -135,12 +140,14 @@ def ingest_text_csv(src_path: str, docs_root: str, n_parts: int = 4) -> dict:
     """CSV of (doc_id, text) -> single-text-span docs in the partitioned
     layout — the text-only on-ramp (CSV cannot carry nested spans; rows
     become one ``text`` span at offset 0). Same deterministic hash
-    partitioning as the JSONL path."""
+    partitioning (and same clear-target-first stale-partition guard) as
+    the JSONL path."""
     import hashlib
 
     import ray
     import ray.data
 
+    storage.clear_all_parts(docs_root)
     ds = ray.data.read_csv(src_path)
 
     def to_part_rows(batch: pa.Table) -> pa.Table:

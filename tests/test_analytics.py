@@ -24,6 +24,38 @@ SF = "/root/testdata/sf0.001"
 
 
 class TestHashing:
+    def test_md5_batch_parity_with_hashlib(self):
+        import hashlib
+        import random
+
+        from ocr_service_ray.analytics.hashing import (
+            md5_batch,
+            md5_batch_int_ids,
+            md5_hash64,
+            md5_hash_tokens,
+        )
+
+        rng = random.Random(1)
+        msgs = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 56)))
+                for _ in range(2000)]
+        want = np.stack([np.frombuffer(hashlib.md5(m).digest(), np.uint8)
+                         for m in msgs])
+        assert (md5_batch(msgs) == want).all()
+        with pytest.raises(ValueError):
+            md5_batch([b"x" * 56])
+
+        ids = np.array(
+            [0, 1, 9, 10, 99, 100, 12345, 10**17, 10**18 - 1]
+            + [rng.randrange(10**12) for _ in range(3000)], np.int64)
+        want = np.stack([np.frombuffer(hashlib.md5(str(i).encode()).digest(),
+                                       np.uint8) for i in ids])
+        assert (md5_batch_int_ids(ids) == want).all()
+
+        # token path: short vectorized leg + long-token hashlib fallback
+        toks = ["", "a", "hello", "x" * 55, "y" * 56, "z" * 200, "café", "日本語"]
+        assert (md5_hash_tokens(toks)
+                == np.array([md5_hash64(t) for t in toks], np.uint64)).all()
+
     def test_normalize_matches_sql_form(self):
         con = duckdb.connect()
         for s in ["  A  b\tC ", "x", "", "a\n\nb"]:
@@ -111,6 +143,26 @@ class TestOracleEquivalence:
             if a.dtype != b.dtype:
                 b = b.astype(a.dtype)
             pd.testing.assert_series_equal(a, b, check_names=False)
+
+    def test_block_pair_sims_tolerates_empty_block(self):
+        """A degenerate zero-row block must yield an empty pair table,
+        not crash the whole embedding_neardup query (np.vstack raises on
+        empty input)."""
+        import ray
+
+        from ocr_service_ray.analytics.dedup import _block_pair_sims
+
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        })
+        full = pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())),
+        })
+        for a, b in ((empty, full), (full, empty), (empty, empty)):
+            out = ray.get(_block_pair_sims.remote(a, b, 0.4, False))
+            assert len(out) == 0 and out.column_names == ["vec_a", "vec_b"]
 
     def test_hot_bucket_bound_identical_cluster(self, tmp_path):
         """A giant identical-doc cluster must yield bounded task output:

@@ -31,6 +31,26 @@ class TestRowsToDocTable:
 
 @pytest.mark.usefixtures("ray_session")
 class TestIngest:
+    def test_reingest_smaller_nparts_leaves_no_stale_parts(self, tmp_path):
+        """Re-ingesting into a root that holds a prior wider layout must
+        clear it first — stale committed partitions would silently
+        duplicate docs into the pipeline input."""
+        src = tmp_path / "d.jsonl"
+        with open(src, "w") as f:
+            for i in range(30):
+                f.write(json.dumps({
+                    "doc_id": f"s-{i:03d}",
+                    "spans": [{"kind": "text", "text": f"t {i}", "offset": 0}],
+                }) + "\n")
+        root = str(tmp_path / "docs")
+        ingest_jsonl(str(src), root, n_parts=6)
+        assert len(storage.list_parts(root)) == 6
+        info = ingest_jsonl(str(src), root, n_parts=2)
+        assert set(storage.list_parts(root)) == {0, 1}
+        # total docs across parts == source docs, no duplication
+        n = sum(len(storage.read_part(root, p)) for p in storage.list_parts(root))
+        assert n == 30 == info["n_docs"]
+
     def test_jsonl_roundtrip_through_pipeline(self, tmp_path):
         src = tmp_path / "docs.jsonl"
         with open(src, "w") as f:

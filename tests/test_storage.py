@@ -65,3 +65,81 @@ class TestFreshRunCleanup:
             f.write("x")
         assert storage.clear_uncommitted(root) == [2]
         assert storage.list_parts(root) == []
+
+
+class TestLanceLeg:
+    """The lance branch is dormant in-sandbox (no ``lance`` package);
+    these tests pin its logic with a fake module so regressions there
+    don't ship untested (VERDICT r2 item 6 / ADVICE storage.py:173)."""
+
+    class _FakeLance:
+        def __init__(self):
+            self.writes = []
+            self.reads = []
+            self._tables = {}
+
+        def write_dataset(self, table, path, mode=None):
+            self.writes.append({"path": path, "mode": mode, "rows": len(table)})
+            self._tables[path] = table
+
+        def dataset(self, path):
+            self.reads.append(path)
+            tables = self._tables
+
+            class _DS:
+                def to_table(self, columns=None):
+                    t = tables[path]
+                    return t.select(columns) if columns else t
+
+            return _DS()
+
+    def _enable(self, monkeypatch):
+        fake = self._FakeLance()
+        monkeypatch.setattr(storage, "HAVE_LANCE", True)
+        monkeypatch.setattr(storage, "lance", fake, raising=False)
+        return fake
+
+    def test_write_read_roundtrip_via_fake_lance(self, tmp_path, monkeypatch):
+        fake = self._enable(monkeypatch)
+        root = str(tmp_path)
+        storage.write_part(root, 3, _tbl())
+        assert fake.writes == [
+            {"path": storage.data_path(root, 3), "mode": "overwrite", "rows": 3}
+        ]
+        assert storage.data_path(root, 3).endswith("data.lance")
+        got = storage.read_part(root, 3, columns=["a"])
+        assert got.equals(_tbl())
+        assert fake.reads == [storage.data_path(root, 3)]
+
+    def test_ray_read_lance_stamps_paths_prunes_columns_and_unions(
+        self, tmp_path, monkeypatch, ray_session
+    ):
+        import ray.data as rd
+
+        self._enable(monkeypatch)
+        calls = []
+        tables = {
+            "part=0/data.lance": pa.table({"a": [1, 2], "b": ["x", "y"]}),
+            "part=1/data.lance": pa.table({"a": [3], "b": ["z"]}),
+        }
+
+        def fake_read_lance(uri, *, columns=None, override_num_blocks=None, **kw):
+            calls.append({"uri": uri, "columns": columns,
+                          "override_num_blocks": override_num_blocks})
+            t = tables[uri]
+            return rd.from_arrow(t.select(columns) if columns else t)
+
+        monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+        ds = storage.ray_read(
+            list(tables), include_paths=True, columns=["a"], override_num_blocks=8
+        )
+        out = ds.to_pandas().sort_values("a").reset_index(drop=True)
+        # columns kwarg must reach read_lance (pruned read, not dropped)
+        assert [c["columns"] for c in calls] == [["a"], ["a"]]
+        assert [c["override_num_blocks"] for c in calls] == [4, 4]
+        # both URIs unioned; path column stamped per source URI
+        assert out["a"].tolist() == [1, 2, 3]
+        assert out["path"].tolist() == [
+            "part=0/data.lance", "part=0/data.lance", "part=1/data.lance"
+        ]
+        assert "b" not in out.columns
