@@ -42,6 +42,11 @@ class PipelineConfig:
     # --- blob lookup ---
     blob_lookup_mode: str = "partition"  # "partition" (co-partitioned files) | "broadcast"
     blob_cache_parts: int = 2  # per-actor LRU of blob partition dicts (locality-preserving read blocks keep hit rates high; large caches x many actors = tens of GB of heap)
+    # multi-node blob-store hook: None = blobs_root is a path every node
+    # resolves (shared fs / pyarrow-openable object store); else a
+    # picklable (blobs_root, part_id) -> pa.Table(media_ref, bytes)
+    # callable for stores pyarrow cannot open (see OcrStage docstring)
+    blob_fetcher: object = None
 
     # --- resume ---
     # input partitions per committed wave; 0 = all remaining (single

@@ -121,6 +121,8 @@ def _run_wave(
         "cache_parts": cfg.blob_cache_parts,
         "conf_floor": cfg.conf_floor,
     }
+    if cfg.blob_fetcher is not None:
+        actor_kwargs["fetcher"] = cfg.blob_fetcher
     if cfg.blob_lookup_mode == "broadcast":
         # small-corpus path: ship the whole blob dict through the object
         # store ONCE (SURVEY.md §2.4 fallback); partition mode is the

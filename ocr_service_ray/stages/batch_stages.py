@@ -143,6 +143,18 @@ class OcrStage:
     the co-partitioned sidecar table (media_ref prefix encodes the blob
     partition) through a small per-actor LRU of partition dicts, so
     shuffled rows carry only refs, never bytes.
+
+    MULTI-NODE CONTRACT: ``blobs_root`` is opened with local filesystem
+    calls (pq.ParquetFile) from EVERY actor, so on a real cluster it
+    must be a path every node resolves identically — shared storage
+    (NFS mount) or an fsspec-compatible object-store URI the pyarrow
+    filesystem layer can open (s3://... works through pq.ParquetFile's
+    filesystem inference). For stores pyarrow cannot open directly,
+    pass ``fetcher``: a picklable ``(blobs_root, part_id) ->
+    pyarrow.Table`` callable (columns media_ref, bytes) that replaces
+    the file open; the row-group index/LRU machinery then operates on
+    its result. In-sandbox tests exercise the local-path and fetcher
+    legs; the object-store leg is the same code path by construction.
     """
 
     def __init__(
@@ -151,11 +163,13 @@ class OcrStage:
         cache_parts: int = 4,
         blob_ref=None,
         conf_floor: float = 0.35,
+        fetcher=None,
     ):
         from .ocr.engine import OcrEngine
 
         self.engine = OcrEngine(conf_floor=conf_floor)
         self.blobs_root = blobs_root
+        self.fetcher = fetcher
         # row-group point-lookup state: per-part parquet handle +
         # ref -> (row_group, row) index (built from the tiny media_ref
         # column); LRU of decoded row-group dicts. Decoding a whole
@@ -178,6 +192,20 @@ class OcrStage:
         if part in self._handles:
             self._handles.move_to_end(part)
             return self._handles[part]
+        if self.fetcher is not None:
+            # custom-store leg: the fetcher returns the whole partition
+            # table; the index maps every ref into pseudo row group 0
+            try:
+                refs = self.fetcher(self.blobs_root, part).column("media_ref").to_pylist()
+                handle = (None, {r: (0, i) for i, r in enumerate(refs)})
+            except Exception:
+                handle = (None, {})
+            self._handles[part] = handle
+            while len(self._handles) > self.max_handles:
+                old_part, _ = self._handles.popitem(last=False)
+                for key in [k for k in self._rg_cache if k[0] == old_part]:
+                    del self._rg_cache[key]
+            return handle
         import pyarrow.parquet as pq
 
         try:
@@ -213,6 +241,18 @@ class OcrStage:
         if key in self._rg_cache:
             self._rg_cache.move_to_end(key)
             return self._rg_cache[key]
+        if self.fetcher is not None:
+            try:
+                t = self.fetcher(self.blobs_root, part)
+                blobs = dict(
+                    zip(t.column("media_ref").to_pylist(), t.column("bytes").to_pylist())
+                )
+            except Exception:
+                blobs = {}
+            self._rg_cache[key] = blobs
+            while len(self._rg_cache) > self.max_rowgroups:
+                self._rg_cache.popitem(last=False)
+            return blobs
         pf, _ = self._part_handle(part)
         blobs: dict[str, bytes] = {}
         if pf is not None:

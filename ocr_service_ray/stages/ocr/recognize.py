@@ -93,6 +93,15 @@ class TemplateBank:
         # pool from the SCALED bitmaps so the crop-stretch binning
         # aliases identically for templates and observed patches
         self.grid_t = np.stack([self._pool_grid(bank[ch]) for ch in base_chars])
+        # pooled-accept gate margin DERIVED from the template set: the
+        # minimum inter-class squared pooled distance (2.0 on this font,
+        # D vs O). A constant margin tuned on one corpus silently
+        # mis-calibrates when the font/renderer changes; this re-derives
+        # on every bank build, so a tighter glyph set tightens the gate
+        # automatically (ADVICE r2, recognize.py:200).
+        dd = ((self.grid_t[:, None, :] - self.grid_t[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(dd, np.inf)
+        self.pool_margin = float(dd.min())
         self.char_variants = [
             np.flatnonzero(self.owner == i) for i in range(len(base_chars))
         ]
@@ -192,12 +201,15 @@ class TemplateBank:
                 top = np.argpartition(d, k - 1)[:k]
                 top = top[np.argsort(d[top])]
                 d1, d2 = float(d[top[0]]), float(d[top[1]])
-                # accept gate measured on the full small corpus: of
-                # 20,499 escalations the XOR stage overturned the pooled
-                # top-1 only 16 times, ALL with d1 > 2.0 — so margin 2.0
-                # at d1 <= 2.0 never changes a decision, it only skips
-                # confirmatory XOR work
-                if d1 <= 2.0 and d2 - d1 >= 2.0:
+                # accept gate: both caps are the bank-derived minimum
+                # inter-class pooled distance (pool_margin, == 2.0 on
+                # this font — the measured-safe constant: of 20,499
+                # escalations on the full small corpus the XOR stage
+                # overturned the pooled top-1 only 16 times, ALL with
+                # d1 > 2.0). Geometrically: the patch sits closer to
+                # top-1 than any two classes sit to each other, and the
+                # runner-up is a full class-gap behind.
+                if d1 <= self.pool_margin and d2 - d1 >= self.pool_margin:
                     chars_out[i] = self.chars[top[0]]
                     scores[i] = max(0.5, 1.0 - d1 / ncell)
                     continue

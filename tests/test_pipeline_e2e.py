@@ -67,6 +67,25 @@ class TestPipelineE2E:
         assert check["docs"] == 200
         assert check["mismatched"] == 0, check["examples"][:1]
 
+    def test_blob_fetcher_hook_serves_all_blobs(self, tiny_corpus, tmp_path):
+        """The multi-node blob-store hook: with blobs_root pointing at a
+        path that does NOT exist, a custom fetcher must serve every
+        lookup — span equality proves no blob fell back to local files."""
+        from ocr_service_ray.core.config import PipelineConfig
+
+        real_blobs = tiny_corpus["blobs"]
+
+        def fetch(_root: str, part: int):
+            return storage.read_part(real_blobs, part, columns=["media_ref", "bytes"])
+
+        out = str(tmp_path / "out")
+        run_pipeline(
+            tiny_corpus["docs"], str(tmp_path / "no-such-blobs"), out,
+            cfg=PipelineConfig(blob_fetcher=fetch),
+        )
+        check = verify_output(out, tiny_corpus["expected"])
+        assert check["mismatched"] == 0, check["examples"][:1]
+
     def test_broken_engine_constant_trips_span_gate(self):
         """The span-query family is self-verifying: a deliberately-broken
         engine constant (conf_floor above every token's confidence, plumbed
