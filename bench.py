@@ -89,6 +89,9 @@ def run_queries(num_cpus: int) -> dict:
             "embedding_neardup": lambda: dedup.embedding_neardup_pairs(sf_dir()),
             "ann_topk": lambda: similarity.brute_topk(sf_dir()),
             "ann_ivf_topk": lambda: similarity.ivf_topk(sf_dir()),
+            "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),
+            "lang_id": lambda: text_analysis.lang_id(sf_dir()).materialize(),
+            "text_normalize": lambda: text_analysis.text_normalize(sf_dir()).materialize(),
             "token_counts": lambda: text_analysis.token_counts(sf_dir()).materialize(),
             "quality_scores": lambda: text_analysis.quality_scores(sf_dir()).materialize(),
             "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
@@ -106,6 +109,10 @@ def run_queries(num_cpus: int) -> dict:
             "approx_distinct_users": lambda: windows.approx_distinct_users(sf_dir()),
             "value_quantiles": lambda: windows.value_quantiles(sf_dir()),
             "hash_sample": lambda: relational.hash_sample(sf_dir()).materialize(),
+            "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir()),
+            "stratified_sample": lambda: relational.stratified_sample(sf_dir()),
+            "running_totals": lambda: windows.running_totals(sf_dir()),
+            "neardup_clusters": lambda: dedup.neardup_clusters(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

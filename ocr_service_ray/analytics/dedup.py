@@ -490,3 +490,111 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pa.Table:
             futs.append(_block_pair_sims.remote(refs[i], refs[j], threshold, i == j))
     tbl = pa.concat_tables(ray.get(futs))
     return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+# ----------------------------------------------------------------------
+# Near-dup clusters (connected components over verified pairs)
+
+
+def neardup_clusters(sf_dir: str, **lsh_kwargs) -> pa.Table:
+    """Connected components over the verified near-dup pairs:
+    (doc_id, cluster_rep) where cluster_rep = min doc_id of the
+    component — the assignment step that turns a pair list into the
+    keep-one-per-cluster dedup decision.
+
+    Distributed shape (BSP min-label propagation, every step a Ray
+    groupby — no driver-side graph):
+
+      labels(node) := node
+      repeat: every node sends its label to its neighbors;
+              new label := min(own, incoming)          [groupby(node)]
+      until the label sum stops changing (monotone -> fixed point).
+
+    Each iteration MATERIALIZES the label dataset — iterative lineage
+    would otherwise re-execute all prior rounds per step. Propagation
+    needs O(component diameter) rounds (near-dup clusters are shallow;
+    pointer-doubling is the O(log n) upgrade if they ever are not, at
+    the cost of a second shuffle per round). The pair list itself is
+    O(duplicate rate), so edges are small relative to the corpus; the
+    label table is bounded by the number of docs IN pairs, not the
+    corpus.
+    """
+    pairs = lsh_kwargs.pop("pairs", None)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "cluster_rep": pa.array([], pa.int64())}
+    )
+    if len(pairs) == 0:
+        return empty
+    a = np.asarray(pairs.column("doc_a"), dtype=np.int64)
+    b = np.asarray(pairs.column("doc_b"), dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)
+    # edge rows: (node, cand=neighbor, label=null); label rows:
+    # (node, cand=null, label) — same schema, union-able
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(src),
+                "cand": pa.array(dst),
+                "label": pa.array([None] * len(src), pa.int64()),
+            }
+        )
+    ).materialize()
+    labels = ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+    ).materialize()
+    prev_sum = None
+    for _ in range(64):
+
+        def send(group: pa.Table) -> pa.Table:
+            lbl_np = group.column("label").to_numpy(zero_copy_only=False)
+            is_label = ~np.isnan(lbl_np.astype(np.float64))
+            lbl = int(lbl_np[is_label][0])
+            cand_np = group.column("cand").to_numpy(zero_copy_only=False)
+            out_nodes = cand_np[~is_label].astype(np.int64)
+            node = int(group.column("node")[0].as_py())
+            return pa.table(
+                {
+                    "node": pa.array(np.append(out_nodes, node), pa.int64()),
+                    "cand": pa.array(
+                        np.full(len(out_nodes) + 1, lbl, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        tagged = edges.union(
+            labels.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "cand": pa.array([None] * len(t), pa.int64()),
+                        "label": t.column("label"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            tagged.groupby("node")
+            .map_groups(send, batch_format="pyarrow")
+            .groupby("node")
+            .min("cand")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError("neardup_clusters: no convergence in 64 rounds")
+    tbl = _collect(labels, pa.schema([("node", pa.int64()), ("label", pa.int64())]))
+    return pa.table(
+        {"doc_id": tbl.column("node"), "cluster_rep": tbl.column("label")}
+    ).sort_by([("doc_id", "ascending")])

@@ -227,3 +227,127 @@ def source_stats(sf_dir: str) -> pa.Table:
     final["avg_chars"] = final["sum_chars"] / final["n_docs"]
     final = final.sort_values(["source", "lang"]).reset_index(drop=True)
     return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def revenue_by_nation(sf_dir: str, num_partitions: int = 16) -> pa.Table:
+    """Large-large distributed equi-join: lineitem ⋈ orders on orderkey
+    (both sides too big to broadcast), then customer→nation broadcast +
+    combiner aggregate. Revenue = sum of cents(l_extendedprice *
+    (1 - l_discount)) per nation.
+
+    Ray shape — the canonical big-big join plan:
+      1. lineitem map_batches combiner: per-batch partial revenue per
+         l_orderkey (shrinks the join's left input to <= one row per
+         (batch, orderkey) — most of lineitem's fan-in collapses here)
+      2. native ``Dataset.join`` (hash, num_partitions) with orders
+         projected to (o_orderkey, o_custkey) — the ONLY all-to-all
+      3. custkey -> nationkey broadcast lookup (ray.put once) + another
+         per-batch partial aggregate per nationkey
+      4. tiny final groupby over 25 nations, names broadcast
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ckeys = np.asarray(cust.column("c_custkey"))
+    order_ck = np.argsort(ckeys)
+    lookup_ref = ray.put(
+        (ckeys[order_ck], np.asarray(cust.column("c_nationkey"))[order_ck])
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        # cents of ep*(1-disc): same op order as the SQL oracle
+        v = (
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy())
+        ) * 100.0
+        cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "cents": pa.array(cents, pa.int64())}
+        )
+        g = pa.TableGroupBy(t, ["l_orderkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "cents"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = li.join(
+        orders, "inner", num_partitions, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def by_nation_partial(batch: pa.Table) -> pa.Table:
+        keys_sorted, nk_sorted = ray.get(lookup_ref)
+        ck = np.asarray(batch.column("o_custkey"))
+        pos = np.clip(np.searchsorted(keys_sorted, ck), 0, len(keys_sorted) - 1)
+        if (keys_sorted[pos] != ck).any():
+            raise ValueError("revenue_by_nation: o_custkey missing from customer")
+        t = pa.table(
+            {"n_nationkey": pa.array(nk_sorted[pos], pa.int64()),
+             "revenue_cents": batch.column("cents")}
+        )
+        g = pa.TableGroupBy(t, ["n_nationkey"]).aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["n_nationkey", "revenue_cents"])
+
+    final = (
+        joined.map_batches(by_nation_partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .sum("revenue_cents")
+        .to_pandas()
+        .rename(columns={"sum(revenue_cents)": "revenue_cents"})
+    )
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    final["n_name"] = final["n_nationkey"].map(names)
+    final["revenue_cents"] = final["revenue_cents"].astype(np.int64)
+    final = final[["n_name", "revenue_cents"]].sort_values("n_name")
+    return pa.Table.from_pandas(final.reset_index(drop=True), preserve_index=False)
+
+
+def stratified_sample(sf_dir: str, k: int = 5) -> pa.Table:
+    """Deterministic per-source k-sample: the k docs with the smallest
+    (md5(doc_id), doc_id) within each source — reproducible across
+    cluster sizes AND balanced across strata (plain hash_sample skews
+    with stratum size).
+
+    Combiner shape (no full sort, no per-source materialization): each
+    batch keeps its local top-k per source (vectorized md5 + lexsort),
+    the final per-source merge sees only O(k x blocks) rows.
+    """
+    import pandas as pd
+
+    from .hashing import md5_batch_int_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        hexes = [d.tobytes().hex() for d in md5_batch_int_ids(ids)]
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "doc_id": ids, "h": hexes,
+        })
+        top = df.sort_values(["source", "h", "doc_id"]).groupby("source").head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("h", "ascending"), ("doc_id", "ascending")]).slice(0, k)
+        return t.select(["source", "doc_id"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tables)
+    return tbl.sort_by([("source", "ascending"), ("doc_id", "ascending")])

@@ -615,3 +615,34 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
             "approx_users": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+def running_totals(sf_dir: str) -> pa.Table:
+    """Per-user running value total over time (the prefix-scan shape):
+    for every event, the cumulative cents of that user's values up to
+    and including it, ordered by (ts, event_id).
+
+    Ray shape: groupby(user_id).map_groups with an in-group sort +
+    vectorized cumsum. One user = one group (the same per-user bound as
+    ``sessionize``; ``sessionize_segmented`` demonstrates the
+    segmented-scan plan that removes the bound when single users exceed
+    a task). Integer-cents discipline keeps the sums bit-identical to
+    the SQL window oracle.
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        v = t.column("value").to_numpy() * 100
+        cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tables)
+    return tbl.sort_by([("event_id", "ascending")])

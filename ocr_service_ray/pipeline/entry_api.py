@@ -557,6 +557,7 @@ def queries() -> dict:
         # training-data analytics (SQL-oracled where expressible)
         "exact_dedup": dedup.exact_dedup,
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
+        "neardup_clusters": lambda sf: dedup.neardup_clusters(sf),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf),
         "simhash": dedup.simhash_fingerprints,
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
@@ -574,6 +575,8 @@ def queries() -> dict:
         "lang_id": text_analysis.lang_id,
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
+        "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
+        "stratified_sample": lambda sf: relational.stratified_sample(sf),
         "hash_sample": relational.hash_sample,
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
         "source_stats": relational.source_stats,
@@ -586,6 +589,7 @@ def queries() -> dict:
         "distinct_users": windows.distinct_users,
         "approx_distinct_users": lambda sf: windows.approx_distinct_users(sf),
         "value_quantiles": lambda sf: windows.value_quantiles(sf),
+        "running_totals": lambda sf: windows.running_totals(sf),
         "ocr_raw_lines": q_ocr_raw_lines,
     }
 
@@ -636,6 +640,23 @@ def oracle_sql() -> dict:
         "minhash_pairs": _SHINGLE_JACCARD_SQL,
         # the inverted-index join is exact by construction (same plan).
         "ngram_jaccard": _SHINGLE_JACCARD_SQL,
+        # connected components over the verified pair set (recursive
+        # transitive closure; components are small, so the closure is
+        # cheap for the oracle — the Ray side uses distributed min-label
+        # propagation instead).
+        "neardup_clusters": (
+            "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+            + _SHINGLE_JACCARD_SQL
+            + ")), edges AS ("
+            "SELECT doc_a AS a, doc_b AS b FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs "
+            "UNION SELECT doc_a, doc_a FROM pairs "
+            "UNION SELECT doc_b, doc_b FROM pairs), "
+            "reach AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+            "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep "
+            "FROM reach GROUP BY a ORDER BY doc_id"
+        ),
         "embedding_neardup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -753,6 +774,28 @@ def oracle_sql() -> dict:
             "SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events, "
             "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0 AS duration_s "
             "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+        ),
+        # big-big hash join (lineitem ⋈ orders via native Dataset.join)
+        "revenue_by_nation": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "stratified_sample": (
+            "SELECT source, doc_id FROM ("
+            "SELECT source, doc_id, row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+            "WHERE rn <= 5 ORDER BY source, doc_id"
+        ),
+        "running_totals": (
+            "SELECT event_id, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
+            "FROM events ORDER BY event_id"
         ),
         "orders_by_nation": (
             "SELECT n_name, count(*) AS n_orders, "

@@ -126,7 +126,9 @@ class TestOracleEquivalence:
          "lang_id", "simhash", "text_normalize", "orders_by_nation",
          "hash_sample", "top_docs_by_words", "source_stats", "hopping_counts",
          "asof_join", "range_join", "sessionize_scan", "distinct_users",
-         "value_quantiles", "approx_distinct_users", "ann_ivf_exhaustive"],
+         "value_quantiles", "approx_distinct_users", "ann_ivf_exhaustive",
+         "revenue_by_nation", "stratified_sample", "running_totals",
+         "neardup_clusters"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -143,6 +145,20 @@ class TestOracleEquivalence:
             if a.dtype != b.dtype:
                 b = b.astype(a.dtype)
             pd.testing.assert_series_equal(a, b, check_names=False)
+
+    def test_neardup_clusters_chain_propagation(self):
+        """Min-label propagation must cross multiple hops: a chain
+        1-2-3-4-5 (no direct 1-5 pair) converges to rep 1 for all."""
+        from ocr_service_ray.analytics.dedup import neardup_clusters
+
+        pairs = pa.table({
+            "doc_a": pa.array([4, 3, 2, 1], pa.int64()),
+            "doc_b": pa.array([5, 4, 3, 2], pa.int64()),
+            "jaccard": pa.array([1.0] * 4, pa.float64()),
+        })
+        out = neardup_clusters("", pairs=pairs).to_pandas()
+        assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+        assert out["cluster_rep"].tolist() == [1] * 5
 
     def test_block_pair_sims_tolerates_empty_block(self):
         """A degenerate zero-row block must yield an empty pair table,
