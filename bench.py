@@ -113,6 +113,8 @@ def run_queries(num_cpus: int) -> dict:
             "stratified_sample": lambda: relational.stratified_sample(sf_dir()),
             "running_totals": lambda: windows.running_totals(sf_dir()),
             "neardup_clusters": lambda: dedup.neardup_clusters(sf_dir()),
+            "top_docs_per_source": lambda: relational.top_docs_per_source(sf_dir()),
+            "rare_token_scores": lambda: relational.rare_token_scores(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -351,3 +351,124 @@ def stratified_sample(sf_dir: str, k: int = 5) -> pa.Table:
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     tbl = pa.concat_tables(tables)
     return tbl.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+
+
+def top_docs_per_source(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k: the k longest docs (by n_chars, doc_id tie-break)
+    within EVERY source — the per-group ranking shape (global top-k is
+    ``top_docs_by_words``).
+
+    Combiner: each batch keeps its local top-k per source, the final
+    per-source merge sees O(k x blocks) rows — no global sort, no
+    per-source materialization.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "doc_id": np.asarray(batch.column("doc_id")),
+            "n_chars": np.asarray(batch.column("n_chars")),
+        })
+        top = (
+            df.sort_values(["source", "n_chars", "doc_id"],
+                           ascending=[True, False, True])
+            .groupby("source").head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = np.lexsort(
+            (np.asarray(group.column("doc_id")), -np.asarray(group.column("n_chars")))
+        )[:k]
+        t = group.take(idx)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "rank": pa.array(np.arange(1, len(t) + 1, dtype=np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tables)
+    return tbl.sort_by([("source", "ascending"), ("rank", "ascending")])
+
+
+def rare_token_scores(sf_dir: str, common_df: int = 20) -> pa.Table:
+    """Per-doc rare-token count: tokens whose corpus DOCUMENT frequency
+    is < ``common_df`` — an integer-exact contamination/quality signal
+    with the two-pass distributed shape of LM quality scoring:
+
+      pass 1: distributed document-frequency (distinct-per-doc word ->
+              groupby(word).count) — the corpus-sized shuffle
+      pass 2: broadcast the COMMON word set (bounded by Zipf: at most
+              n_docs * mean_words / common_df words can clear the bar,
+              so the broadcast shrinks as the threshold rises — never
+              the vocabulary) and count each doc's tokens outside it
+
+    Integer counts keep the DuckDB oracle hash-exact where a float LM
+    logprob sum would drift by summation order.
+    """
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        ids, words = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            uniq = set(normalize_text(text).split()) - {""}
+            ids.extend([doc_id] * len(uniq))
+            words.extend(sorted(uniq))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "word": pa.array(words, pa.string())}
+        )
+
+    from .hashing import normalize_text
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    df_tbl = (
+        docs.map_batches(doc_words, batch_format="pyarrow")
+        .groupby("word")
+        .count()
+    )
+
+    def common_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("count()"), common_df)
+        ).select(["word"])
+
+    common_tbl = pa.concat_tables(
+        [t for t in ray.get(
+            df_tbl.map_batches(common_only, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows]
+        or [pa.table({"word": pa.array([], pa.string())})]
+    )
+    common_ref = ray.put(frozenset(common_tbl.column("word").to_pylist()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        common = ray.get(common_ref)
+        out = []
+        for text in batch.column("text").to_pylist():
+            uniq = set(normalize_text(text).split()) - {""}
+            out.append(sum(1 for w in uniq if w not in common))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_rare_tokens": pa.array(out, pa.int64())}
+        )
+
+    out = docs.map_batches(score, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by([("doc_id", "ascending")])

@@ -577,6 +577,8 @@ def queries() -> dict:
         "orders_by_nation": relational.orders_by_nation,
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
         "stratified_sample": lambda sf: relational.stratified_sample(sf),
+        "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
+        "rare_token_scores": lambda sf: relational.rare_token_scores(sf),
         "hash_sample": relational.hash_sample,
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
         "source_stats": relational.source_stats,
@@ -784,6 +786,25 @@ def oracle_sql() -> dict:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        # grouped top-k (per-source ranking; global top-k is top_docs_by_words)
+        "top_docs_per_source": (
+            "SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank FROM ("
+            "SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+            "WHERE rn <= 3 ORDER BY source, rank"
+        ),
+        # two-pass rare-token quality signal (document frequency < 20)
+        "rare_token_scores": (
+            "WITH w2 AS (SELECT doc_id, unnest(list_distinct(string_split("
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS word "
+            "FROM documents), "
+            "w AS (SELECT doc_id, word FROM w2 WHERE word <> ''), "
+            "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word), "
+            "s AS (SELECT w.doc_id, count(*) AS n FROM w JOIN df ON w.word = df.word "
+            "WHERE df.df < 20 GROUP BY w.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_rare_tokens "
+            "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"
         ),
         "stratified_sample": (
             "SELECT source, doc_id FROM ("

@@ -128,7 +128,7 @@ class TestOracleEquivalence:
          "asof_join", "range_join", "sessionize_scan", "distinct_users",
          "value_quantiles", "approx_distinct_users", "ann_ivf_exhaustive",
          "revenue_by_nation", "stratified_sample", "running_totals",
-         "neardup_clusters"],
+         "neardup_clusters", "top_docs_per_source", "rare_token_scores"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
