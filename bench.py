@@ -115,6 +115,7 @@ def run_queries(num_cpus: int) -> dict:
             "neardup_clusters": lambda: dedup.neardup_clusters(sf_dir()),
             "top_docs_per_source": lambda: relational.top_docs_per_source(sf_dir()),
             "rare_token_scores": lambda: relational.rare_token_scores(sf_dir()),
+            "approx_quantiles_kmv": lambda: windows.approx_quantiles_kmv(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -646,3 +646,78 @@ def running_totals(sf_dir: str) -> pa.Table:
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     tbl = pa.concat_tables(tables)
     return tbl.sort_by([("event_id", "ascending")])
+
+
+def approx_quantiles_kmv(
+    sf_dir: str, k: int = 256, qs: tuple = (0.25, 0.5, 0.75, 0.9)
+) -> pa.Table:
+    """Approximate per-type quantiles from a KMV (k-minimum-values)
+    sample: each event_type keeps the k events with the SMALLEST
+    (md5(event_id), event_id) rank; quantiles are estimated from that
+    sample with the quantile_disc convention.
+
+    Why KMV instead of a t-digest: the sketch is DETERMINISTIC (the
+    sample is a pure function of the data, not of arrival order),
+    MERGEABLE (union + re-take-k — the AggregateFn merge below), and
+    therefore fully SQL-replicable: the DuckDB oracle reproduces the
+    exact sample and hence the exact estimates, so the driver
+    hash-verifies an *approximate* operator. A t-digest's centroids
+    depend on merge order — unverifiable by construction.
+
+    Shape: one shuffle of k-row sketch partials per (batch, type);
+    the value column never moves in full (contrast ``value_quantiles``,
+    the exact rank-pick path).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    from .hashing import md5_batch_int_ids
+
+    def sketch_batches(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_numpy(zero_copy_only=False))
+        ids = np.asarray(batch.column("event_id"))
+        vals = np.asarray(batch.column("value"), dtype=np.float64)
+        hexes = np.array([d.tobytes().hex() for d in md5_batch_int_ids(ids)])
+        types, sk = [], []
+        for t in np.unique(et):
+            m = et == t
+            order = np.lexsort((ids[m], hexes[m]))[:k]
+            types.append(str(t))
+            sk.append(list(zip(hexes[m][order], ids[m][order].tolist(),
+                               vals[m][order].tolist())))
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "sketch": pa.array(
+                sk, pa.list_(pa.struct([("h", pa.string()), ("i", pa.int64()),
+                                        ("v", pa.float64())]))),
+        })
+
+    def take_k(entries: list) -> list:
+        entries.sort(key=lambda e: (e["h"], e["i"]))
+        return entries[:k]
+
+    agg = AggregateFn(
+        init=lambda key: [],
+        accumulate_block=lambda acc, block: take_k(
+            acc + [e for row in block.column("sketch").to_pylist() for e in row]
+        ),
+        merge=lambda a, b: take_k(list(a) + list(b)),
+        name="sketch",
+    )
+    partials = _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+        sketch_batches, batch_format="pyarrow"
+    )
+    merged = partials.groupby("event_type").aggregate(agg)
+    rows = []
+    for t in ray.get(merged.to_arrow_refs()):
+        for r in t.to_pylist():
+            v = np.sort(np.array([e["v"] for e in r["sketch"]], dtype=np.float64))
+            n = len(v)
+            ests = [float(v[max(0, int(np.ceil(q * n)) - 1)]) for q in qs]
+            rows.append((r["event_type"], ests))
+    rows.sort()
+    cols: dict = {"event_type": pa.array([r[0] for r in rows], pa.string())}
+    for qi, q in enumerate(qs):
+        cols[f"q{int(q * 100)}_est"] = pa.array(
+            [r[1][qi] for r in rows], pa.float64()
+        )
+    return pa.table(cols)

@@ -592,6 +592,7 @@ def queries() -> dict:
         "approx_distinct_users": lambda sf: windows.approx_distinct_users(sf),
         "value_quantiles": lambda sf: windows.value_quantiles(sf),
         "running_totals": lambda sf: windows.running_totals(sf),
+        "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "ocr_raw_lines": q_ocr_raw_lines,
     }
 
@@ -811,6 +812,21 @@ def oracle_sql() -> dict:
             "SELECT source, doc_id, row_number() OVER (PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
             "WHERE rn <= 5 ORDER BY source, doc_id"
+        ),
+        # KMV sample quantiles: the oracle reproduces the deterministic
+        # k-minimum-values sample (md5 rank order) and hence the exact
+        # estimates — an APPROXIMATE operator with an exact oracle.
+        "approx_quantiles_kmv": (
+            "WITH r AS (SELECT event_type, value, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn FROM events), "
+            "s AS (SELECT event_type, value FROM r WHERE rn <= 256) "
+            "SELECT event_type, "
+            "CAST(quantile_disc(value, 0.25) AS DOUBLE) AS q25_est, "
+            "CAST(quantile_disc(value, 0.5) AS DOUBLE) AS q50_est, "
+            "CAST(quantile_disc(value, 0.75) AS DOUBLE) AS q75_est, "
+            "CAST(quantile_disc(value, 0.9) AS DOUBLE) AS q90_est "
+            "FROM s GROUP BY event_type ORDER BY event_type"
         ),
         "running_totals": (
             "SELECT event_id, "

@@ -128,7 +128,8 @@ class TestOracleEquivalence:
          "asof_join", "range_join", "sessionize_scan", "distinct_users",
          "value_quantiles", "approx_distinct_users", "ann_ivf_exhaustive",
          "revenue_by_nation", "stratified_sample", "running_totals",
-         "neardup_clusters", "top_docs_per_source", "rare_token_scores"],
+         "neardup_clusters", "top_docs_per_source", "rare_token_scores",
+         "approx_quantiles_kmv"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -145,6 +146,22 @@ class TestOracleEquivalence:
             if a.dtype != b.dtype:
                 b = b.astype(a.dtype)
             pd.testing.assert_series_equal(a, b, check_names=False)
+
+    def test_kmv_estimates_track_exact_quantiles(self):
+        """The deterministic KMV sample's estimates must sit near the
+        exact rank-pick quantiles (rank error ~1/sqrt(k) at k=256)."""
+        from ocr_service_ray.analytics.windows import (
+            approx_quantiles_kmv,
+            value_quantiles,
+        )
+
+        exact = value_quantiles(SF).to_pandas().set_index("event_type")
+        est = approx_quantiles_kmv(SF).to_pandas().set_index("event_type")
+        assert set(exact.index) == set(est.index)
+        for t in exact.index:
+            for q in ("q25", "q50", "q75", "q90"):
+                e, a = exact.loc[t, q], est.loc[t, f"{q}_est"]
+                assert abs(a - e) <= 0.25 * max(abs(e), 1.0), (t, q, e, a)
 
     def test_neardup_clusters_chain_propagation(self):
         """Min-label propagation must cross multiple hops: a chain
