@@ -116,6 +116,10 @@ def run_queries(num_cpus: int) -> dict:
             "top_docs_per_source": lambda: relational.top_docs_per_source(sf_dir()),
             "rare_token_scores": lambda: relational.rare_token_scores(sf_dir()),
             "approx_quantiles_kmv": lambda: windows.approx_quantiles_kmv(sf_dir()),
+            "purchaser_clicks": lambda: windows.purchaser_clicks(sf_dir()),
+            "singleton_docs": lambda: dedup.singleton_docs(sf_dir()),
+            "daily_type_pivot": lambda: windows.daily_type_pivot(sf_dir()),
+            "value_histogram": lambda: windows.value_histogram(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -598,3 +598,29 @@ def neardup_clusters(sf_dir: str, **lsh_kwargs) -> pa.Table:
     return pa.table(
         {"doc_id": tbl.column("node"), "cluster_rep": tbl.column("label")}
     ).sort_by([("doc_id", "ascending")])
+
+
+def singleton_docs(sf_dir: str, **lsh_kwargs) -> pa.Table:
+    """Broadcast ANTI-join: doc_ids with NO verified near-duplicate —
+    the keep-side complement of the pair list. The pair-member set is
+    O(duplicate rate), so it broadcasts (``ray.put`` once); documents
+    stream through a vectorized NOT-IN filter — no shuffle. (The
+    semi-join twin lives in windows.purchaser_clicks.)
+    """
+    pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs)
+    members = frozenset(np.asarray(pairs.column("doc_a")).tolist()) | frozenset(
+        np.asarray(pairs.column("doc_b")).tolist()
+    )
+    members_ref = ray.put(members)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ms = ray.get(members_ref)
+        ids = np.asarray(batch.column("doc_id"))
+        mask = np.fromiter((int(i) not in ms for i in ids), dtype=bool, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids[mask], pa.int64())})
+
+    out = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(keep, batch_format="pyarrow")
+    tbl = _collect(out, pa.schema([("doc_id", pa.int64())]))
+    return tbl.sort_by([("doc_id", "ascending")])

@@ -721,3 +721,132 @@ def approx_quantiles_kmv(
             [r[1][qi] for r in rows], pa.float64()
         )
     return pa.table(cols)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def purchaser_clicks(sf_dir: str) -> pa.Table:
+    """Semi-join + aggregate: click counts for users who have >= 1
+    purchase. The broadcast-semi-join shape: a distributed distinct
+    pass builds the (small) purchaser set, ``ray.put`` ONCE, then the
+    big side streams through a vectorized membership filter + combiner
+    count — no shuffle join. At web scale, when the key set outgrows a
+    broadcast dict, the same plan swaps the frozenset for a Bloom
+    filter (false positives then need a residual exact check).
+    """
+    import ray
+
+    purchasers = (
+        _events(sf_dir, ["user_id", "event_type"])
+        .filter(lambda r: r["event_type"] == "purchase")
+        .groupby("user_id")
+        .count()
+    )
+    keys = frozenset(
+        int(u)
+        for t in ray.get(purchasers.to_arrow_refs())
+        if t.num_rows
+        for u in t.column("user_id").to_pylist()
+    )
+    keys_ref = ray.put(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks = ray.get(keys_ref)
+        b = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        uid = np.asarray(b.column("user_id"))
+        mask = np.fromiter((int(u) in ks for u in uid), dtype=bool, count=len(uid))
+        t = pa.table(
+            {"user_id": pa.array(uid[mask], pa.int64()),
+             "n_clicks": pa.array(np.ones(int(mask.sum()), np.int64))}
+        )
+        g = pa.TableGroupBy(t, ["user_id"]).aggregate([("n_clicks", "sum")])
+        return g.rename_columns(["user_id", "n_clicks"])
+
+    final = (
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("n_clicks")
+        .to_pandas()
+        .rename(columns={"sum(n_clicks)": "n_clicks"})
+    )
+    if "n_clicks" not in final.columns:  # empty result loses its schema
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "n_clicks": pa.array([], pa.int64())}
+        )
+    final["n_clicks"] = final["n_clicks"].astype(np.int64)
+    final = final.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def daily_type_pivot(sf_dir: str) -> pa.Table:
+    """Pivot (wide aggregate): per DAY, one count column per event
+    type. The combiner computes the whole pivot row-block per batch
+    (vectorized bincount over day x type), so the shuffle moves only
+    |days| x |types| partials — the long->wide reshape never touches
+    full rows."""
+    import pyarrow.compute as pc
+
+    types = _EVENT_TYPES
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("s")), pa.int64()
+        ).to_numpy()
+        et = np.asarray(batch.column("event_type").to_numpy(zero_copy_only=False))
+        days, inv = np.unique(day, return_inverse=True)
+        cols: dict = {"day_s": pa.array(days, pa.int64())}
+        for t in types:
+            cols[f"n_{t}"] = pa.array(
+                np.bincount(inv, weights=(et == t).astype(np.float64),
+                            minlength=len(days)).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    partials = _events(sf_dir, ["ts", "event_type"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    final = (
+        partials.groupby("day_s")
+        .sum([f"n_{t}" for t in types])
+        .to_pandas()
+        .rename(columns={f"sum(n_{t})": f"n_{t}" for t in types})
+    )
+    for t in types:
+        final[f"n_{t}"] = final[f"n_{t}"].astype(np.int64)
+    final = final.sort_values("day_s").reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def value_histogram(sf_dir: str, width: float = 10.0) -> pa.Table:
+    """Fixed-width histogram of ``value`` per event_type (bin =
+    floor(value / width)): vectorized per-batch bincount combiner, tiny
+    final groupby — the distributed histogram shape."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_numpy(zero_copy_only=False))
+        b = np.floor(
+            np.asarray(batch.column("value"), dtype=np.float64) / width
+        ).astype(np.int64)
+        t = pa.table(
+            {"event_type": pa.array(et), "bin": pa.array(b, pa.int64()),
+             "n": pa.array(np.ones(len(b), np.int64))}
+        )
+        g = pa.TableGroupBy(t, ["event_type", "bin"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    final = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    final["n"] = final["n"].astype(np.int64)
+    final = final.sort_values(["event_type", "bin"]).reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)

@@ -593,6 +593,10 @@ def queries() -> dict:
         "value_quantiles": lambda sf: windows.value_quantiles(sf),
         "running_totals": lambda sf: windows.running_totals(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
+        "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
+        "singleton_docs": lambda sf: dedup.singleton_docs(sf),
+        "daily_type_pivot": lambda sf: windows.daily_type_pivot(sf),
+        "value_histogram": lambda sf: windows.value_histogram(sf),
         "ocr_raw_lines": q_ocr_raw_lines,
     }
 
@@ -827,6 +831,34 @@ def oracle_sql() -> dict:
             "CAST(quantile_disc(value, 0.75) AS DOUBLE) AS q75_est, "
             "CAST(quantile_disc(value, 0.9) AS DOUBLE) AS q90_est "
             "FROM s GROUP BY event_type ORDER BY event_type"
+        ),
+        # broadcast semi-join / anti-join + combiner count
+        "purchaser_clicks": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks FROM events "
+            "WHERE event_type = 'click' AND user_id IN "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        # broadcast anti-join: docs with no verified near-duplicate
+        "singleton_docs": (
+            "WITH p AS (SELECT doc_a, doc_b FROM (" + _SHINGLE_JACCARD_SQL + ")) "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT doc_a FROM p UNION SELECT doc_b FROM p) ORDER BY doc_id"
+        ),
+        # pivot (long -> wide) per day
+        "daily_type_pivot": (
+            "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "value_histogram": (
+            "SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "running_totals": (
             "SELECT event_id, "

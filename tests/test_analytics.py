@@ -129,7 +129,8 @@ class TestOracleEquivalence:
          "value_quantiles", "approx_distinct_users", "ann_ivf_exhaustive",
          "revenue_by_nation", "stratified_sample", "running_totals",
          "neardup_clusters", "top_docs_per_source", "rare_token_scores",
-         "approx_quantiles_kmv"],
+         "approx_quantiles_kmv", "purchaser_clicks", "singleton_docs",
+         "daily_type_pivot", "value_histogram"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
