@@ -120,6 +120,7 @@ def run_queries(num_cpus: int) -> dict:
             "singleton_docs": lambda: dedup.singleton_docs(sf_dir()),
             "daily_type_pivot": lambda: windows.daily_type_pivot(sf_dir()),
             "value_histogram": lambda: windows.value_histogram(sf_dir()),
+            "source_lang_rollup": lambda: relational.source_lang_rollup(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -472,3 +472,55 @@ def rare_token_scores(sf_dir: str, common_df: int = 20) -> pa.Table:
     out = docs.map_batches(score, batch_format="pyarrow")
     tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
     return tbl.sort_by([("doc_id", "ascending")])
+
+
+def source_lang_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP aggregate: doc counts + char sums at three levels —
+    (source, lang), per-source subtotal, grand total ('ALL' markers).
+
+    Distributed rollup plan: ONE combiner groupby computes the finest
+    level; the coarser levels are re-aggregations of that small result
+    on the driver (|sources| x |langs| rows) — never a second corpus
+    pass.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(len(batch), np.int64)),
+                "sum_chars": pa.array(
+                    np.asarray(batch.column("n_chars"), dtype=np.int64)
+                ),
+            }
+        )
+        g = pa.TableGroupBy(t, ["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "sum_chars"])
+
+    base = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum(["n_docs", "sum_chars"])
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(sum_chars)": "sum_chars"})
+    )
+    lvl1 = base.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+    lvl1["lang"] = "ALL"
+    total = pd.DataFrame(
+        {"source": ["ALL"], "lang": ["ALL"],
+         "n_docs": [base["n_docs"].sum()], "sum_chars": [base["sum_chars"].sum()]}
+    )
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    for c in ("n_docs", "sum_chars"):
+        out[c] = out[c].astype(np.int64)
+    out = out[["source", "lang", "n_docs", "sum_chars"]].sort_values(
+        ["source", "lang"]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

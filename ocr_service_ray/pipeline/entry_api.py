@@ -578,6 +578,7 @@ def queries() -> dict:
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
         "stratified_sample": lambda sf: relational.stratified_sample(sf),
         "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
+        "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
         "rare_token_scores": lambda sf: relational.rare_token_scores(sf),
         "hash_sample": relational.hash_sample,
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
@@ -798,6 +799,16 @@ def oracle_sql() -> dict:
             "SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source "
             "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
             "WHERE rn <= 3 ORDER BY source, rank"
+        ),
+        # three-level rollup ('ALL' markers make levels unambiguous)
+        "source_lang_rollup": (
+            "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1, 2 "
+            "UNION ALL SELECT source, 'ALL', CAST(count(*) AS BIGINT), "
+            "CAST(sum(n_chars) AS BIGINT) FROM documents GROUP BY 1 "
+            "UNION ALL SELECT 'ALL', 'ALL', CAST(count(*) AS BIGINT), "
+            "CAST(sum(n_chars) AS BIGINT) FROM documents "
+            "ORDER BY source, lang"
         ),
         # two-pass rare-token quality signal (document frequency < 20)
         "rare_token_scores": (

@@ -130,7 +130,7 @@ class TestOracleEquivalence:
          "revenue_by_nation", "stratified_sample", "running_totals",
          "neardup_clusters", "top_docs_per_source", "rare_token_scores",
          "approx_quantiles_kmv", "purchaser_clicks", "singleton_docs",
-         "daily_type_pivot", "value_histogram"],
+         "daily_type_pivot", "value_histogram", "source_lang_rollup"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
