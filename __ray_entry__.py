@@ -6,9 +6,11 @@ Ray session: nothing below calls ray.init()/ray.shutdown().
 - ``entry()``: flagship interleaved-span extraction pipeline at tiny
   scale (synthetic corpus per BASELINE.json input_hint); returns the
   flattened output span table.
-- ``queries()``: span-pipeline queries (rows-only; pinned by the
-  generator oracle in tests) + training-data analytics queries
-  (dedup / similarity / text analysis / combiner aggregation), the
+- ``queries()``: span-pipeline queries (SELF-VERIFYING: the underlying
+  run raises SpanVerificationError on any span-sequence mismatch vs
+  the generator oracle, so their rows-only driver check is backed by a
+  hard in-path gate) + training-data analytics queries (dedup /
+  similarity / clustering / joins / windows / sketches), the
   SQL-expressible ones matched column-for-column by ``oracle_sql()``.
 """
 

@@ -117,6 +117,13 @@ def _signature_batch(batch: pa.Table, num_perm: int, bands: int, shingle_k: int)
     )
 
 
+# minhash_pairs / neardup_clusters / singleton_docs all consume the
+# same verified pair list; memoize it per (corpus, params) so the three
+# queries pay for ONE LSH pass per process (same pattern as the
+# pipeline's blob_scan cache).
+_PAIRS_CACHE: dict[tuple, pa.Table] = {}
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     num_perm: int = 64,
@@ -161,6 +168,10 @@ def minhash_lsh_pairs(
     with the cap disabled); the adversarial identical-cluster test pins
     the bounded-output behavior.
     """
+    cache_key = (sf_dir, num_perm, bands, shingle_k, threshold, max_bucket)
+    cached = _PAIRS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     from ray.data.aggregate import AggregateFn
 
     docs = _docs(sf_dir)
@@ -214,10 +225,12 @@ def minhash_lsh_pairs(
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("count()", pa.int64())]),
     )  # O(candidates)
     if len(pair_tbl) == 0:
-        return pa.table(
+        out = pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
+        _PAIRS_CACHE[cache_key] = out
+        return out
     a_ids = pair_tbl.column("doc_a").to_pylist()
     b_ids = pair_tbl.column("doc_b").to_pylist()
     need_ref = ray.put(frozenset(a_ids) | frozenset(b_ids))
@@ -267,7 +280,9 @@ def minhash_lsh_pairs(
         verified,
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]),
     )
-    return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    out = tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    _PAIRS_CACHE[cache_key] = out
+    return out
 
 
 # ----------------------------------------------------------------------
