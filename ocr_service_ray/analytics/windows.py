@@ -490,9 +490,11 @@ def value_quantiles(
 
     @ray.remote
     def run_summary(tbl: pa.Table) -> list[tuple[str, int]]:
-        et = np.asarray(tbl.column("event_type").to_numpy(zero_copy_only=False))
-        if not len(et):
+        # empty sort-output blocks carry degenerate schemas (Ray 2.49
+        # quirk, same as dedup._collect) — treat as no runs
+        if tbl.num_rows == 0 or "event_type" not in tbl.column_names:
             return []
+        et = np.asarray(tbl.column("event_type").to_numpy(zero_copy_only=False))
         change = np.flatnonzero(et[1:] != et[:-1]) + 1
         starts = np.concatenate(([0], change, [len(et)]))
         return [

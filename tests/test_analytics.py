@@ -148,6 +148,33 @@ class TestOracleEquivalence:
                 b = b.astype(a.dtype)
             pd.testing.assert_series_equal(a, b, check_names=False)
 
+    def test_value_quantiles_tie_heavy_distribution(self, con):
+        """Massive ties spanning sorted-block boundaries: the rank-pick
+        must still land on the exact quantile_disc value."""
+        import ray.data
+
+        from ocr_service_ray.analytics.windows import value_quantiles
+
+        rng = np.random.default_rng(777)
+        # only 7 distinct values over 30k rows -> every sorted block
+        # boundary cuts through a run of ties
+        vals = rng.choice([1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 13.0], size=30_000)
+        types = rng.choice(["a", "b"], size=30_000)
+        tbl = pa.table({"event_type": pa.array(types), "value": pa.array(vals)})
+        ds = ray.data.from_arrow(tbl).repartition(16)
+        got = value_quantiles("", events=ds).to_pandas()
+        con2 = duckdb.connect()
+        con2.register("t", tbl.to_pandas())
+        want = con2.execute(
+            "SELECT event_type, "
+            "CAST(quantile_disc(value, 0.25) AS DOUBLE) AS q25, "
+            "CAST(quantile_disc(value, 0.5) AS DOUBLE) AS q50, "
+            "CAST(quantile_disc(value, 0.75) AS DOUBLE) AS q75, "
+            "CAST(quantile_disc(value, 0.9) AS DOUBLE) AS q90 "
+            "FROM t GROUP BY event_type ORDER BY event_type"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
     def test_kmv_estimates_track_exact_quantiles(self):
         """The deterministic KMV sample's estimates must sit near the
         exact rank-pick quantiles (rank error ~1/sqrt(k) at k=256)."""
