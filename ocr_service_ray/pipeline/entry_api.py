@@ -488,6 +488,89 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     return out.sort_by([("media_ref", "ascending"), ("feature", "ascending")])
 
 
+def q_multimodal_segments(sf_dir: str) -> pa.Table:
+    """Scene-change keyframes + energy-VAD audio segments over synthetic
+    multimodal payloads (REAL detection/DSP algorithms on the charter-
+    sanctioned synthetic codecs; exact outputs pinned by unit tests on
+    constructed scenes/waveforms — this query exercises the actor-pool
+    plumbing at corpus shape)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from ..stages.multimodal import (
+        AudioSegmentStage,
+        KeyframeStage,
+        encode_audio,
+        encode_video,
+    )
+
+    n = 24 if "0.001" in sf_dir else 72
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng([777, i])
+        if i % 2 == 0:
+            rate = 8000
+            win = int(rate * 0.05)
+            parts = []
+            for _seg in range(int(rng.integers(1, 4))):
+                parts.append(np.zeros(int(rng.integers(2, 5)) * win, np.float32))
+                t = np.arange(int(rng.integers(3, 7)) * win) / rate
+                parts.append(
+                    (0.5 * np.sin(2 * np.pi * float(rng.uniform(100, 300)) * t)
+                     ).astype(np.float32)
+                )
+            rows.append({"media_ref": f"seg-aud-{i:04d}", "kind": "audio",
+                         "bytes": encode_audio(np.concatenate(parts), rate)})
+        else:
+            h, w = 24, 32
+            frames = []
+            for _scene in range(int(rng.integers(2, 5))):
+                plane = np.full((h, w), int(rng.integers(0, 255)), np.uint8)
+                frames.extend([plane] * int(rng.integers(2, 4)))
+            rows.append({"media_ref": f"seg-vid-{i:04d}", "kind": "video",
+                         "bytes": encode_video(np.stack(frames))})
+    rows.append({"media_ref": "seg-aud-bad", "kind": "audio", "bytes": b"x"})
+    rows.append({"media_ref": "seg-vid-bad", "kind": "video", "bytes": b"y"})
+    tbl = pa.table({
+        "media_ref": pa.array([r["media_ref"] for r in rows]),
+        "kind": pa.array([r["kind"] for r in rows]),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    audio = ds.filter(lambda r: r["kind"] == "audio").map_batches(
+        AudioSegmentStage, concurrency=2, batch_size=16, batch_format="pyarrow"
+    )
+    video = ds.filter(lambda r: r["kind"] == "video").map_batches(
+        KeyframeStage, concurrency=2, batch_size=8, batch_format="pyarrow"
+    )
+    a = pa.concat_tables(ray.get(audio.to_arrow_refs()))
+    v = pa.concat_tables(ray.get(video.to_arrow_refs()))
+    out = pa.table({
+        "media_ref": pa.concat_arrays(
+            [a.column("media_ref").combine_chunks(), v.column("media_ref").combine_chunks()]
+        ),
+        "modality": pa.array(["audio"] * len(a) + ["video"] * len(v)),
+        "status": pa.concat_arrays(
+            [a.column("status").combine_chunks(), v.column("status").combine_chunks()]
+        ),
+        "detail": pa.concat_arrays([
+            pa.array([
+                f"seg{si}:{s0:.2f}-{e0:.2f}@rms={r:.4f}"
+                for si, s0, e0, r in zip(
+                    a.column("seg_idx").to_pylist(), a.column("start_s").to_pylist(),
+                    a.column("end_s").to_pylist(), a.column("rms").to_pylist())
+            ]),
+            pa.array([
+                f"kf{fi}:change={c:.2f}"
+                for fi, c in zip(v.column("frame_index").to_pylist(),
+                                 v.column("change").to_pylist())
+            ]),
+        ]),
+    })
+    return out.sort_by([("media_ref", "ascending"), ("detail", "ascending")])
+
+
 def q_image_features(sf_dir: str) -> pa.Table:
     """Image modality leg: raster decode + ink-density features over the
     blob sidecar (the fully-REAL image path — SYNR codec + Otsu, no
@@ -552,6 +635,7 @@ def queries() -> dict:
         "doc_status": q_doc_status,
         "qrcode_urls": q_qrcode_urls,
         "multimodal_features": q_multimodal_features,
+        "multimodal_segments": q_multimodal_segments,
         "image_features": q_image_features,
         "skew_metrics": q_skew_profile,
         # training-data analytics (SQL-oracled where expressible)

@@ -227,3 +227,128 @@ class ImageFeatureStage:
                 for name in IMAGE_FEATURE_SCHEMA.names
             }
         )
+
+
+KEYFRAME_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("frame_index", pa.int32()),
+        ("change", pa.float64()),  # mean |diff| vs previous keyframe
+        ("frame", pa.binary()),
+        ("status", pa.string()),
+    ]
+)
+
+
+class KeyframeStage:
+    """Actor stage: video payload -> scene-change keyframes.
+
+    REAL algorithm (decode is the synthetic codec, the detection is
+    not): frame 0 is always a keyframe; a later frame becomes one when
+    its mean absolute pixel difference vs the PREVIOUS KEYFRAME exceeds
+    ``threshold`` (classic cumulative scene-change detection — an
+    every-k sampler re-OCRs near-identical frames; this emits one frame
+    per visual change). Deterministic; exact keyframe indices are
+    pinned by unit tests on constructed scene-change videos.
+    """
+
+    def __init__(self, threshold: float = 8.0, max_frames: int = 16) -> None:
+        self.threshold = threshold
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ocr import raster
+
+        rows = {k: [] for k in KEYFRAME_SCHEMA.names}
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            frames = _decode_video(payload)
+            if frames is None:
+                rows["media_ref"].append(ref)
+                rows["frame_index"].append(-1)
+                rows["change"].append(0.0)
+                rows["frame"].append(b"")
+                rows["status"].append("erro")
+                continue
+            prev = None
+            n_emitted = 0
+            for fi in range(len(frames)):
+                f = frames[fi].astype(np.float64)
+                change = 255.0 if prev is None else float(np.abs(f - prev).mean())
+                if prev is None or change >= self.threshold:
+                    rows["media_ref"].append(ref)
+                    rows["frame_index"].append(fi)
+                    rows["change"].append(round(change, 6))
+                    rows["frame"].append(raster.encode(frames[fi]))
+                    rows["status"].append("ok")
+                    prev = f
+                    n_emitted += 1
+                    if n_emitted >= self.max_frames:
+                        break
+        return pa.Table.from_pydict(rows, schema=KEYFRAME_SCHEMA)
+
+
+AUDIO_SEGMENT_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("seg_idx", pa.int32()),
+        ("start_s", pa.float64()),
+        ("end_s", pa.float64()),
+        ("rms", pa.float64()),
+        ("status", pa.string()),
+    ]
+)
+
+
+class AudioSegmentStage:
+    """Actor stage: audio payload -> voiced segments (silence split).
+
+    REAL DSP (decode is the synthetic codec, the segmentation is not):
+    RMS over fixed ``window_s`` windows; a segment is a maximal run of
+    windows with rms >= ``threshold`` — the classic energy-VAD shape a
+    speech pipeline runs before transcription. Vectorized (reshape +
+    per-window RMS + run-length extraction); deterministic.
+    """
+
+    def __init__(self, window_s: float = 0.05, threshold: float = 0.1) -> None:
+        self.window_s = window_s
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in AUDIO_SEGMENT_SCHEMA.names}
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            decoded = _decode_audio(payload)
+            if decoded is None:
+                rows["media_ref"].append(ref)
+                rows["seg_idx"].append(-1)
+                rows["start_s"].append(0.0)
+                rows["end_s"].append(0.0)
+                rows["rms"].append(0.0)
+                rows["status"].append("erro")
+                continue
+            rate, s = decoded
+            win = max(1, int(rate * self.window_s))
+            n_win = len(s) // win
+            if n_win == 0:
+                continue
+            w = s[: n_win * win].reshape(n_win, win).astype(np.float64)
+            rms = np.sqrt((w * w).mean(axis=1))
+            voiced = rms >= self.threshold
+            # run-length extraction of voiced windows
+            change = np.flatnonzero(np.diff(voiced.astype(np.int8)))
+            bounds = np.concatenate(([0], change + 1, [n_win]))
+            seg = 0
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                if not voiced[b0]:
+                    continue
+                rows["media_ref"].append(ref)
+                rows["seg_idx"].append(seg)
+                rows["start_s"].append(round(b0 * win / rate, 6))
+                rows["end_s"].append(round(b1 * win / rate, 6))
+                rows["rms"].append(round(float(rms[b0:b1].mean()), 6))
+                rows["status"].append("ok")
+                seg += 1
+        return pa.Table.from_pydict(rows, schema=AUDIO_SEGMENT_SCHEMA)

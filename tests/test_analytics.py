@@ -330,6 +330,46 @@ class TestOracleEquivalence:
 
 
 class TestMultimodal:
+    def test_keyframe_stage_exact_scene_changes(self):
+        """Constructed video: 3 scenes over 9 frames -> keyframes must be
+        EXACTLY the first frame of each scene (plus error record)."""
+        from ocr_service_ray.stages.multimodal import KeyframeStage, encode_video
+
+        h, w = 20, 30
+        scene_a = np.full((h, w), 10, np.uint8)
+        scene_b = np.full((h, w), 200, np.uint8)
+        scene_c = np.zeros((h, w), np.uint8)
+        scene_c[:10] = 255
+        frames = np.stack([scene_a] * 3 + [scene_b] * 4 + [scene_c] * 2)
+        batch = pa.table({
+            "media_ref": ["v", "bad"],
+            "bytes": [encode_video(frames), b"junk"],
+        })
+        out = KeyframeStage(threshold=8.0)(batch).to_pylist()
+        ok = [r for r in out if r["status"] == "ok"]
+        assert [r["frame_index"] for r in ok] == [0, 3, 7]
+        assert ok[1]["change"] == 190.0  # |200-10| everywhere
+        assert [r["status"] for r in out if r["media_ref"] == "bad"] == ["erro"]
+
+    def test_audio_segment_stage_exact_silence_split(self):
+        """Constructed waveform: voice / silence / voice -> exactly two
+        segments with exact boundaries (window-aligned input)."""
+        from ocr_service_ray.stages.multimodal import AudioSegmentStage, encode_audio
+
+        rate = 1000
+        win = 50  # window_s 0.05 * 1000
+        voiced = np.full(4 * win, 0.5, np.float32)
+        silence = np.zeros(6 * win, np.float32)
+        s = np.concatenate([voiced, silence, voiced, voiced])
+        batch = pa.table({
+            "media_ref": ["a"], "bytes": [encode_audio(s, rate)],
+        })
+        out = AudioSegmentStage(window_s=0.05, threshold=0.1)(batch).to_pylist()
+        assert [(r["seg_idx"], r["start_s"], r["end_s"]) for r in out] == [
+            (0, 0.0, 0.2), (1, 0.5, 0.9),
+        ]
+        assert all(abs(r["rms"] - 0.5) < 1e-9 for r in out)
+
     def test_audio_features_and_errors(self):
         import pyarrow as pa
 
