@@ -38,6 +38,13 @@ class PipelineConfig:
     blocks_per_part: int = 8
     cost_repartition: bool = False
     num_cost_buckets: int = 64
+    # Ray DataContext.target_max_block_size override (bytes; 0 = Ray
+    # default 128 MiB). Matters for fat-media corpora: a block must fit
+    # worker heap TIMES actor concurrency — with multi-MB blobs resolved
+    # inside the actor the default is fine (shuffled rows carry only
+    # refs), but a pipeline that DID carry decoded payloads between
+    # stages should drop this to ~16-32 MiB.
+    target_max_block_size: int = 0
 
     # --- blob lookup ---
     blob_lookup_mode: str = "partition"  # "partition" (co-partitioned files) | "broadcast"

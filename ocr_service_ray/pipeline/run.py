@@ -80,6 +80,12 @@ def _run_wave(
     cfg: PipelineConfig,
 ) -> list[dict]:
     """One committed wave of partitions; returns their metrics rows."""
+    if cfg.target_max_block_size:
+        import ray.data
+
+        ray.data.DataContext.get_current().target_max_block_size = (
+            cfg.target_max_block_size
+        )
     files = storage.data_files(docs_root, parts)
     # locality-preserving skew spread: many small read blocks per input
     # partition (spans of one partition stay contiguous -> the OCR
