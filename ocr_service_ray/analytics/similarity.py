@@ -118,9 +118,14 @@ def _kmeans_lite(x: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 0)
     return cent
 
 
+# bump when the index-building code (k-means, assignment, layout)
+# changes so stale /tmp indexes from older code auto-invalidate
+IVF_VERSION = 2
+
+
 def _ivf_root(sf_dir: str, n_clusters: int) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/graft_ivf/{tag}-c{n_clusters}"
+    return f"/tmp/graft_ivf/v{IVF_VERSION}/{tag}-c{n_clusters}"
 
 
 def ivf_build_index(sf_dir: str, n_clusters: int = 16, seed: int = 0) -> str:

@@ -53,7 +53,9 @@ def rows_to_doc_table(rows: list[dict]) -> pa.Table:
     ).cast(DOC_SCHEMA)
 
 
-def ingest_jsonl(src_path: str, docs_root: str, n_parts: int = 4) -> dict:
+def ingest_jsonl(
+    src_path: str, docs_root: str, n_parts: int = 4, append: bool = False
+) -> dict:
     """Distributed JSONL read -> partitioned doc storage (one data file +
     manifest per partition, the pipeline's resume unit).
 
@@ -63,20 +65,32 @@ def ingest_jsonl(src_path: str, docs_root: str, n_parts: int = 4) -> dict:
     would otherwise leave stale committed partitions whose docs get
     silently duplicated into the new layout (same hazard run_pipeline
     guards against with clear_all_parts on resume=False).
+
+    ``append=True`` is the INCREMENTAL-BATCH mode: the new drop lands as
+    fresh partition ids after the existing ones (nothing cleared, nothing
+    overwritten), so a follow-up ``run_pipeline(..., resume=True)``
+    processes ONLY the new partitions — daily drops ride the existing
+    checkpoint machinery with no special-case code.
     """
     import hashlib
 
     import ray
     import ray.data
 
-    storage.clear_all_parts(docs_root)
+    if append:
+        existing = storage.list_parts(docs_root)
+        offset = (max(existing) + 1) if existing else 0
+    else:
+        storage.clear_all_parts(docs_root)
+        offset = 0
     ds = ray.data.read_json(src_path)
 
     def to_part_rows(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
         t = rows_to_doc_table(rows)
         parts = [
-            int.from_bytes(
+            offset
+            + int.from_bytes(
                 hashlib.md5(d.encode("utf-8")).digest()[:4], "big"
             ) % n_parts
             for d in t.column("doc_id").to_pylist()

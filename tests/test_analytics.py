@@ -175,6 +175,35 @@ class TestOracleEquivalence:
         ).df()
         pd.testing.assert_frame_equal(got, want)
 
+    def test_running_totals_duplicate_timestamp_tiebreak(self):
+        """Identical timestamps within a user must order by event_id —
+        the sf events may not contain ties, so the oracle match there
+        doesn't prove the tie-break; this fixture does."""
+        import pyarrow.parquet as pq
+        import tempfile
+
+        from ocr_service_ray.analytics.windows import running_totals
+
+        ts = pa.array([1_000_000] * 4 + [2_000_000, 2_000_000], pa.timestamp("us"))
+        tbl = pa.table({
+            "event_id": pa.array([3, 1, 2, 0, 5, 4], pa.int64()),
+            "user_id": pa.array([7] * 6, pa.int64()),
+            "ts": ts,
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        })
+        d = tempfile.mkdtemp(prefix="ties_")
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = running_totals(d).to_pandas()
+        con2 = duckdb.connect()
+        con2.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        want = con2.execute(
+            "SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
+            "FROM events ORDER BY event_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
     def test_kmv_estimates_track_exact_quantiles(self):
         """The deterministic KMV sample's estimates must sit near the
         exact rank-pick quantiles (rank error ~1/sqrt(k) at k=256)."""

@@ -51,6 +51,39 @@ class TestIngest:
         n = sum(len(storage.read_part(root, p)) for p in storage.list_parts(root))
         assert n == 30 == info["n_docs"]
 
+    def test_incremental_append_ingest_rides_resume(self, tmp_path):
+        """Daily-drop shape: a second JSONL drop appended as NEW
+        partitions makes resume process only those — committed ones are
+        skipped, and the final output holds both drops."""
+        from ocr_service_ray.pipeline.run import run_pipeline
+
+        def write_src(path, prefix, n):
+            with open(path, "w") as f:
+                for i in range(n):
+                    f.write(json.dumps({
+                        "doc_id": f"{prefix}-{i:03d}",
+                        "spans": [{"kind": "text", "text": f"{prefix} {i}", "offset": 0}],
+                    }) + "\n")
+
+        root, out = str(tmp_path / "docs"), str(tmp_path / "out")
+        src1, src2 = tmp_path / "a.jsonl", tmp_path / "b.jsonl"
+        write_src(src1, "day1", 20)
+        write_src(src2, "day2", 15)
+        ingest_jsonl(str(src1), root, n_parts=3)
+        s1 = run_pipeline(root, str(tmp_path / "noblobs"), out)
+        assert s1["processed"] == 3
+        ingest_jsonl(str(src2), root, n_parts=3, append=True)
+        assert set(storage.list_parts(root)) == {0, 1, 2, 3, 4, 5}
+        s2 = run_pipeline(root, str(tmp_path / "noblobs"), out)
+        assert s2["skipped_committed"] == 3
+        assert s2["processed"] == 3
+        got = set()
+        for p in storage.list_parts(out):
+            got |= {r["doc_id"] for r in storage.read_part(out, p).to_pylist()}
+        assert got == {f"day1-{i:03d}" for i in range(20)} | {
+            f"day2-{i:03d}" for i in range(15)
+        }
+
     def test_jsonl_roundtrip_through_pipeline(self, tmp_path):
         src = tmp_path / "docs.jsonl"
         with open(src, "w") as f:
