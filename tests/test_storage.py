@@ -143,3 +143,47 @@ class TestLanceLeg:
             "part=0/data.lance", "part=0/data.lance", "part=1/data.lance"
         ]
         assert "b" not in out.columns
+
+
+class TestCompaction:
+    def _make_parts(self, root, sizes):
+        for p, n in enumerate(sizes):
+            t = pa.table({"doc_id": [f"d{p}-{i}" for i in range(n)],
+                          "v": list(range(n))})
+            storage.write_part(root, p, t)
+            storage.commit_manifest(root, p, {"part_id": p, "n_docs": n})
+
+    def test_compact_merges_contiguous_and_preserves_rows(self, tmp_path, ray_session):
+        from ocr_service_ray.pipeline.compact import compact_parts, plan_bins
+
+        root, out = str(tmp_path / "in"), str(tmp_path / "out")
+        self._make_parts(root, [30, 30, 30, 90, 10, 10, 10])
+        # greedy fill to <= target: [30+30+30], [90+10 = exactly 100], [10+10]
+        assert plan_bins(root, 100) == [[0, 1, 2], [3, 4], [5, 6]]
+        m = compact_parts(root, out, target_rows=100)
+        assert m["n_bins"] == 3 and m["compacted"] == 3
+        assert storage.list_parts(out) == [0, 1, 2]
+        got = []
+        for p in storage.list_parts(out):
+            got.extend(storage.read_part(out, p).column("doc_id").to_pylist())
+        want = []
+        for p in storage.list_parts(root):
+            want.extend(storage.read_part(root, p).column("doc_id").to_pylist())
+        assert got == want  # contiguous order preserved
+        # lineage recorded
+        assert storage.read_manifest(out, 0)["source_parts"] == [0, 1, 2]
+
+    def test_compact_resume_skips_committed(self, tmp_path, ray_session):
+        from ocr_service_ray.pipeline.compact import compact_parts
+
+        root, out = str(tmp_path / "in"), str(tmp_path / "out")
+        self._make_parts(root, [10, 10, 10, 10])
+        compact_parts(root, out, target_rows=20)
+        import os
+
+        mtime = os.path.getmtime(storage.data_path(out, 0))
+        # drop bin 1's manifest -> it must be redone, bin 0 untouched
+        os.unlink(storage.manifest_path(out, 1))
+        m = compact_parts(root, out, target_rows=20)
+        assert m["skipped_committed"] == 1 and m["compacted"] == 1
+        assert os.path.getmtime(storage.data_path(out, 0)) == mtime
