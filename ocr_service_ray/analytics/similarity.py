@@ -248,3 +248,102 @@ def ivf_topk(
             "rank": pa.array(rows["rank"], type=pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------------------------
+# Distributed k-means (iterative BSP over the full table)
+
+_KM_SCALE = 1 << 20  # fixed-point accumulation scale
+
+
+def kmeans_fit(
+    sf_dir: str, n_clusters: int = 8, iters: int = 8, seed: int = 0, ds=None
+) -> np.ndarray:
+    """Full-table distributed k-means over normalized embeddings.
+
+    Per iteration: broadcast centroids (``ray.put`` once) -> map_batches
+    computes per-batch partial CLUSTER SUMS in FIXED-POINT int64
+    (embeddings scaled by 2^20 and rounded) -> tiny driver reduce of
+    k x (dim+1) integers -> new centroids. Integer partials make the
+    reduction ORDER-INDEPENDENT, so the fitted centroids are
+    bit-identical for ANY block layout / cluster size — the same
+    determinism discipline as the span pipeline (float partial sums
+    would drift with reduction order and break the blocking-invariance
+    guarantee). Seeding matches ``_kmeans_lite``-style deterministic
+    init (seeded choice of initial rows via the bounded sample read).
+    """
+    sample = _emb(sf_dir).limit(4096).to_pandas()
+    x0 = _norm_rows(np.vstack(sample["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x0), size=min(n_clusters, len(x0)), replace=False)
+    cent = x0[np.sort(idx)].copy()
+
+    if ds is None:
+        ds = _emb(sf_dir)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _norm_rows(
+                np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+            )
+            assign = (m @ c.T).argmax(axis=1)
+            fx = np.rint(m * _KM_SCALE).astype(np.int64)
+            k, d = c.shape
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, assign, fx)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "count": pa.array(counts),
+                    "sums": pa.array(list(sums), pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        k, d = cent.shape
+        tot = np.zeros((k, d), dtype=object)  # python ints: exact any scale
+        cnt = np.zeros(k, dtype=np.int64)
+        for t in parts:
+            if t.num_rows == 0 or "cluster" not in t.column_names:
+                continue
+            cl = np.asarray(t.column("cluster"))
+            cnt_p = np.asarray(t.column("count"))
+            sums_p = t.column("sums").to_pylist()
+            for i, c_id in enumerate(cl):
+                cnt[c_id] += cnt_p[i]
+                tot[c_id] += np.array(sums_p[i], dtype=object)
+        new = cent.copy()
+        for c_id in range(k):
+            if cnt[c_id] == 0:
+                continue
+            v = (tot[c_id].astype(np.float64) / _KM_SCALE) / cnt[c_id]
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                new[c_id] = v / n
+        cent = new
+    return cent
+
+
+def embedding_clusters(sf_dir: str, n_clusters: int = 8, iters: int = 8) -> pa.Table:
+    """(vec_id, cluster) assignments from the distributed k-means fit —
+    deterministic across block layouts (see ``kmeans_fit``). No SQL
+    oracle (iterative); invariance + quality pinned by tests."""
+    cent = kmeans_fit(sf_dir, n_clusters=n_clusters, iters=iters)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _norm_rows(np.vstack(batch.column("embedding").to_pylist()).astype(np.float64))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array((m @ c.T).argmax(axis=1).astype(np.int64)),
+            }
+        )
+
+    out = _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by([("vec_id", "ascending")])

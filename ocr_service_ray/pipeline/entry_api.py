@@ -652,6 +652,9 @@ def queries() -> dict:
         # build, hive-cell pruned read, per-cell masking, top-k merge);
         # the nprobe<k variant above stays the approximate scale demo.
         "ann_ivf_exhaustive": lambda sf: similarity.ivf_topk(sf, nprobe=16),
+        # iterative BSP over the full table; no SQL oracle (iterative
+        # float) — determinism across block layouts pinned by tests
+        "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
         "token_counts": text_analysis.token_counts,
         "text_normalize": text_analysis.text_normalize,
         "quality_scores": text_analysis.quality_scores,

@@ -318,6 +318,32 @@ class TestOracleEquivalence:
         ).df()
         pd.testing.assert_frame_equal(got, want)
 
+    def test_kmeans_blocking_invariance_and_quality(self):
+        """Fixed-point accumulation makes the fitted centroids
+        BIT-IDENTICAL for any block layout (the float version would
+        drift with reduction order); assignments must beat random
+        clustering on within-cluster similarity."""
+        from ocr_service_ray.analytics.similarity import (
+            _emb,
+            _norm_rows,
+            embedding_clusters,
+            kmeans_fit,
+        )
+
+        c1 = kmeans_fit(SF, n_clusters=6, iters=4, ds=_emb(SF))
+        c2 = kmeans_fit(SF, n_clusters=6, iters=4, ds=_emb(SF).repartition(13))
+        assert np.array_equal(c1, c2)
+
+        out = embedding_clusters(SF, n_clusters=6, iters=4).to_pandas()
+        emb = _emb(SF).to_pandas().sort_values("vec_id")
+        m = _norm_rows(np.vstack(emb["embedding"].to_numpy()).astype(np.float64))
+        cl = out.sort_values("vec_id")["cluster"].to_numpy()
+        # mean sim to own centroid > mean sim to global mean direction
+        own = np.array([float(m[i] @ c1[cl[i]]) for i in range(len(m))]).mean()
+        g = m.mean(axis=0)
+        g /= np.linalg.norm(g)
+        assert own > (m @ g).mean() + 0.01
+
     def test_ivf_recall_vs_brute(self):
         from ocr_service_ray.analytics.similarity import brute_topk, ivf_topk
 
