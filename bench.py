@@ -121,6 +121,7 @@ def run_queries(num_cpus: int) -> dict:
             "daily_type_pivot": lambda: windows.daily_type_pivot(sf_dir()),
             "value_histogram": lambda: windows.value_histogram(sf_dir()),
             "source_lang_rollup": lambda: relational.source_lang_rollup(sf_dir()),
+            "embedding_clusters": lambda: similarity.embedding_clusters(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()
