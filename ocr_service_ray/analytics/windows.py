@@ -738,10 +738,16 @@ def purchaser_clicks(sf_dir: str) -> pa.Table:
     filter (false positives then need a residual exact check).
     """
     import ray
+    import pyarrow.compute as pc
 
     purchasers = (
         _events(sf_dir, ["user_id", "event_type"])
-        .filter(lambda r: r["event_type"] == "purchase")
+        # vectorized predicate inside map_batches — ds.filter(row_fn)
+        # would call Python once per row on the corpus-sized table
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")),
+            batch_format="pyarrow",
+        )
         .groupby("user_id")
         .count()
     )
