@@ -352,3 +352,50 @@ class AudioSegmentStage:
                 rows["status"].append("ok")
                 seg += 1
         return pa.Table.from_pydict(rows, schema=AUDIO_SEGMENT_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("thumb", pa.binary()),  # SYNR payload, resized
+        ("status", pa.string()),
+    ]
+)
+
+
+class ThumbnailStage:
+    """Actor stage: raster payload -> fixed-size thumbnail (SYNR).
+
+    The RESIZE verb of the multimodal charter, fully real in-sandbox:
+    SYNR decode + nearest-neighbor ``resize_gray`` + SYNR re-encode.
+    Width/height report the ORIGINAL dimensions (the thumbnail's are the
+    configured ones); undecodable payloads become error records.
+    """
+
+    def __init__(self, thumb_h: int = 32, thumb_w: int = 48) -> None:
+        from .ocr import raster
+
+        self.h, self.w = thumb_h, thumb_w
+        self._decode = raster.decode
+        self._encode = raster.encode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in THUMBNAIL_SCHEMA.names}
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            img = self._decode(payload)
+            rows["media_ref"].append(ref)
+            if img is None:
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["thumb"].append(b"")
+                rows["status"].append("erro")
+                continue
+            rows["height"].append(int(img.shape[0]))
+            rows["width"].append(int(img.shape[1]))
+            rows["thumb"].append(self._encode(resize_gray(img, self.h, self.w)))
+            rows["status"].append("ok")
+        return pa.Table.from_pydict(rows, schema=THUMBNAIL_SCHEMA)

@@ -514,3 +514,25 @@ class TestImageFeatures:
         assert 0.0 < ok["ink_ratio"] < 0.5
         assert ok["n_rows_with_ink"] > 0
         assert bad["status"] == "erro" and bad["width"] == 0
+
+
+class TestThumbnail:
+    def test_thumbnail_stage_resizes_and_errors(self, ray_session):
+        import numpy as np
+
+        from ocr_service_ray.stages.multimodal import ThumbnailStage
+        from ocr_service_ray.stages.ocr import raster
+
+        img = np.zeros((64, 96), np.uint8)
+        img[:32, :] = 200  # top half bright: survives resize recognizably
+        batch = pa.table({
+            "media_ref": ["t", "bad"],
+            "bytes": [raster.encode(img), b"nope"],
+        })
+        out = ThumbnailStage(thumb_h=16, thumb_w=24)(batch).to_pylist()
+        ok, bad = out
+        assert (ok["height"], ok["width"]) == (64, 96)  # original dims
+        thumb = raster.decode(ok["thumb"])
+        assert thumb.shape == (16, 24)
+        assert (thumb[:8] == 200).all() and (thumb[8:] == 0).all()
+        assert bad["status"] == "erro" and bad["thumb"] == b""
