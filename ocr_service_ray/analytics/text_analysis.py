@@ -147,3 +147,149 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds)})
 
     return _docs(sf_dir).map_batches(lid, batch_format="pyarrow")
+
+
+# PII-style pattern redaction: pyarrow.compute's replace_substring_regex
+# is RE2 — the same engine DuckDB's regexp_replace uses, so patterns
+# behave identically on both sides and the oracle is exact.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, redacted, n_redactions): emails / phone-ish numbers /
+    IPv4 literals replaced with typed placeholders — the standard
+    pre-training scrub pass, fully vectorized (pyarrow.compute RE2
+    kernels, zero Python per row) and oracle-exact (DuckDB shares the
+    RE2 engine)."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        a = pc.fill_null(batch.column("text"), "")
+        n = None
+        for pat, _ in _PII_PATTERNS:
+            c = pc.count_substring_regex(a, pat)
+            n = c if n is None else pc.add(n, c)
+        for pat, repl in _PII_PATTERNS:
+            a = pc.replace_substring_regex(a, pat, repl)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted": a,
+                "n_redactions": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
+def chunk_documents(
+    sf_dir: str, chunk_words: int = 64, stride_words: int = 48
+) -> pa.Table:
+    """Sliding-window document chunking: each doc -> overlapping chunks
+    of ``chunk_words`` whitespace tokens every ``stride_words`` — the
+    flat_map (one row -> many rows) shape every context-window training
+    pipeline needs. Chunk boundaries are a pure function of the word
+    sequence, so the SQL oracle slices identically."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids, idxs, texts, n_words = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = (text or "").split()
+            if not words:
+                continue
+            i = 0
+            ci = 0
+            while True:
+                piece = words[i : i + chunk_words]
+                ids.append(doc_id)
+                idxs.append(ci)
+                texts.append(" ".join(piece))
+                n_words.append(len(piece))
+                if i + chunk_words >= len(words):
+                    break
+                i += stride_words
+                ci += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk": pa.array(texts, pa.string()),
+                "n_words": pa.array(n_words, pa.int64()),
+            }
+        )
+
+    import ray
+
+    out = _docs(sf_dir).map_batches(chunks, batch_format="pyarrow")
+    # drop zero-row blocks: empty read splits pass through with the
+    # INPUT schema and break a naive concat
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tables) if tables else pa.table(
+        {"doc_id": pa.array([], pa.int64()), "chunk_idx": pa.array([], pa.int64()),
+         "chunk": pa.array([], pa.string()), "n_words": pa.array([], pa.int64())}
+    )
+    return tbl.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+
+
+def benchmark_contamination(
+    sf_dir: str, n_benchmark: int = 5, shingle_k: int = 13
+) -> pa.Table:
+    """Decontamination check: flag corpus docs sharing any ``shingle_k``-
+    word shingle with the 'benchmark' set (here: doc_id < n_benchmark,
+    standing in for an eval suite). The canonical two-pass shape:
+
+      1. benchmark shingle set built once from the tiny benchmark slice
+         and BROADCAST (``ray.put``) — eval suites are small by nature
+      2. the corpus streams through a vectorized any-hit membership
+         check — no shuffle, no join
+
+    13-gram overlap is the published decontamination heuristic (GPT-3
+    appendix-style); integer hit counts keep the oracle exact.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .hashing import shingles
+
+    bench = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("doc_id"), n_benchmark)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    bench_shingles = set()
+    for _, row in bench.iterrows():
+        bench_shingles.update(shingles(row["text"], shingle_k))
+    bench_ref = ray.put(frozenset(bench_shingles))
+
+    def check(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bench_ref)
+        ids, hits = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sh = set(shingles(text, shingle_k))
+            ids.append(doc_id)
+            hits.append(len(sh & bs))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_contaminated_shingles": pa.array(hits, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(check, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tables) if tables else pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_contaminated_shingles": pa.array([], pa.int64())}
+    )
+    return tbl.sort_by([("doc_id", "ascending")])

@@ -656,6 +656,9 @@ def queries() -> dict:
         # float) — determinism across block layouts pinned by tests
         "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
         "token_counts": text_analysis.token_counts,
+        "redact_pii": text_analysis.redact_pii,
+        "chunk_documents": lambda sf: text_analysis.chunk_documents(sf),
+        "benchmark_contamination": lambda sf: text_analysis.benchmark_contamination(sf),
         "text_normalize": text_analysis.text_normalize,
         "quality_scores": text_analysis.quality_scores,
         "fingerprints": text_analysis.fingerprints,
@@ -761,6 +764,50 @@ def oracle_sql() -> dict:
         ),
         "ann_topk": _BRUTE_TOPK_SQL,
         "ann_ivf_exhaustive": _BRUTE_TOPK_SQL,
+        # PII scrub: counts from the ORIGINAL text, replacements applied
+        # email -> phone -> ip (same order both sides; RE2 both sides)
+        "redact_pii": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "+ len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b')) "
+            "+ len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "AS BIGINT) AS n_redactions FROM documents"
+        ),
+        # sliding-window chunking (64-word chunks every 48 words)
+        "chunk_documents": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words "
+            "FROM documents), "
+            "v AS (SELECT doc_id, words, len(words) AS n FROM w "
+            "WHERE len(words) > 0 AND words[1] <> ''), "
+            "c AS (SELECT doc_id, words, n, unnest(generate_series(0, "
+            "CASE WHEN n <= 64 THEN 0 ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS ci "
+            "FROM v) "
+            "SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+            "array_to_string(words[1 + ci * 48 : least(ci * 48 + 64, n)], ' ') AS chunk, "
+            "CAST(least(ci * 48 + 64, n) - ci * 48 AS BIGINT) AS n_words "
+            "FROM c ORDER BY doc_id, chunk_idx"
+        ),
+        # 13-gram decontamination vs the doc_id < 5 'benchmark' slice
+        "benchmark_contamination": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words "
+            "FROM documents), "
+            "g AS (SELECT doc_id, words, "
+            "unnest(generate_series(1, greatest(len(words) - 12, 1))) AS i "
+            "FROM w WHERE len(words) > 0 AND words[1] <> ''), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(words[i:least(i + 12, len(words))], ' ') AS shingle FROM g), "
+            "b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5), "
+            "hits AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN b USING (shingle) "
+            "GROUP BY sh.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_shingles "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
+        ),
         "token_counts": (
             "SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "

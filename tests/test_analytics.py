@@ -130,7 +130,8 @@ class TestOracleEquivalence:
          "revenue_by_nation", "stratified_sample", "running_totals",
          "neardup_clusters", "top_docs_per_source", "rare_token_scores",
          "approx_quantiles_kmv", "purchaser_clicks", "singleton_docs",
-         "daily_type_pivot", "value_histogram", "source_lang_rollup"],
+         "daily_type_pivot", "value_histogram", "source_lang_rollup",
+         "redact_pii", "chunk_documents", "benchmark_contamination"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -536,3 +537,87 @@ class TestThumbnail:
         assert thumb.shape == (16, 24)
         assert (thumb[:8] == 200).all() and (thumb[8:] == 0).all()
         assert bad["status"] == "erro" and bad["thumb"] == b""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextPipelineOps:
+    """The sf corpus contains no PII and no cross-doc 13-gram overlap,
+    so the driver's oracle equality there never exercises the POSITIVE
+    paths; these fixtures do, still oracle-compared via DuckDB."""
+
+    def _write_docs(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def _oracle(self, sf, name):
+        from ocr_service_ray.pipeline import entry_api
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        return con.execute(entry_api.oracle_sql()[name]).df()
+
+    def test_redact_pii_positive(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import redact_pii
+
+        sf = self._write_docs(tmp_path, [
+            "mail me at jo.doe+x@ex-ample.co.uk today",
+            "call 555-123-4567 or 555 9876 5432 now",
+            "server at 10.0.255.3 and also bob@host.org",
+            "nothing sensitive here",
+        ])
+        got = redact_pii(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["n_redactions"].tolist() == [1, 2, 2, 0]
+        assert "<EMAIL>" in got["redacted"][0] and "jo.doe" not in got["redacted"][0]
+        assert got["redacted"][1].count("<PHONE>") == 2
+        assert "<IP>" in got["redacted"][2] and "<EMAIL>" in got["redacted"][2]
+        want = self._oracle(sf, "redact_pii").sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_benchmark_contamination_positive(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import benchmark_contamination
+
+        bench_text = " ".join(f"w{i}" for i in range(30))
+        contaminated = "intro words " + " ".join(f"w{i}" for i in range(13)) + " outro"
+        clean = " ".join(f"z{i}" for i in range(30))
+        sf = self._write_docs(
+            tmp_path, [bench_text] * 5 + [contaminated, clean]
+        )
+        got = benchmark_contamination(sf).to_pandas()
+        by_id = dict(zip(got["doc_id"], got["n_contaminated_shingles"]))
+        assert by_id[5] == 1  # exactly the one shared 13-gram
+        assert by_id[6] == 0
+        assert by_id[0] > 0  # benchmark docs self-hit, consistently on both sides
+        want = self._oracle(sf, "benchmark_contamination")
+        pd.testing.assert_frame_equal(
+            got.sort_values("doc_id").reset_index(drop=True),
+            want.sort_values("doc_id").reset_index(drop=True),
+        )
+
+    def test_chunk_documents_boundary_lengths(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import chunk_documents
+
+        def words(n):
+            return " ".join(f"t{i}" for i in range(n))
+
+        sf = self._write_docs(
+            tmp_path, [words(1), words(63), words(64), words(65), words(112), words(113)]
+        )
+        got = chunk_documents(sf).to_pandas()
+        n_chunks = got.groupby("doc_id").size().to_dict()
+        assert n_chunks == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
+        # overlap: chunk 1 of the 65-word doc starts at word 48
+        c1 = got[(got.doc_id == 3) & (got.chunk_idx == 1)]["chunk"].iloc[0]
+        assert c1.startswith("t48 ") and c1.endswith("t64")
+        want = self._oracle(sf, "chunk_documents")
+        pd.testing.assert_frame_equal(
+            got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+            want.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+        )
