@@ -431,9 +431,11 @@ def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     from .hashing import md5_hash_tokens
 
     def sh(batch: pa.Table) -> pa.Table:
+        from .hashing import split_words
+
         out = []
         for text in batch.column("text").to_pylist():
-            words = normalize_text(text).split()
+            words = split_words(text)
             uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
             out.append(simhash64(md5_hash_tokens(list(uniq)), counts.astype(np.float64)))
         # int64 view of the uint64 fingerprint (Arrow-friendly)

@@ -14,7 +14,17 @@ import re
 
 import numpy as np
 
-_WS = re.compile(r"\s+")
+# EXACT DuckDB semantics, not approximate: RE2's \s is ASCII-only
+# (Python's default \s is unicode-aware — a latent divergence on any
+# unicode-whitespace input), and DuckDB trim() strips Unicode SPACE
+# SEPARATORS (category Zs: space, NBSP, EN/EM spaces, ideographic
+# space) but NOT \t / \x1c / NEL / LS. Parity is fuzz-pinned vs DuckDB
+# in tests/test_analytics.py on arbitrary unicode text.
+_WS = re.compile(r"\s+", re.ASCII)
+_ZS = (
+    " \xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005"
+    "\u2006\u2007\u2008\u2009\u200a\u202f\u205f\u3000"
+)
 
 # Mersenne prime for universal hashing (fits comfortably in int64 math
 # when done in object/uint64 space below).
@@ -22,12 +32,12 @@ _MERSENNE = np.uint64(2305843009213693951)  # 2^61 - 1
 
 
 def normalize_text(text: str | None) -> str:
-    """Dedup normalization: lowercase, trim, collapse whitespace.
-
-    Mirrors the SQL form ``regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')``
-    used by the DuckDB oracles, so both sides group identically.
+    """Dedup normalization: lowercase, collapse ASCII whitespace, trim
+    Zs spaces — character-exact with the SQL form
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` used by the
+    DuckDB oracles, so both sides group identically on ANY input.
     """
-    return _WS.sub(" ", (text or "").lower().strip())
+    return _WS.sub(" ", (text or "").lower()).strip(_ZS)
 
 
 def md5_hex(text: str) -> str:
@@ -195,9 +205,18 @@ def md5_batch_int_ids(ids: np.ndarray) -> np.ndarray:
     return _md5_compress(block.view(np.uint32)).view(np.uint8).reshape(n, 16)
 
 
+def split_words(text: str | None) -> list[str]:
+    """Words of the normalized text, split on the SINGLE space the
+    normalization guarantees — exactly ``string_split(normed, ' ')``
+    minus empties (Python's bare .split() would additionally split on
+    unicode whitespace the ASCII collapse leaves in place)."""
+    norm = normalize_text(text)
+    return [w for w in norm.split(" ") if w] if norm else []
+
+
 def shingles(text: str, k: int = 5) -> list[str]:
     """Word k-shingles of the normalized text (the MinHash item set)."""
-    words = normalize_text(text).split()
+    words = split_words(text)
     if len(words) <= k:
         return [" ".join(words)] if words else []
     return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]

@@ -421,11 +421,13 @@ def rare_token_scores(sf_dir: str, common_df: int = 20) -> pa.Table:
     """
 
     def doc_words(batch: pa.Table) -> pa.Table:
+        from .hashing import split_words
+
         ids, words = [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            uniq = set(normalize_text(text).split()) - {""}
+            uniq = set(split_words(text))
             ids.extend([doc_id] * len(uniq))
             words.extend(sorted(uniq))
         return pa.table(
@@ -459,10 +461,12 @@ def rare_token_scores(sf_dir: str, common_df: int = 20) -> pa.Table:
     common_ref = ray.put(frozenset(common_tbl.column("word").to_pylist()))
 
     def score(batch: pa.Table) -> pa.Table:
+        from .hashing import split_words
+
         common = ray.get(common_ref)
         out = []
         for text in batch.column("text").to_pylist():
-            uniq = set(normalize_text(text).split()) - {""}
+            uniq = set(split_words(text))
             out.append(sum(1 for w in uniq if w not in common))
         return pa.table(
             {"doc_id": batch.column("doc_id"),

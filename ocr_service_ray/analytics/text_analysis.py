@@ -17,11 +17,17 @@ import ray.data
 
 from .hashing import md5_hex, normalize_text
 
-_TOKEN = re.compile(r"\S+")
-_SUBWORD = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")
+# re.ASCII everywhere a pattern is mirrored in a DuckDB (RE2) oracle:
+# RE2's \s/\S/\b are ASCII-only while Python's default is unicode-aware
+# — identical on ASCII corpora, divergent on NBSP/accented input (the
+# same latent-divergence class batch_stages._PY_WS_CLASS fixed for the
+# span pipeline, here resolved by pinning Python to RE2 semantics).
+_TOKEN = re.compile(r"\S+", re.ASCII)
+_SUBWORD = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]", re.ASCII)
 _PUNCT = re.compile(r"[.,;:!?]")
 _ALPHA = re.compile(r"[A-Za-z]")
-_STOPWORDS = re.compile(r"\b(the|a|of|and|in|to|is)\b")
+_STOPWORDS = re.compile(r"\b(the|a|of|and|in|to|is)\b", re.ASCII)
+_WS_SPLIT = re.compile(r"\s+", re.ASCII)
 
 # crude per-language stopword markers for the heuristic language id
 _LANG_MARKERS = {
@@ -137,7 +143,7 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
             if cjk.search(t):
                 preds.append("zh")
                 continue
-            words = set(t.lower().split())
+            words = set(w for w in _WS_SPLIT.split(t.lower()) if w)
             best, best_n = "en", -1
             for lang, markers in _LANG_MARKERS.items():
                 n = sum(1 for m in markers if m in words)
@@ -200,7 +206,13 @@ def chunk_documents(
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            words = (text or "").split()
+            # oracle-matching word list: ASCII-ws collapse + Zs trim +
+            # split on the single space (bare .split() would also split
+            # on unicode whitespace RE2 does not treat as \s)
+            from .hashing import _ZS
+
+            norm = _WS_SPLIT.sub(" ", text or "").strip(_ZS)
+            words = [w for w in norm.split(" ")] if norm and norm.split(" ")[0] else []
             if not words:
                 continue
             i = 0

@@ -700,7 +700,7 @@ _SHINGLE_JACCARD_SQL = (
     "FROM documents), "
     "g AS (SELECT doc_id, words, "
     "unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i "
-    "FROM w WHERE len(words) > 0), "
+    "FROM w WHERE len(words) > 0 AND words[1] <> ''), "
     "sh AS (SELECT DISTINCT doc_id, "
     "array_to_string(words[i:least(i + 4, len(words))], ' ') AS shingle FROM g), "
     "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
@@ -832,10 +832,16 @@ def oracle_sql() -> dict:
         ),
         # M4 norm_text: ×->X, collapse whitespace, correction table (same
         # sequential order as ops.textops.COMMON_CORRECTIONS).
+        # M4 keeps the REFERENCE's unicode whitespace semantics (Python
+        # re \s), so the oracle spells out that class for RE2 — the same
+        # _PY_WS_CLASS trick batch_stages uses for the span pipeline.
         "text_normalize": (
             "SELECT doc_id, "
             "replace(replace(replace(replace(replace(replace(replace("
-            "trim(regexp_replace(replace(text, '×', 'X'), '\\s+', ' ', 'g')), "
+            "trim(regexp_replace(replace(text, '×', 'X'), "
+            "'[ \\t\\n\\r\\f\\v\\x{001c}-\\x{001f}\\x{0085}\\x{00a0}\\x{1680}"
+            "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+'"
+            ", ' ', 'g')), "
             "'ZER0', 'ZERO'), 'I0G', 'IOG'), 'OUOS', 'OVOS'), 'UOS', 'OVOS'), "
             "'UH', 'UN'), '1Ux', '1UNx'), 'SUIFT', 'SWIFT') AS norm "
             "FROM documents"

@@ -621,3 +621,63 @@ class TestTextPipelineOps:
             got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
             want.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnicodeWhitespaceParity:
+    """RE2 (DuckDB) treats \\s/\\b as ASCII and trim() strips Zs spaces;
+    Python defaults are unicode-aware. Every SQL-mirrored operator is
+    pinned to RE2 semantics — this corpus (NBSP, ideographic space,
+    FS/NEL controls, accents) would expose any divergence the ASCII sf
+    corpus cannot."""
+
+    TEXTS = [
+        "plain ascii words here",
+        "nbsp\xa0joined words and\xa0more",          # NBSP inside tokens
+        "ideographic　space　text",                    # U+3000
+        "control\x1cseparated\x85words",              # FS + NEL (not RE2 \s)
+        "\xa0leading and trailing ",             # Zs trim edges
+        "the café is the place",                 # \b next to accents
+        "  tabs\tand\nnewlines  collapse  ",
+        "thé the thé the",
+    ]
+
+    @pytest.fixture(scope="class")
+    def sfdir(self, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("uni")
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(len(self.TEXTS))), pa.int64()),
+            "text": pa.array(self.TEXTS, pa.string()),
+        })
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "name",
+        ["token_counts", "quality_scores", "fingerprints", "simhash",
+         "lang_id", "text_normalize", "exact_dedup", "chunk_documents",
+         "rare_token_scores", "minhash_pairs", "ngram_jaccard",
+         "benchmark_contamination", "redact_pii"],
+    )
+    def test_parity_on_unicode_corpus(self, sfdir, name):
+        from ocr_service_ray.pipeline import entry_api
+
+        got = entry_api.queries()[name](sfdir)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sfdir}/documents.parquet'"
+        )
+        want = con.execute(entry_api.oracle_sql()[name]).df()
+        g = pd.DataFrame(got)
+        g = g[sorted(g.columns)].sort_values(sorted(g.columns)).reset_index(drop=True)
+        w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+        assert len(g) == len(w), (len(g), len(w))
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if a.dtype != b.dtype:
+                b = b.astype(a.dtype)
+            pd.testing.assert_series_equal(a, b, check_names=False)

@@ -48,10 +48,27 @@ class TestScalarProperties:
         assert v is None or isinstance(v, float)
 
     @given(st.text(max_size=80))
-    def test_normalize_text_collapses_all_whitespace(self, s):
+    @settings(max_examples=60)
+    def test_normalize_text_matches_duckdb_exactly(self, s):
+        """normalize_text is pinned to the ORACLE's semantics (RE2 ASCII
+        \\s collapse + Zs-only trim), not Python's unicode defaults —
+        the property IS DuckDB parity, on arbitrary unicode input."""
+        import duckdb
+
+        from hypothesis import assume
+
+        con = duckdb.connect()
+        # scope to inputs where lower() itself agrees: CPython and
+        # DuckDB's utf8proc disagree on a handful of codepoints
+        # (e.g. U+0130 Turkish İ, unmapped Glagolitic) — that is a
+        # lower() implementation gap, not our whitespace/trim logic
+        assume(con.execute("SELECT lower(?)", [s]).fetchone()[0] == s.lower())
         out = normalize_text(s)
-        assert "  " not in out
-        assert out == out.strip()
+        want = con.execute(
+            "SELECT trim(regexp_replace(lower(?), '\\s+', ' ', 'g'))", [s]
+        ).fetchone()[0]
+        assert out == want
+        assert "  " not in out  # ASCII runs always collapse
 
 
 class TestCodecProperties:
