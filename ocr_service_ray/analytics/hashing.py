@@ -20,7 +20,9 @@ import numpy as np
 # SEPARATORS (category Zs: space, NBSP, EN/EM spaces, ideographic
 # space) but NOT \t / \x1c / NEL / LS. Parity is fuzz-pinned vs DuckDB
 # in tests/test_analytics.py on arbitrary unicode text.
-_WS = re.compile(r"\s+", re.ASCII)
+# RE2's \s is exactly [ \t\n\f\r] — note NO \x0b (vertical tab),
+# which even Python's re.ASCII \s includes; spell the class out.
+_WS = re.compile(r"[ \t\n\f\r]+")
 _ZS = (
     " \xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005"
     "\u2006\u2007\u2008\u2009\u200a\u202f\u205f\u3000"

@@ -173,7 +173,7 @@ def top_docs_by_words(sf_dir: str, k: int = 50) -> pa.Table:
     import ray
     import ray.data
 
-    token = _re.compile(r"\S+")
+    token = _re.compile(r"[^ \t\n\f\r]+")  # RE2 \S exactly (no \x0b)
 
     def count_words(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -22,12 +22,13 @@ from .hashing import md5_hex, normalize_text
 # — identical on ASCII corpora, divergent on NBSP/accented input (the
 # same latent-divergence class batch_stages._PY_WS_CLASS fixed for the
 # span pipeline, here resolved by pinning Python to RE2 semantics).
-_TOKEN = re.compile(r"\S+", re.ASCII)
-_SUBWORD = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]", re.ASCII)
+# RE2 \s is exactly [ \t\n\f\r] (no \x0b) — spell the classes out
+_TOKEN = re.compile(r"[^ \t\n\f\r]+")
+_SUBWORD = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 \t\n\f\r]")
 _PUNCT = re.compile(r"[.,;:!?]")
 _ALPHA = re.compile(r"[A-Za-z]")
 _STOPWORDS = re.compile(r"\b(the|a|of|and|in|to|is)\b", re.ASCII)
-_WS_SPLIT = re.compile(r"\s+", re.ASCII)
+_WS_SPLIT = re.compile(r"[ \t\n\f\r]+")
 
 # crude per-language stopword markers for the heuristic language id
 _LANG_MARKERS = {

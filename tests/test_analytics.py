@@ -636,6 +636,7 @@ class TestUnicodeWhitespaceParity:
         "nbsp\xa0joined words and\xa0more",          # NBSP inside tokens
         "ideographic　space　text",                    # U+3000
         "control\x1cseparated\x85words",              # FS + NEL (not RE2 \s)
+        "vertical\x0btab\x0bkept",                    # \x0b: RE2 \S, Python ASCII \s
         "\xa0leading and trailing ",             # Zs trim edges
         "the café is the place",                 # \b next to accents
         "  tabs\tand\nnewlines  collapse  ",
