@@ -448,7 +448,10 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
         "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
     })
     ds = ray.data.from_arrow(tbl)
-    audio = ds.filter(lambda r: r["kind"] == "audio").map_batches(
+    audio = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow",
+    ).map_batches(
         AudioFeatureStage, concurrency=2, batch_size=32, batch_format="pyarrow"
     )
 
@@ -472,7 +475,10 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
             })
 
     video = (
-        ds.filter(lambda r: r["kind"] == "video")
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "video")),
+            batch_format="pyarrow",
+        )
         .map_batches(FrameSampleStage, fn_constructor_kwargs={"every_k": 3},
                      concurrency=2, batch_size=8, batch_format="pyarrow")
         .map_batches(FrameOcr, concurrency=2, batch_size=16, batch_format="pyarrow")
@@ -541,10 +547,16 @@ def q_multimodal_segments(sf_dir: str) -> pa.Table:
         "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
     })
     ds = ray.data.from_arrow(tbl)
-    audio = ds.filter(lambda r: r["kind"] == "audio").map_batches(
+    audio = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow",
+    ).map_batches(
         AudioSegmentStage, concurrency=2, batch_size=16, batch_format="pyarrow"
     )
-    video = ds.filter(lambda r: r["kind"] == "video").map_batches(
+    video = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "video")),
+        batch_format="pyarrow",
+    ).map_batches(
         KeyframeStage, concurrency=2, batch_size=8, batch_format="pyarrow"
     )
     a = pa.concat_tables(ray.get(audio.to_arrow_refs()))
