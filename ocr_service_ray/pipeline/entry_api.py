@@ -208,10 +208,16 @@ def blob_scan(scale: str) -> pa.Table:
         storage.data_files(info["blobs"]), columns=["media_ref", "bytes"]
     )
     # A/B at medium scale (8,493 blobs, 32 cpus): 4 actors 58.8s,
-    # 8 -> 47.2s, 12 -> 39.5s; 8 balances the small driver corpora
-    # against leaving cpus for the outer query mix
+    # 8 -> 47.2s, 12 -> 39.5s. NEVER the whole cluster: an actor pool
+    # equal to num_cpus starves the upstream read task and wedges the
+    # pipeline (hit in practice on the driver's 8-cpu session) — same
+    # reserve rule run.py applies to the flagship pool.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     out = ds.map_batches(
-        BlobScanStage, concurrency=8, batch_size=32, batch_format="pyarrow"
+        BlobScanStage,
+        concurrency=max(2, min(8, n_cpus - 2)),
+        batch_size=32,
+        batch_format="pyarrow",
     )
     tbl = pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by(
         [("media_ref", "ascending")]
