@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pytest
 
 from ocr_service_ray.core import storage
 
@@ -187,3 +188,53 @@ class TestCompaction:
         m = compact_parts(root, out, target_rows=20)
         assert m["skipped_committed"] == 1 and m["compacted"] == 1
         assert os.path.getmtime(storage.data_path(out, 0)) == mtime
+
+
+class TestZoneMapClustering:
+    def test_cluster_prune_and_range_read(self, tmp_path, ray_session):
+        import numpy as np
+
+        from ocr_service_ray.pipeline.cluster import (
+            cluster_parts,
+            pruned_parts,
+            read_range,
+        )
+
+        # unsorted input across 4 partitions
+        rng = np.random.default_rng(5)
+        vals = rng.permutation(2000)
+        root = str(tmp_path / "in")
+        for p in range(4):
+            chunk = vals[p * 500 : (p + 1) * 500]
+            storage.write_part(root, p, pa.table({
+                "doc_id": pa.array([f"d{v}" for v in chunk]),
+                "n_chars": pa.array(chunk.astype("int64")),
+            }))
+            storage.commit_manifest(root, p, {"part_id": p, "n_docs": 500})
+
+        out = str(tmp_path / "clustered")
+        m = cluster_parts(root, out, key="n_chars", target_rows=400)
+        assert m["n_docs"] == 2000 and m["n_parts"] >= 4
+        # zones are disjoint-ish and ordered: each part's min >= prev max
+        zones = [storage.read_manifest(out, p) for p in storage.list_parts(out)]
+        for a, b in zip(zones, zones[1:]):
+            assert a["key_max"] <= b["key_min"]
+
+        # a narrow range touches FEW partitions (pruning actually prunes)
+        keep, total = pruned_parts(out, "n_chars", 100, 199)
+        assert total == m["n_parts"]
+        assert len(keep) <= max(1, total // 2)
+
+        got = read_range(out, "n_chars", 100, 199).to_pandas()
+        assert sorted(got["n_chars"]) == list(range(100, 200))
+
+    def test_pruned_read_rejects_wrong_key(self, tmp_path, ray_session):
+        from ocr_service_ray.pipeline.cluster import cluster_parts, pruned_parts
+
+        root = str(tmp_path / "in")
+        storage.write_part(root, 0, pa.table({"a": [3, 1, 2]}))
+        storage.commit_manifest(root, 0, {"part_id": 0, "n_docs": 3})
+        out = str(tmp_path / "c")
+        cluster_parts(root, out, key="a", target_rows=10)
+        with pytest.raises(ValueError):
+            pruned_parts(out, "b", 0, 1)
