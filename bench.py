@@ -79,6 +79,7 @@ def run_queries(num_cpus: int) -> dict:
             text_analysis,
             windows,
         )
+        from ocr_service_ray.pipeline import cluster
 
         timings = {}
         for name, fn in {
@@ -125,6 +126,7 @@ def run_queries(num_cpus: int) -> dict:
             "redact_pii": lambda: text_analysis.redact_pii(sf_dir()).materialize(),
             "chunk_documents": lambda: text_analysis.chunk_documents(sf_dir()),
             "benchmark_contamination": lambda: text_analysis.benchmark_contamination(sf_dir()),
+            "docs_in_char_range": lambda: cluster.docs_in_char_range(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -123,3 +123,52 @@ def read_range(root: str, key: str, lo, hi) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+_CLUSTERED_CACHE: dict[str, str] = {}
+
+
+def docs_in_char_range(sf_dir: str, lo: int = 400, hi: int = 700) -> pa.Table:
+    """Zone-map-pruned range query over documents clustered by n_chars.
+
+    Builds (once, cached in /tmp) the sort-clustered layout from the sf
+    documents table, then serves the range via ``read_range`` — only
+    zone-overlapping partitions are opened. Oracle = plain BETWEEN; the
+    pruning is an IO property, the RESULT is exact.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if sf_dir in _CLUSTERED_CACHE:
+        out_root = _CLUSTERED_CACHE[sf_dir]
+    else:
+        tag = sf_dir.strip("/").replace("/", "_")
+        out_root = f"/tmp/graft_zonemap/{tag}-nchars"
+        marker = os.path.join(out_root, "_BUILT")
+        if not os.path.exists(marker):
+            import shutil
+            import tempfile
+
+            shutil.rmtree(out_root, ignore_errors=True)
+            # land the flat parquet in the engine's part layout first
+            src_root = tempfile.mkdtemp(prefix="zonemap_src_")
+            t = pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+            )
+            storage.write_part(src_root, 0, t)
+            storage.commit_manifest(src_root, 0, {"part_id": 0, "n_docs": len(t)})
+            cluster_parts(src_root, out_root, key="n_chars", target_rows=1024)
+            with open(marker, "w") as f:
+                f.write("ok")
+        _CLUSTERED_CACHE[sf_dir] = out_root
+
+    ds = read_range(out_root, "n_chars", lo, hi)
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tbl = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_chars": pa.array([], pa.int64())})
+    )
+    return tbl.select(["doc_id", "n_chars"]).sort_by([("doc_id", "ascending")])

@@ -659,6 +659,8 @@ def queries() -> dict:
         "multimodal_segments": q_multimodal_segments,
         "image_features": q_image_features,
         "skew_metrics": q_skew_profile,
+        # zone-map-pruned range read (clustered-by-n_chars layout)
+        "docs_in_char_range": _zone_range_query,
         # training-data analytics (SQL-oracled where expressible)
         "exact_dedup": dedup.exact_dedup,
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
@@ -828,6 +830,12 @@ def oracle_sql() -> dict:
             "GROUP BY sh.doc_id) "
             "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_shingles "
             "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
+        ),
+        # zone-map range read: pruning is the IO property, the result
+        # is exact BETWEEN semantics
+        "docs_in_char_range": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars BETWEEN 400 AND 700 ORDER BY doc_id"
         ),
         "token_counts": (
             "SELECT doc_id, "
@@ -1128,6 +1136,12 @@ def oracle_sql() -> dict:
             "ORDER BY l_returnflag, l_linestatus"
         ),
     }
+
+
+def _zone_range_query(sf_dir: str) -> pa.Table:
+    from .cluster import docs_in_char_range
+
+    return docs_in_char_range(sf_dir)
 
 
 def q_ocr_raw_lines(sf_dir: str) -> pa.Table:

@@ -131,7 +131,8 @@ class TestOracleEquivalence:
          "neardup_clusters", "top_docs_per_source", "rare_token_scores",
          "approx_quantiles_kmv", "purchaser_clicks", "singleton_docs",
          "daily_type_pivot", "value_histogram", "source_lang_rollup",
-         "redact_pii", "chunk_documents", "benchmark_contamination"],
+         "redact_pii", "chunk_documents", "benchmark_contamination",
+         "docs_in_char_range"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
