@@ -740,13 +740,13 @@ def purchaser_clicks(sf_dir: str) -> pa.Table:
     import ray
     import pyarrow.compute as pc
 
+    # predicate PUSHDOWN at the read: only purchase rows' row groups
+    # leave storage for the key-set pass (prune-at-the-read discipline)
     purchasers = (
-        _events(sf_dir, ["user_id", "event_type"])
-        # vectorized predicate inside map_batches — ds.filter(row_fn)
-        # would call Python once per row on the corpus-sized table
-        .map_batches(
-            lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")),
-            batch_format="pyarrow",
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+            filter=pc.field("event_type") == "purchase",
         )
         .groupby("user_id")
         .count()
