@@ -114,8 +114,11 @@ def read_range(root: str, key: str, lo, hi) -> "ray.data.Dataset":
     if not keep:
         import ray.data as rd
 
-        return rd.from_arrow(storage.read_part(root, storage.list_parts(root)[0]).slice(0, 0)) \
-            if storage.list_parts(root) else rd.from_arrow(pa.table({}))
+        parts = storage.list_parts(root)
+        if not parts:
+            return rd.from_arrow(pa.table({}))
+        # zero-row dataset with the table's real schema
+        return rd.from_arrow(storage.read_part(root, parts[0]).slice(0, 0))
     ds = storage.ray_read(storage.data_files(root, keep))
     return ds.map_batches(
         lambda t: t.filter(
