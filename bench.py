@@ -127,6 +127,9 @@ def run_queries(num_cpus: int) -> dict:
             "chunk_documents": lambda: text_analysis.chunk_documents(sf_dir()),
             "benchmark_contamination": lambda: text_analysis.benchmark_contamination(sf_dir()),
             "docs_in_char_range": lambda: cluster.docs_in_char_range(sf_dir()),
+            "user_value_windows": lambda: windows.user_value_windows(sf_dir()),
+            "purchaser_clicks_bloom": lambda: windows.purchaser_clicks_bloom(sf_dir()),
+            "heavy_tokens": lambda: text_analysis.heavy_hitter_tokens(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -365,3 +365,64 @@ class HyperLogLog:
         if e <= 2.5 * m_f and zeros > 0:
             e = m_f * math.log(m_f / zeros)
         return int(math.floor(e + 0.5))  # DuckDB round(): half away from zero
+
+
+# ----------------------------------------------------------------------
+# Bloom filter over int64 keys (the big-big semi-join prefilter)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wraparound is the
+    defined numpy behavior for unsigned ints — no Python loop)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+class BloomFilter:
+    """Fixed-size blocked-free Bloom filter for int64 keys with
+    double hashing (Kirsch–Mitzenmacher: idx_j = h1 + j*h2 mod m).
+
+    Built distributedly: each block of the build side produces its own
+    bit array via :meth:`add_many`; arrays are OR-merged (``merge``) —
+    a few KB per block regardless of key count, so the merge never
+    materializes the key set anywhere. ``m_bits`` must be a power of
+    two (mask instead of modulo).
+    """
+
+    def __init__(self, m_bits: int = 1 << 17, n_hashes: int = 5):
+        assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+        self.m_bits = m_bits
+        self.n_hashes = n_hashes
+        self.bits = np.zeros(m_bits // 8, dtype=np.uint8)
+
+    def _indices(self, keys: np.ndarray) -> np.ndarray:
+        """(n_hashes, len(keys)) bit positions."""
+        x = keys.astype(np.int64).view(np.uint64)
+        h1 = _splitmix64(x)
+        h2 = _splitmix64(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        j = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + j * h2[None, :]) & np.uint64(self.m_bits - 1)).astype(
+            np.int64
+        )
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        idx = self._indices(np.asarray(keys))
+        np.bitwise_or.at(self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership mask (true = maybe present; false =
+        definitely absent — the one-sided Bloom guarantee)."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(np.asarray(keys))
+        hit = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m_bits == other.m_bits and self.n_hashes == other.n_hashes
+        self.bits |= other.bits
+        return self

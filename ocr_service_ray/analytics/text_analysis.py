@@ -306,3 +306,116 @@ def benchmark_contamination(
          "n_contaminated_shingles": pa.array([], pa.int64())}
     )
     return tbl.sort_by([("doc_id", "ascending")])
+
+
+def heavy_hitter_tokens(
+    sf_dir: str, phi: float = 0.001, k: int | None = None
+) -> pa.Table:
+    """Corpus heavy hitters: every word whose occurrence count is
+    >= ceil(phi * N), N = total word occurrences — EXACT, by the
+    sketch-then-verify plan (the frequent-items workhorse of corpus
+    curation: stopword discovery, boilerplate token detection).
+
+      pass 1 (sketch): each block compresses its exact word histogram
+        to a k-counter Misra-Gries summary (np.unique, fully
+        vectorized; subtract the (k+1)-th largest count, keep
+        positives — per-block undercount <= block_tokens/(k+1)).
+        Summaries are merged DISTRIBUTEDLY by groupby(word).sum —
+        counter addition is the mergeable-summaries property, so the
+        shuffle moves <= k rows per block, never the vocabulary.
+      pass 2 (verify): candidates = words whose merged sketch count
+        clears phi*N - N/(k+1) (a SUPERSET of the true heavy set, by
+        the summed undercount bound); broadcast them (<= ~2/phi words
+        by mass conservation) and take exact partial counts per block,
+        then a tiny groupby + threshold.
+
+    The sketch only prunes — pass 2 counts are exact — so the result
+    is hash-identical to the brute GROUP BY ... HAVING oracle. k
+    defaults to ceil(2/phi); pass a small k in tests to force the
+    compression path.
+    """
+    import math
+
+    import numpy as np
+    import ray
+
+    from .hashing import split_words
+
+    if k is None:
+        k = math.ceil(2.0 / phi)
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words.extend(split_words(text))
+        n_tok = len(words)
+        if n_tok:
+            uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+            if len(uniq) > k:
+                cut = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+                adj = counts - cut
+                keep = adj > 0
+                uniq, counts = uniq[keep], adj[keep]
+        else:
+            uniq, counts = np.array([], dtype=object), np.array([], np.int64)
+        # empty-string sentinel row carries the block's token total
+        # (split_words filters empties, so the key can't collide with a
+        # real word; null would break Ray's sort-based shuffle)
+        return pa.table(
+            {
+                "word": pa.array(list(uniq) + [""], pa.string()),
+                "cnt": pa.array(list(counts.astype(np.int64)) + [n_tok], pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    merged = (
+        docs.map_batches(mg_summary, batch_format="pyarrow")
+        .groupby("word")
+        .sum("cnt")
+        .materialize()  # <= k rows/block merged; tiny, read twice below
+    )
+    parts = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
+    sketch = pa.concat_tables(parts)
+    words_list = sketch.column("word").to_pylist()
+    cnt_col = sketch.column("sum(cnt)").to_numpy(zero_copy_only=False)
+    null_mask = np.asarray([w == "" for w in words_list])
+    n_total = int(cnt_col[null_mask].sum())
+    if n_total == 0:
+        return pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    threshold = math.ceil(phi * n_total)
+    cand_floor = threshold - n_total // (k + 1) - 1  # superset bound
+    cand_mask = (~null_mask) & (cnt_col >= max(cand_floor, 1))
+    candidates = frozenset(w for w, m in zip(words_list, cand_mask) if m)
+    cand_ref = ray.put(candidates)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        hits: list[str] = []
+        for text in batch.column("text").to_pylist():
+            hits.extend(w for w in split_words(text) if w in cand)
+        if not hits:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(hits, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(list(uniq), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    exact = docs.map_batches(exact_partial, batch_format="pyarrow").groupby("word").sum("n")
+    parts = [t for t in ray.get(exact.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(parts)
+    n_arr = tbl.column("sum(n)").to_numpy(zero_copy_only=False)
+    keep = n_arr >= threshold
+    return pa.table(
+        {
+            "word": pa.array(np.asarray(tbl.column("word").to_pylist(), object)[keep], pa.string()),
+            "n": pa.array(n_arr[keep].astype(np.int64), pa.int64()),
+        }
+    ).sort_by([("word", "ascending")])

@@ -858,3 +858,145 @@ def value_histogram(sf_dir: str, width: float = 10.0) -> pa.Table:
     final["n"] = final["n"].astype(np.int64)
     final = final.sort_values(["event_type", "bin"]).reset_index(drop=True)
     return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def user_value_windows(sf_dir: str, lookback_s: int = 300) -> pa.Table:
+    """Per-event time-RANGE sliding window + lag, per user: for every
+    event, the sum/count of that user's value-cents over
+    ``[ts - lookback, ts]`` (SQL ``RANGE BETWEEN INTERVAL ... PRECEDING
+    AND CURRENT ROW`` — including ts-peers, per the RANGE peer rule)
+    and the cents delta vs the previous event (``lag(cents, 1, 0)``).
+
+    The reference has no window functions (SURVEY.md §2.9); this is the
+    moving-aggregate member of the per-user scan family next to
+    ``running_totals`` (prefix scan) and ``sessionize`` (gap scan).
+
+    Ray shape: groupby(user_id).map_groups; inside a group everything
+    is vectorized — two np.searchsorted calls find each row's window
+    bounds on the sorted microsecond timestamps, and the window sum is
+    a difference of integer-cents prefix sums (exact, so hash-identical
+    to the DuckDB window oracle; a float prefix-sum difference would
+    drift by summation order).
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+        v = t.column("value").to_numpy() * 100
+        cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        lo = np.searchsorted(ts_us, ts_us - lookback_s * 1_000_000, side="left")
+        hi = np.searchsorted(ts_us, ts_us, side="right")  # RANGE: all ts-peers
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        delta = cents - np.concatenate([[0], cents[:-1]])
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "win_sum_cents": pa.array(csum[hi] - csum[lo], pa.int64()),
+                "win_n": pa.array((hi - lo).astype(np.int64), pa.int64()),
+                "delta_cents": pa.array(delta, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables).sort_by([("event_id", "ascending")])
+
+
+def purchaser_clicks_bloom(sf_dir: str, m_bits: int = 1 << 17) -> pa.Table:
+    """``purchaser_clicks`` by the BIG-BIG plan: when the purchaser key
+    set outgrows a driver broadcast, prefilter the probe side with a
+    Bloom filter and make the result exact with a co-partitioned
+    residual check — the key set never exists in one place.
+
+      1. build: pushdown-read purchase rows, per-block Bloom bit
+         arrays (``map_batches``), OR-merge driver-side — a few KB per
+         block regardless of key count.
+      2. probe: clicks stream through a vectorized Bloom membership
+         mask (false positives pass, true purchasers all pass) and are
+         partial-counted per user inside the batch.
+      3. residual exact check: union the surviving probe partials with
+         the build side's distinct-key rows and ``groupby(user_id)``;
+         a group emits its click sum only if a build row is present.
+         Shuffle volume = survivors + keys, both Bloom-shrunk/tiny.
+
+    Result is EXACT (same oracle as ``purchaser_clicks``; plan equality
+    is pinned by a test).
+    """
+    import pyarrow.compute as pc
+
+    from .hashing import BloomFilter
+
+    build = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"],
+        filter=pc.field("event_type") == "purchase",
+    ).groupby("user_id").count()
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits=m_bits)
+        bf.add_many(batch.column("user_id").to_numpy())
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    build = build.materialize()  # small distinct-key table, read twice below
+    bloom = BloomFilter(m_bits=m_bits)
+    for t in ray.get(build.map_batches(block_bloom, batch_format="pyarrow").to_arrow_refs()):
+        if not t.num_rows:  # Ray 2.49 emits schema-less empty blocks
+            continue
+        for raw in t.column("bits").to_pylist():
+            bloom.bits |= np.frombuffer(raw, dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bf = _ray.get(bloom_ref)
+        b = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        uid = b.column("user_id").to_numpy()
+        uid = uid[bf.contains_many(uid)]
+        ids, counts = np.unique(uid, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(ids, pa.int64()),
+                "n_clicks": pa.array(counts.astype(np.int64), pa.int64()),
+                "is_key": pa.array(np.zeros(len(ids), bool)),
+            }
+        )
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_clicks": pa.array(np.zeros(n, np.int64)),
+                "is_key": pa.array(np.ones(n, bool)),
+            }
+        )
+
+    def merge_user(group: pa.Table) -> pa.Table:
+        keep = pc.any(group.column("is_key")).as_py()
+        n = int(pc.sum(group.column("n_clicks")).as_py() or 0)
+        if not keep or n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "n_clicks": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_clicks": pa.array([n], pa.int64()),
+            }
+        )
+
+    probe = _events(sf_dir, ["user_id", "event_type"]).map_batches(
+        probe_partial, batch_format="pyarrow"
+    )
+    keys = build.map_batches(key_rows, batch_format="pyarrow")
+    out = probe.union(keys).groupby("user_id").map_groups(
+        merge_user, batch_format="pyarrow"
+    )
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "n_clicks": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables).sort_by([("user_id", "ascending")])

@@ -706,6 +706,13 @@ def queries() -> dict:
         "approx_distinct_users": lambda sf: windows.approx_distinct_users(sf),
         "value_quantiles": lambda sf: windows.value_quantiles(sf),
         "running_totals": lambda sf: windows.running_totals(sf),
+        "user_value_windows": lambda sf: windows.user_value_windows(sf),
+        # big-big semi-join plan (bloom prefilter + co-partitioned
+        # exact check); same oracle as purchaser_clicks, plan equality
+        # pinned in tests
+        "purchaser_clicks_bloom": lambda sf: windows.purchaser_clicks_bloom(sf),
+        # Misra-Gries sketch-then-verify frequent items (exact result)
+        "heavy_tokens": lambda sf: text_analysis.heavy_hitter_tokens(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1039,6 +1046,39 @@ def oracle_sql() -> dict:
             "SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, "
             "CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # time-RANGE sliding window + lag, integer cents (exact)
+        "user_value_windows": (
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, "
+            "CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 300 SECONDS PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS win_sum_cents, "
+            "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 300 SECONDS PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS win_n, "
+            "CAST(cents - lag(cents, 1, 0) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) AS delta_cents "
+            "FROM c ORDER BY event_id"
+        ),
+        # same semantics as purchaser_clicks (bloom prefilter is exact
+        # after the residual co-partitioned check)
+        "purchaser_clicks_bloom": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks FROM events "
+            "WHERE event_type = 'click' AND user_id IN "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        # Misra-Gries candidates + exact verify == brute HAVING oracle
+        "heavy_tokens": (
+            "WITH w AS (SELECT unnest(string_split(trim(regexp_replace("
+            "lower(text), '\\s+', ' ', 'g')), ' ')) AS word FROM documents), "
+            "t AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w "
+            "WHERE word <> '' GROUP BY word), "
+            "tot AS (SELECT sum(n) AS n_total FROM t) "
+            "SELECT word, n FROM t, tot WHERE n >= ceil(0.001 * n_total) "
+            "ORDER BY word"
         ),
         "running_totals": (
             "SELECT event_id, "

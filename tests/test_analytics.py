@@ -683,3 +683,162 @@ class TestUnicodeWhitespaceParity:
             if a.dtype != b.dtype:
                 b = b.astype(a.dtype)
             pd.testing.assert_series_equal(a, b, check_names=False)
+
+
+class TestRound3WindowOps:
+    def test_user_value_windows_oracle(self):
+        from ocr_service_ray.analytics.windows import user_value_windows
+
+        got = user_value_windows(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+        want = con.execute(
+            "WITH c AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, "
+            "CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 300 SECONDS PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS win_sum_cents, "
+            "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 300 SECONDS PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS win_n, "
+            "CAST(cents - lag(cents, 1, 0) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS BIGINT) AS delta_cents "
+            "FROM c ORDER BY event_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_user_value_windows_range_peer_rule(self):
+        """SQL RANGE ... CURRENT ROW includes ALL ts-peers (even ones
+        that sort after by event_id); the sf table may not contain
+        duplicate timestamps, so the oracle match there doesn't prove
+        the peer rule — this fixture does."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import user_value_windows
+
+        ts = pa.array(
+            [1_000_000_000] * 3 + [1_200_000_000, 400_000_000_000], pa.timestamp("us")
+        )
+        tbl = pa.table({
+            "event_id": pa.array([2, 0, 1, 3, 4], pa.int64()),
+            "user_id": pa.array([9] * 5, pa.int64()),
+            "ts": ts,
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+        })
+        d = tempfile.mkdtemp(prefix="peers_")
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = user_value_windows(d).to_pandas()
+        # the three ts-peers each see all peers (700 cents); the 200s
+        # -later event sees everything inside 300s; the far event only
+        # itself — and its delta is vs the previous event regardless
+        assert got["win_sum_cents"].tolist() == [700, 700, 700, 1500, 1600]
+        assert got["win_n"].tolist() == [3, 3, 3, 4, 1]
+        assert got["delta_cents"].tolist() == [200, 200, -300, 700, 800]
+
+    def test_purchaser_clicks_bloom_plan_equality(self):
+        from ocr_service_ray.analytics.windows import (
+            purchaser_clicks,
+            purchaser_clicks_bloom,
+        )
+
+        base = purchaser_clicks(SF).to_pandas()
+        got = purchaser_clicks_bloom(SF).to_pandas()
+        pd.testing.assert_frame_equal(got, base)
+
+    def test_purchaser_clicks_bloom_survives_false_positives(self):
+        """A deliberately tiny filter (64 bits) false-positives most of
+        the user space; the residual co-partitioned check must still
+        produce the exact result."""
+        from ocr_service_ray.analytics.hashing import BloomFilter
+        from ocr_service_ray.analytics.windows import (
+            purchaser_clicks,
+            purchaser_clicks_bloom,
+        )
+
+        tiny = BloomFilter(m_bits=64, n_hashes=5)
+        tiny.add_many(np.arange(50, dtype=np.int64))
+        # precondition: the tiny filter actually false-positives
+        assert tiny.contains_many(np.arange(1000, 20000, dtype=np.int64)).mean() > 0.3
+        base = purchaser_clicks(SF).to_pandas()
+        got = purchaser_clicks_bloom(SF, m_bits=64).to_pandas()
+        pd.testing.assert_frame_equal(got, base)
+
+    def test_bloom_filter_one_sided(self):
+        from ocr_service_ray.analytics.hashing import BloomFilter
+
+        rng = np.random.default_rng(5)
+        keys = rng.integers(0, 2**62, size=4000).astype(np.int64)
+        bf = BloomFilter(m_bits=1 << 16, n_hashes=5)
+        half_a, half_b = keys[:2000], keys[2000:]
+        bf_a = BloomFilter(m_bits=1 << 16, n_hashes=5)
+        bf_a.add_many(half_a)
+        bf_b = BloomFilter(m_bits=1 << 16, n_hashes=5)
+        bf_b.add_many(half_b)
+        bf = bf_a.merge(bf_b)
+        # no false negatives, ever
+        assert bf.contains_many(keys).all()
+        # false-positive rate in the expected ballpark for m/n=16, h=5
+        probe = rng.integers(2**62, 2**63 - 1, size=20000).astype(np.int64)
+        assert bf.contains_many(probe).mean() < 0.05
+
+
+class TestHeavyHitters:
+    ORACLE = (
+        "WITH w AS (SELECT unnest(string_split(trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g')), ' ')) AS word FROM documents), "
+        "t AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w "
+        "WHERE word <> '' GROUP BY word), "
+        "tot AS (SELECT sum(n) AS n_total FROM t) "
+        "SELECT word, n FROM t, tot WHERE n >= ceil({phi} * n_total) "
+        "ORDER BY word"
+    )
+
+    def test_heavy_tokens_oracle_and_forced_compression(self):
+        from ocr_service_ray.analytics.text_analysis import heavy_hitter_tokens
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        want = con.execute(self.ORACLE.format(phi=0.001)).df()
+        got = heavy_hitter_tokens(SF).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        # k small enough that every block MUST compress (vocab >> 40):
+        # the superset bound has to hold or the verify pass misses words
+        got2 = heavy_hitter_tokens(SF, phi=0.001, k=40).to_pandas()
+        pd.testing.assert_frame_equal(got2, want)
+
+    def test_heavy_tokens_synthetic_adversarial(self):
+        """Corpus engineered so distinct-per-block >> k and the heavy
+        set sits just above threshold — exactness must survive the
+        sketch's pruning."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import heavy_hitter_tokens
+
+        rng = np.random.default_rng(11)
+        docs = []
+        # 400 docs of 50 unique rare words each (20k distinct singletons)
+        for i in range(400):
+            docs.append(" ".join(f"rare{i}_{j}" for j in range(50)))
+        # plus two heavy words at ~0.5% and ~5%
+        for _ in range(100):
+            docs.append("edgeword " * 1 + "hotword " * 10)
+        rng.shuffle(docs)
+        d = tempfile.mkdtemp(prefix="hh_")
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        })
+        pq.write_table(tbl, f"{d}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        want = con.execute(self.ORACLE.format(phi=0.004)).df()
+        assert "edgeword" in set(want["word"]) and "hotword" in set(want["word"])
+        got = heavy_hitter_tokens(d, phi=0.004, k=500).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
