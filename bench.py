@@ -130,6 +130,8 @@ def run_queries(num_cpus: int) -> dict:
             "user_value_windows": lambda: windows.user_value_windows(sf_dir()),
             "purchaser_clicks_bloom": lambda: windows.purchaser_clicks_bloom(sf_dir()),
             "heavy_tokens": lambda: text_analysis.heavy_hitter_tokens(sf_dir()),
+            "repetition_scores": lambda: text_analysis.repetition_scores(sf_dir()),
+            "bigram_counts": lambda: text_analysis.bigram_counts(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

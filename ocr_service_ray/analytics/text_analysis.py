@@ -419,3 +419,108 @@ def heavy_hitter_tokens(
             "n": pa.array(n_arr[keep].astype(np.int64), pa.int64()),
         }
     ).sort_by([("word", "ascending")])
+
+
+def repetition_scores(sf_dir: str) -> pa.Table:
+    """Per-doc inner-repetition signal (the Gopher-rule family): over
+    the doc's word bigrams, the distinct-bigram count, total bigram
+    occurrences, and occurrences belonging to a repeated bigram —
+    integer-exact, so the quality-filter thresholds downstream are
+    reproducible. Docs with < 2 words have no bigrams and are omitted
+    (mirrors the oracle's WHERE).
+
+    Stateless vectorized map — no shuffle; per-doc np.unique over the
+    bigram array does the counting.
+    """
+    import numpy as np
+
+    from .hashing import split_words
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids, nd, nb, ndup = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = split_words(text)
+            if len(words) < 2:
+                continue
+            grams = np.asarray(
+                [f"{a} {b}" for a, b in zip(words, words[1:])], dtype=object
+            )
+            _, counts = np.unique(grams, return_counts=True)
+            ids.append(doc_id)
+            nd.append(len(counts))
+            nb.append(int(counts.sum()))
+            ndup.append(int(counts[counts > 1].sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_distinct_bigrams": pa.array(nd, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "n_dup_occurrences": pa.array(ndup, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(rep, batch_format="pyarrow")
+    import ray
+
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
+def bigram_counts(sf_dir: str, min_count: int = 5) -> pa.Table:
+    """Corpus n-gram LM count table: every word bigram with total
+    occurrence count >= ``min_count`` — the count-collection pass of
+    n-gram language-model training / boilerplate mining.
+
+    Ray shape: per-block partial bigram counts (np.unique inside the
+    batch — the combiner bounds the shuffle at distinct-bigrams-per-
+    block, not token count), then groupby(bigram).sum and the HAVING
+    filter. The bigram-vocabulary shuffle is the honest cost of an LM
+    count build; at 100 TB shard it by bigram hash (Ray's sort-based
+    groupby already range-partitions the key).
+    """
+    import numpy as np
+    import ray
+
+    from .hashing import split_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words = split_words(text)
+            grams.extend(f"{a} {b}" for a, b in zip(words, words[1:]))
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(list(uniq), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+    )
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    tbl = pa.concat_tables(tables)
+    n_arr = tbl.column("sum(n)").to_numpy(zero_copy_only=False)
+    keep = n_arr >= min_count
+    return pa.table(
+        {
+            "bigram": pa.array(
+                np.asarray(tbl.column("bigram").to_pylist(), object)[keep], pa.string()
+            ),
+            "n": pa.array(n_arr[keep].astype(np.int64), pa.int64()),
+        }
+    ).sort_by([("bigram", "ascending")])

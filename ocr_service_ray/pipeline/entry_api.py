@@ -713,6 +713,10 @@ def queries() -> dict:
         "purchaser_clicks_bloom": lambda sf: windows.purchaser_clicks_bloom(sf),
         # Misra-Gries sketch-then-verify frequent items (exact result)
         "heavy_tokens": lambda sf: text_analysis.heavy_hitter_tokens(sf),
+        # per-doc inner-repetition signal (Gopher-rule family)
+        "repetition_scores": lambda sf: text_analysis.repetition_scores(sf),
+        # corpus n-gram LM count table (combiner-bounded shuffle)
+        "bigram_counts": lambda sf: text_analysis.bigram_counts(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1069,6 +1073,21 @@ def oracle_sql() -> dict:
             "WHERE event_type = 'click' AND user_id IN "
             "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
             "GROUP BY user_id ORDER BY user_id"
+        ),
+        # per-doc bigram repetition facets, integer-exact
+        "repetition_scores": (
+            "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), g AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2 AND words[1] <> ''), b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_bigrams, "
+            "CAST(sum(n) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) "
+            "AS n_dup_occurrences FROM (SELECT doc_id, bg, count(*) AS n "
+            "FROM b GROUP BY doc_id, bg) c GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # corpus bigram LM counts with the HAVING floor
+        "bigram_counts": (
+            "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), g AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2 AND words[1] <> ''), b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g) "
+            "SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS n FROM b "
+            "GROUP BY bg HAVING count(*) >= 5 ORDER BY bigram"
         ),
         # Misra-Gries candidates + exact verify == brute HAVING oracle
         "heavy_tokens": (

@@ -842,3 +842,71 @@ class TestHeavyHitters:
         assert "edgeword" in set(want["word"]) and "hotword" in set(want["word"])
         got = heavy_hitter_tokens(d, phi=0.004, k=500).to_pandas()
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestCorpusNgramStats:
+    BIGRAM_CTE = (
+        "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), "
+        "g AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i "
+        "FROM w WHERE len(words) >= 2 AND words[1] <> ''), "
+        "b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g) "
+    )
+
+    def _views(self, d):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        return con
+
+    def test_repetition_scores_oracle(self):
+        from ocr_service_ray.analytics.text_analysis import repetition_scores
+
+        want = self._views(SF).execute(
+            self.BIGRAM_CTE
+            + "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_bigrams, "
+            "CAST(sum(n) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_occurrences "
+            "FROM (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg) c "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ).df()
+        got = repetition_scores(SF).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_bigram_counts_oracle(self):
+        from ocr_service_ray.analytics.text_analysis import bigram_counts
+
+        want = self._views(SF).execute(
+            self.BIGRAM_CTE
+            + "SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS n FROM b "
+            "GROUP BY bg HAVING count(*) >= 5 ORDER BY bigram"
+        ).df()
+        got = bigram_counts(SF).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_edge_docs(self):
+        """0-word, 1-word and all-repeated docs: short docs are omitted
+        (no bigrams), a doc of one repeated word is 100% duplicated
+        mass, and the min_count floor applies to the corpus total."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import (
+            bigram_counts,
+            repetition_scores,
+        )
+
+        d = tempfile.mkdtemp(prefix="ngram_")
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["", "lonely", "spam spam spam spam", "a b a b c"]),
+        })
+        pq.write_table(tbl, f"{d}/documents.parquet")
+        rep = repetition_scores(d).to_pandas()
+        assert rep["doc_id"].tolist() == [2, 3]
+        # doc 2: 3x "spam spam" -> 1 distinct, 3 occ, all duplicated
+        assert rep.iloc[0].tolist() == [2, 1, 3, 3]
+        # doc 3: bigrams [a b, b a, a b, b c] -> 3 distinct, 4 occ, 2 dup
+        assert rep.iloc[1].tolist() == [3, 3, 4, 2]
+        bg = bigram_counts(d, min_count=2).to_pandas()
+        assert dict(zip(bg["bigram"], bg["n"])) == {"spam spam": 3, "a b": 2}
