@@ -132,6 +132,7 @@ def run_queries(num_cpus: int) -> dict:
             "heavy_tokens": lambda: text_analysis.heavy_hitter_tokens(sf_dir()),
             "repetition_scores": lambda: text_analysis.repetition_scores(sf_dir()),
             "bigram_counts": lambda: text_analysis.bigram_counts(sf_dir()),
+            "long_tail_docs": lambda: relational.long_tail_docs(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

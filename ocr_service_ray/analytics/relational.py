@@ -528,3 +528,53 @@ def source_lang_rollup(sf_dir: str) -> pa.Table:
         ["source", "lang"]
     ).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def long_tail_docs(sf_dir: str, q: float = 0.9) -> pa.Table:
+    """Docs at or above the corpus-global q-quantile of ``n_chars`` —
+    the compose-two-operators shape (global quantile, then a filtered
+    read) behind "keep the longest decile" curation rules.
+
+      1. the quantile comes from a distributed VALUE HISTOGRAM:
+         groupby(n_chars).count is a tiny shuffle (distinct lengths,
+         not docs); the driver walks the sorted histogram to the
+         quantile_disc rank ceil(q*n) - 1 holding only (value, count)
+         pairs — no doc values ever collect.
+      2. the filter is pushed INTO the parquet read (row-group pruning
+         via the n_chars statistics), so at 100 TB the re-read touches
+         only row groups overlapping the tail.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    hist = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+        .groupby("n_chars")
+        .count()
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["n_chars"])
+    n = sum(r["count()"] for r in hist)
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())}
+        )
+    rank = max(0, math.ceil(q * n) - 1)  # quantile_disc, 0-based
+    seen = 0
+    for r in hist:
+        seen += r["count()"]
+        if seen > rank:
+            cut = int(r["n_chars"])
+            break
+    tail = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+        filter=pc.field("n_chars") >= cut,
+    )
+    tables = [t for t in ray.get(tail.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])

@@ -717,6 +717,8 @@ def queries() -> dict:
         "repetition_scores": lambda sf: text_analysis.repetition_scores(sf),
         # corpus n-gram LM count table (combiner-bounded shuffle)
         "bigram_counts": lambda sf: text_analysis.bigram_counts(sf),
+        # global-quantile + pushdown-filtered re-read composition
+        "long_tail_docs": lambda sf: relational.long_tail_docs(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1073,6 +1075,11 @@ def oracle_sql() -> dict:
             "WHERE event_type = 'click' AND user_id IN "
             "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
             "GROUP BY user_id ORDER BY user_id"
+        ),
+        # histogram rank-pick quantile + pushdown filter
+        "long_tail_docs": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
+            "(SELECT quantile_disc(n_chars, 0.9) FROM documents) ORDER BY doc_id"
         ),
         # per-doc bigram repetition facets, integer-exact
         "repetition_scores": (

@@ -910,3 +910,40 @@ class TestCorpusNgramStats:
         assert rep.iloc[1].tolist() == [3, 3, 4, 2]
         bg = bigram_counts(d, min_count=2).to_pandas()
         assert dict(zip(bg["bigram"], bg["n"])) == {"spam spam": 3, "a b": 2}
+
+
+class TestLongTailDocs:
+    def test_oracle(self):
+        from ocr_service_ray.analytics.relational import long_tail_docs
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        want = con.execute(
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
+            "(SELECT quantile_disc(n_chars, 0.9) FROM documents) ORDER BY doc_id"
+        ).df()
+        got = long_tail_docs(SF).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_tie_heavy_histogram(self):
+        """Ties straddling the rank: 10 docs of length 5, 10 of length
+        9 — q=0.5 rank lands mid-run, cut must be that run's value and
+        the filter keeps the WHOLE run (plus everything longer)."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.relational import long_tail_docs
+
+        d = tempfile.mkdtemp(prefix="tail_")
+        tbl = pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "n_chars": pa.array([5] * 10 + [9] * 10, pa.int64()),
+        })
+        pq.write_table(tbl, f"{d}/documents.parquet")
+        got = long_tail_docs(d, q=0.5).to_pandas()
+        # quantile_disc(0.5) of [5x10, 9x10] = element 9 (0-based) = 5
+        assert got["n_chars"].tolist() == [5] * 10 + [9] * 10
+        got2 = long_tail_docs(d, q=0.55).to_pandas()
+        # rank ceil(.55*20)-1 = 10 -> value 9; only the long run stays
+        assert got2["n_chars"].tolist() == [9] * 10
