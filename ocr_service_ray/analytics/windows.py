@@ -916,14 +916,16 @@ def purchaser_clicks_bloom(sf_dir: str, m_bits: int = 1 << 17) -> pa.Table:
          mask (false positives pass, true purchasers all pass) and are
          partial-counted per user inside the batch.
       3. residual exact check: union the surviving probe partials with
-         the build side's distinct-key rows and ``groupby(user_id)``;
-         a group emits its click sum only if a build row is present.
+         the build side's distinct-key rows, then ONE vectorized
+         ``groupby(user_id).aggregate(Sum, Max)``; a user survives iff
+         a build row is present (max(is_key) > 0) and it has clicks.
          Shuffle volume = survivors + keys, both Bloom-shrunk/tiny.
 
     Result is EXACT (same oracle as ``purchaser_clicks``; plan equality
     is pinned by a test).
     """
     import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
 
     from .hashing import BloomFilter
 
@@ -969,30 +971,36 @@ def purchaser_clicks_bloom(sf_dir: str, m_bits: int = 1 << 17) -> pa.Table:
             {
                 "user_id": batch.column("user_id"),
                 "n_clicks": pa.array(np.zeros(n, np.int64)),
-                "is_key": pa.array(np.ones(n, bool)),
+                "is_key": pa.array(np.ones(n, np.int64)),
             }
         )
 
-    def merge_user(group: pa.Table) -> pa.Table:
-        keep = pc.any(group.column("is_key")).as_py()
-        n = int(pc.sum(group.column("n_clicks")).as_py() or 0)
-        if not keep or n == 0:
+    def keep_verified(batch: pa.Table) -> pa.Table:
+        # a group survives iff a build-side key row is present AND it
+        # has clicks — vectorized over the aggregated block, no
+        # per-group Python
+        if batch.num_rows == 0 or "sum(n_clicks)" not in batch.column_names:
             return pa.table(
                 {"user_id": pa.array([], pa.int64()), "n_clicks": pa.array([], pa.int64())}
             )
+        n = batch.column("sum(n_clicks)")
+        mask = pc.and_(
+            pc.greater(batch.column("max(is_key)"), 0), pc.greater(n, 0)
+        )
+        kept = batch.filter(mask)
         return pa.table(
-            {
-                "user_id": group.column("user_id").slice(0, 1),
-                "n_clicks": pa.array([n], pa.int64()),
-            }
+            {"user_id": kept.column("user_id"), "n_clicks": kept.column("sum(n_clicks)")}
         )
 
     probe = _events(sf_dir, ["user_id", "event_type"]).map_batches(
         probe_partial, batch_format="pyarrow"
     )
     keys = build.map_batches(key_rows, batch_format="pyarrow")
-    out = probe.union(keys).groupby("user_id").map_groups(
-        merge_user, batch_format="pyarrow"
+    out = (
+        probe.union(keys)
+        .groupby("user_id")
+        .aggregate(Sum("n_clicks"), Max("is_key"))
+        .map_batches(keep_verified, batch_format="pyarrow")
     )
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     if not tables:
