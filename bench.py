@@ -73,6 +73,7 @@ def run_queries(num_cpus: int) -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
         from ocr_service_ray.analytics import (
+            curation,
             dedup,
             relational,
             similarity,
@@ -133,6 +134,7 @@ def run_queries(num_cpus: int) -> dict:
             "repetition_scores": lambda: text_analysis.repetition_scores(sf_dir()),
             "bigram_counts": lambda: text_analysis.bigram_counts(sf_dir()),
             "long_tail_docs": lambda: relational.long_tail_docs(sf_dir()),
+            "curation_status": lambda: curation.curation_status(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

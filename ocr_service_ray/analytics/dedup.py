@@ -250,8 +250,19 @@ def minhash_lsh_pairs(
              "sh": pa.array(sets, pa.list_(pa.string()))}
         )
 
-    sh_tbl = pa.concat_tables(
-        ray.get(docs.map_batches(cand_shingles, batch_format="pyarrow").to_arrow_refs())
+    sh_blocks = [
+        t
+        for t in ray.get(
+            docs.map_batches(cand_shingles, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows  # Ray 2.49 emits schema-less empty blocks
+    ]
+    sh_tbl = (
+        pa.concat_tables(sh_blocks)
+        if sh_blocks
+        else pa.table(
+            {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.list_(pa.string()))}
+        )
     )
     sh_ref = ray.put(
         dict(zip(sh_tbl.column("doc_id").to_pylist(),

@@ -719,6 +719,8 @@ def queries() -> dict:
         "bigram_counts": lambda sf: text_analysis.bigram_counts(sf),
         # global-quantile + pushdown-filtered re-read composition
         "long_tail_docs": lambda sf: relational.long_tail_docs(sf),
+        # capstone curation ladder (length -> exact-dup -> near-dup)
+        "curation_status": _q_curation_status,
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1076,6 +1078,27 @@ def oracle_sql() -> dict:
             "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
             "GROUP BY user_id ORDER BY user_id"
         ),
+        # curation ladder CASE chain over fingerprints + closure
+        "curation_status": (
+            "WITH RECURSIVE fp AS (SELECT doc_id, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_words FROM documents), "
+            "mins AS (SELECT h, min(doc_id) AS min_id, count(*) AS c FROM fp GROUP BY h), "
+            "pairs AS (SELECT doc_a, doc_b FROM (" + _SHINGLE_JACCARD_SQL + ")), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs "
+            "UNION SELECT doc_a, doc_a FROM pairs "
+            "UNION SELECT doc_b, doc_b FROM pairs), "
+            "reach AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+            "clusters AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a) "
+            "SELECT f.doc_id, CASE WHEN f.n_words < 10 THEN 'too_short' "
+            "WHEN m.c > 1 AND f.doc_id <> m.min_id THEN 'exact_dup' "
+            "WHEN cl.cluster_rep IS NOT NULL AND cl.cluster_rep <> f.doc_id "
+            "THEN 'near_dup' ELSE 'kept' END AS status "
+            "FROM fp f JOIN mins m ON f.h = m.h "
+            "LEFT JOIN clusters cl ON cl.doc_id = f.doc_id ORDER BY f.doc_id"
+        ),
         # histogram rank-pick quantile + pushdown filter
         "long_tail_docs": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
@@ -1208,6 +1231,12 @@ def _zone_range_query(sf_dir: str) -> pa.Table:
     from .cluster import docs_in_char_range
 
     return docs_in_char_range(sf_dir)
+
+
+def _q_curation_status(sf_dir: str) -> pa.Table:
+    from ..analytics.curation import curation_status
+
+    return curation_status(sf_dir)
 
 
 def q_ocr_raw_lines(sf_dir: str) -> pa.Table:

@@ -947,3 +947,50 @@ class TestLongTailDocs:
         got2 = long_tail_docs(d, q=0.55).to_pandas()
         # rank ceil(.55*20)-1 = 10 -> value 9; only the long run stays
         assert got2["n_chars"].tolist() == [9] * 10
+
+
+class TestCurationStatus:
+    def test_all_four_statuses_fixture(self):
+        """The sf corpus has no short docs or exact dups, so the oracle
+        match there doesn't prove those rungs — this fixture hits every
+        rung and the ladder priority (a short doc that is ALSO a dup
+        reports too_short)."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.curation import curation_status
+
+        long_a = " ".join(f"w{i}" for i in range(40))
+        long_b = long_a + " extra tail words here now"  # near-dup of a
+        docs = [
+            (0, long_a),                 # kept (rep of its cluster)
+            (1, long_a),                 # exact_dup of 0
+            (2, long_b),                 # near_dup (cluster rep 0)
+            (3, "tiny doc"),             # too_short
+            (4, "tiny doc"),             # too_short (NOT exact_dup: ladder)
+            (5, " ".join(f"u{i}" for i in range(30))),  # kept, unique
+        ]
+        d = tempfile.mkdtemp(prefix="cur_")
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }),
+            f"{d}/documents.parquet",
+        )
+        got = curation_status(d).to_pandas()
+        assert got["status"].tolist() == [
+            "kept", "exact_dup", "near_dup", "too_short", "too_short", "kept"
+        ]
+
+    def test_oracle_sf(self):
+        import __ray_entry__ as e
+
+        from ocr_service_ray.analytics.curation import curation_status
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        want = con.execute(e.oracle_sql()["curation_status"]).df()
+        got = curation_status(SF).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
