@@ -135,6 +135,7 @@ def run_queries(num_cpus: int) -> dict:
             "bigram_counts": lambda: text_analysis.bigram_counts(sf_dir()),
             "long_tail_docs": lambda: relational.long_tail_docs(sf_dir()),
             "curation_status": lambda: curation.curation_status(sf_dir()),
+            "cross_snapshot_dupes": lambda: dedup.cross_snapshot_dupes(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -652,3 +652,89 @@ def singleton_docs(sf_dir: str, **lsh_kwargs) -> pa.Table:
     ).map_batches(keep, batch_format="pyarrow")
     tbl = _collect(out, pa.schema([("doc_id", pa.int64())]))
     return tbl.sort_by([("doc_id", "ascending")])
+
+
+def cross_snapshot_dupes(sf_dir: str) -> pa.Table:
+    """Incremental (cross-snapshot) exact dedup: which docs of the NEW
+    snapshot duplicate any doc of the BASE corpus — the
+    dedup-the-new-crawl-against-the-archive pass, where re-fingerprint-
+    grouping the union (plain ``exact_dedup``) would redo the archive
+    every increment.
+
+    Snapshots are modeled deterministically inside the one documents
+    table: base = doc_id < T, new = doc_id >= T with
+    T = (max(doc_id) + 1) // 2 (the oracle computes the same split).
+
+    Ray shape — dedup as a BIG-BIG hash join (neither side broadcast):
+      1. both sides fingerprint via the same stateless combiner;
+         base collapses to DISTINCT hashes (groupby.min as witness)
+      2. native ``Dataset.join`` on the digest — uniform keys, the
+         only all-to-all; output is O(new-side duplicates)
+    Returns (doc_id, base_doc_id): each duplicated new doc with the
+    min base doc it duplicates.
+    """
+    import pyarrow.compute as pc
+
+    hi = (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .max("doc_id")
+    )
+    t_split = (int(hi) + 1) // 2
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(normalize_text(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({"h": pa.array(hashes), "doc_id": batch.column("doc_id")})
+
+    def norm_base(batch: pa.Table) -> pa.Table:
+        # empty shuffle partitions carry degenerate schemas (Ray 2.49)
+        # which break the Acero join's key resolution — re-emit the
+        # canonical schema unconditionally
+        if batch.num_rows == 0 or "h" not in batch.column_names:
+            return pa.table(
+                {"h": pa.array([], pa.string()),
+                 "base_doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"h": batch.column("h"), "base_doc_id": batch.column("min(doc_id)")}
+        )
+
+    base = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id") < t_split,
+        )
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("h")
+        .min("doc_id")
+        .map_batches(norm_base, batch_format="pyarrow")
+    )
+    new = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") >= t_split,
+    ).map_batches(fp, batch_format="pyarrow")
+    # Ray 2.49's hash join breaks on EMPTY partitions (the aggregator
+    # builds them schema-less) — size the partition count so every
+    # partition statistically holds rows; at sf scale this is 16, on
+    # tiny fixtures it degrades to a single-partition join.
+    base = base.materialize()
+    new = new.materialize()
+    n_base, n_new = base.count(), new.count()
+    if n_base == 0 or n_new == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "base_doc_id": pa.array([], pa.int64())}
+        )
+    nparts = max(1, min(16, min(n_base, n_new) // 16))
+    joined = new.join(base, "inner", nparts, on=("h",))
+    tables = [
+        t.select(["doc_id", "base_doc_id"])
+        for t in ray.get(joined.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tables:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "base_doc_id": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])

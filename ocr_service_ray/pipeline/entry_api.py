@@ -721,6 +721,8 @@ def queries() -> dict:
         "long_tail_docs": lambda sf: relational.long_tail_docs(sf),
         # capstone curation ladder (length -> exact-dup -> near-dup)
         "curation_status": _q_curation_status,
+        # incremental dedup of a new snapshot vs the base corpus
+        "cross_snapshot_dupes": lambda sf: dedup.cross_snapshot_dupes(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1077,6 +1079,16 @@ def oracle_sql() -> dict:
             "WHERE event_type = 'click' AND user_id IN "
             "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
             "GROUP BY user_id ORDER BY user_id"
+        ),
+        # new-vs-base snapshot exact dedup (big-big hash join)
+        "cross_snapshot_dupes": (
+            "WITH t AS (SELECT (max(doc_id) + 1) // 2 AS ts FROM documents), "
+            "fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g'))) AS h FROM documents) "
+            "SELECT n.doc_id, CAST(min(b.doc_id) AS BIGINT) AS base_doc_id "
+            "FROM fp n JOIN fp b ON n.h = b.h, t "
+            "WHERE n.doc_id >= t.ts AND b.doc_id < t.ts "
+            "GROUP BY n.doc_id ORDER BY n.doc_id"
         ),
         # curation ladder CASE chain over fingerprints + closure
         "curation_status": (

@@ -994,3 +994,53 @@ class TestCurationStatus:
         want = con.execute(e.oracle_sql()["curation_status"]).df()
         got = curation_status(SF).to_pandas()
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestCrossSnapshotDupes:
+    def test_fixture_and_oracle(self):
+        """The sf corpora contain no cross-snapshot dups (0-row oracle
+        match at the driver); this fixture proves the positive path:
+        normalization-equal texts across the doc_id split report the
+        MIN base partner."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as e
+        from ocr_service_ray.analytics.dedup import cross_snapshot_dupes
+
+        d = tempfile.mkdtemp(prefix="cross_t_")
+        texts = [
+            "alpha beta", "gamma delta", "ALPHA   beta",
+            "unique one", "gamma  DELTA", "gamma delta",
+        ]
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }),
+            f"{d}/documents.parquet",
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        want = con.execute(e.oracle_sql()["cross_snapshot_dupes"]).df()
+        got = cross_snapshot_dupes(d).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        # split T=3: docs 4,5 duplicate base docs 1 (gamma delta runs)
+        assert got.to_dict("records") == [
+            {"doc_id": 4, "base_doc_id": 1},
+            {"doc_id": 5, "base_doc_id": 1},
+        ]
+
+    def test_sf_oracle(self):
+        import __ray_entry__ as e
+
+        from ocr_service_ray.analytics.dedup import cross_snapshot_dupes
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        want = con.execute(e.oracle_sql()["cross_snapshot_dupes"]).df()
+        got = cross_snapshot_dupes(SF).to_pandas()
+        assert len(got) == len(want)
+        if len(got):
+            pd.testing.assert_frame_equal(got, want)
