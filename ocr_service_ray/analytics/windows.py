@@ -1008,3 +1008,65 @@ def purchaser_clicks_bloom(sf_dir: str, m_bits: int = 1 << 17) -> pa.Table:
             {"user_id": pa.array([], pa.int64()), "n_clicks": pa.array([], pa.int64())}
         )
     return pa.concat_tables(tables).sort_by([("user_id", "ascending")])
+
+
+def value_ntiles(sf_dir: str, n_buckets: int = 4) -> pa.Table:
+    """Global NTILE bucket per event over (value, event_id) order — the
+    distributed RANK-ASSIGNMENT shape (every row gets a function of its
+    GLOBAL position, unlike the rank-PICK of ``value_quantiles``).
+
+    SQL NTILE semantics replicated exactly: with n rows, the first
+    n % k buckets hold floor(n/k) + 1 rows, the rest floor(n/k).
+
+    Ray shape: range-partition sort on (value, event_id) — the one
+    all-to-all — then a metadata-only pass collects per-block ROW
+    COUNTS (never values) to prefix-sum each block's global offset;
+    finally one vectorized task per block maps local index + offset ->
+    bucket. Driver state is O(blocks).
+    """
+    import ray
+
+    ds = _events(sf_dir, ["event_id", "value"])
+    refs = ds.sort(["value", "event_id"]).to_arrow_refs()
+
+    @ray.remote
+    def block_rows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([block_rows.remote(r) for r in refs])
+    n = int(sum(counts))
+    if n == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()), "bucket": pa.array([], pa.int64())}
+        )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    base, rem = divmod(n, n_buckets)
+    # global 0-based rank r -> bucket: first `rem` buckets have base+1
+    boundary = rem * (base + 1)
+
+    @ray.remote
+    def assign(tbl: pa.Table, offset: int) -> pa.Table:
+        if tbl.num_rows == 0 or "event_id" not in tbl.column_names:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        r = offset + np.arange(tbl.num_rows, dtype=np.int64)
+        if base == 0:
+            bucket = r + 1  # degenerate: fewer rows than buckets
+        else:
+            small = np.maximum(r - boundary, 0)
+            bucket = np.where(
+                r < boundary, r // (base + 1), rem + small // base
+            ) + 1
+        return pa.table(
+            {"event_id": tbl.column("event_id"),
+             "bucket": pa.array(bucket.astype(np.int64), pa.int64())}
+        )
+
+    parts = ray.get(
+        [assign.remote(ref, int(off)) for ref, off in zip(refs, offsets)]
+    )
+    return pa.concat_tables([t for t in parts if t.num_rows]).sort_by(
+        [("event_id", "ascending")]
+    )

@@ -707,6 +707,8 @@ def queries() -> dict:
         "value_quantiles": lambda sf: windows.value_quantiles(sf),
         "running_totals": lambda sf: windows.running_totals(sf),
         "user_value_windows": lambda sf: windows.user_value_windows(sf),
+        # global rank-assignment (sort + block-offset prefix)
+        "value_ntiles": lambda sf: windows.value_ntiles(sf),
         # big-big semi-join plan (bloom prefilter + co-partitioned
         # exact check); same oracle as purchaser_clicks, plan equality
         # pinned in tests
@@ -1056,6 +1058,11 @@ def oracle_sql() -> dict:
             "SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, "
             "CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # exact NTILE bucket per row over global (value, event_id) order
+        "value_ntiles": (
+            "SELECT event_id, CAST(ntile(4) OVER (ORDER BY value, event_id) "
+            "AS BIGINT) AS bucket FROM events ORDER BY event_id"
         ),
         # time-RANGE sliding window + lag, integer cents (exact)
         "user_value_windows": (

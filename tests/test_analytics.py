@@ -1044,3 +1044,45 @@ class TestCrossSnapshotDupes:
         assert len(got) == len(want)
         if len(got):
             pd.testing.assert_frame_equal(got, want)
+
+
+class TestValueNtiles:
+    def test_oracle_and_remainder_rule(self):
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import value_ntiles
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+        want = con.execute(
+            "SELECT event_id, CAST(ntile(4) OVER (ORDER BY value, event_id) "
+            "AS BIGINT) AS bucket FROM events ORDER BY event_id"
+        ).df()
+        got = value_ntiles(SF).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        # 7 rows / 4 buckets: remainder buckets 1..3 get 2 rows, bucket
+        # 4 gets 1 (the SQL NTILE rule); and n < k degenerates to rank
+        d = tempfile.mkdtemp(prefix="nt_t_")
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(range(7), pa.int64()),
+                "ts": pa.array([0] * 7, pa.timestamp("us")),
+                "user_id": pa.array([0] * 7, pa.int64()),
+                "event_type": pa.array(["x"] * 7),
+                "value": pa.array([5.0, 1.0, 3.0, 2.0, 4.0, 7.0, 6.0]),
+                "props": pa.array([""] * 7),
+            }),
+            f"{d}/events.parquet",
+        )
+        got2 = value_ntiles(d).to_pandas()
+        assert got2["bucket"].tolist() == [3, 1, 2, 1, 2, 4, 3]
+        got3 = value_ntiles(d, n_buckets=10).to_pandas()
+        con2 = duckdb.connect()
+        con2.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        want3 = con2.execute(
+            "SELECT event_id, CAST(ntile(10) OVER (ORDER BY value, event_id) "
+            "AS BIGINT) AS bucket FROM events ORDER BY event_id"
+        ).df()
+        pd.testing.assert_frame_equal(got3, want3)
