@@ -474,17 +474,41 @@ def value_quantiles(
       4. point-pick: only the handful of blocks owning a target rank
          are touched again, each returning |hits| scalars.
     """
-    import ray
-
     ds = events if events is not None else _events(sf_dir, ["event_type", "value"])
     totals = {
         r["event_type"]: r["count()"]
         for r in ds.groupby("event_type").count().take_all()
     }
     # (type, q) -> global 0-based rank among that type's sorted values
-    want: dict[str, list[int]] = {
-        t: [max(0, int(np.ceil(q * n)) - 1) for q in qs] for t, n in totals.items()
+    ranks: dict[str, dict] = {
+        t: {q: max(0, int(np.ceil(q * n)) - 1) for q in qs}
+        for t, n in totals.items()
     }
+    want = {t: sorted(set(r.values())) for t, r in ranks.items()}
+    results = _type_rank_pick(ds, want)
+
+    types = sorted(totals)
+    cols: dict[str, list] = {"event_type": types}
+    for q in qs:
+        cols[f"q{int(q * 100)}"] = [results[(t, ranks[t][q])] for t in types]
+    return pa.table(
+        {k: pa.array(v, pa.string() if k == "event_type" else pa.float64())
+         for k, v in cols.items()}
+    )
+
+
+def _type_rank_pick(ds, want: dict) -> dict:
+    """Distributed rank-pick: return ``{(event_type, rank): value}`` for
+    the requested 0-based ranks of each type's sorted ``value`` column.
+
+    One range-partition sort on (event_type, value); per-block
+    run-length summaries (type, count) — values never leave the
+    workers — prefix-summed in block order give each run's global rank
+    offset, and only the blocks owning a requested rank are touched
+    again, each returning |hits| scalars. Driver state is O(runs),
+    never O(rows).
+    """
+    import ray
 
     refs = ds.sort(["event_type", "value"]).to_arrow_refs()
 
@@ -503,25 +527,25 @@ def value_quantiles(
         ]
 
     @ray.remote
-    def pick(tbl: pa.Table, picks: list[tuple[str, int, int, int]]) -> list[tuple]:
-        # picks: (event_type, q_index, local_row, _) -> value at local_row
+    def pick(tbl: pa.Table, picks: list[tuple[str, int, int]]) -> list[tuple]:
+        # picks: (event_type, rank, local_row) -> value at local_row
         v = np.asarray(tbl.column("value"), dtype=np.float64)
-        return [(t, qi, float(v[row])) for t, qi, row, _ in picks]
+        return [(t, rank, float(v[row])) for t, rank, row in picks]
 
     summaries = ray.get([run_summary.remote(r) for r in refs])
     # global start rank of each block's runs, per type (blocks are in
     # global sorted order after Dataset.sort)
     seen: dict[str, int] = {}
-    block_picks: dict[int, list[tuple[str, int, int, int]]] = {}
+    block_picks: dict[int, list[tuple[str, int, int]]] = {}
     for bi, runs in enumerate(summaries):
         # local start row of each run within the block
         local = 0
         for t, cnt in runs:
             base = seen.get(t, 0)
-            for qi, rank in enumerate(want.get(t, ())):
+            for rank in want.get(t, ()):
                 if base <= rank < base + cnt:
                     block_picks.setdefault(bi, []).append(
-                        (t, qi, local + (rank - base), rank)
+                        (t, rank, local + (rank - base))
                     )
             seen[t] = base + cnt
             local += cnt
@@ -529,13 +553,55 @@ def value_quantiles(
     for part in ray.get(
         [pick.remote(refs[bi], ps) for bi, ps in sorted(block_picks.items())]
     ):
-        for t, qi, val in part:
-            results[(t, qi)] = val
+        for t, rank, val in part:
+            results[(t, rank)] = val
+    return results
+
+
+def value_quantiles_cont(
+    sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)
+) -> pa.Table:
+    """Per event_type CONTINUOUS (interpolated) quantiles of ``value``
+    — DuckDB ``quantile_cont`` semantics, bit-exact: at position
+    h = q*(n-1), result = lo*(1-d) + hi*d with lo = sorted[floor(h)],
+    hi = sorted[ceil(h)], d = h - floor(h) (the exact FP op order was
+    probed against DuckDB on both sf0.01 and sf0.1 — other
+    algebraically-equal forms differ in the last ulp).
+
+    Same distributed rank-pick plan as :func:`value_quantiles` (shared
+    ``_type_rank_pick``): each (type, q) needs at most TWO point ranks,
+    so the pick set stays O(|types| × |qs|) no matter the corpus size;
+    the interpolation is |types| × |qs| scalar FLOPs on the driver.
+    """
+    ds = _events(sf_dir, ["event_type", "value"])
+    totals = {
+        r["event_type"]: r["count()"]
+        for r in ds.groupby("event_type").count().take_all()
+    }
+    # (type, q) -> the two bracketing ranks of position h = q*(n-1)
+    bounds: dict[str, dict] = {}
+    for t, n in totals.items():
+        per_q = {}
+        for q in qs:
+            h = q * (n - 1)
+            per_q[q] = (int(np.floor(h)), int(np.ceil(h)), h)
+        bounds[t] = per_q
+    want = {
+        t: sorted({r for frn, crn, _ in per_q.values() for r in (frn, crn)})
+        for t, per_q in bounds.items()
+    }
+    results = _type_rank_pick(ds, want)
 
     types = sorted(totals)
     cols: dict[str, list] = {"event_type": types}
-    for qi, q in enumerate(qs):
-        cols[f"q{int(q * 100)}"] = [results[(t, qi)] for t in types]
+    for q in qs:
+        vals = []
+        for t in types:
+            frn, crn, h = bounds[t][q]
+            lo, hi = results[(t, frn)], results[(t, crn)]
+            d = h - frn
+            vals.append(lo * (1 - d) + hi * d)
+        cols[f"q{int(q * 100)}"] = vals
     return pa.table(
         {k: pa.array(v, pa.string() if k == "event_type" else pa.float64())
          for k, v in cols.items()}

@@ -705,6 +705,8 @@ def queries() -> dict:
         "distinct_users": windows.distinct_users,
         "approx_distinct_users": lambda sf: windows.approx_distinct_users(sf),
         "value_quantiles": lambda sf: windows.value_quantiles(sf),
+        # continuous (interpolated) quantiles, same rank-pick plan
+        "value_quantiles_cont": lambda sf: windows.value_quantiles_cont(sf),
         "running_totals": lambda sf: windows.running_totals(sf),
         "user_value_windows": lambda sf: windows.user_value_windows(sf),
         # global rank-assignment (sort + block-offset prefix)
@@ -1215,6 +1217,16 @@ def oracle_sql() -> dict:
             "CAST(quantile_disc(value, 0.5) AS DOUBLE) AS q50, "
             "CAST(quantile_disc(value, 0.75) AS DOUBLE) AS q75, "
             "CAST(quantile_disc(value, 0.9) AS DOUBLE) AS q90 "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        # interpolated quantiles — native quantile_cont; the Ray side
+        # reproduces DuckDB's lo*(1-d)+hi*d interpolation bit-exactly
+        "value_quantiles_cont": (
+            "SELECT event_type, "
+            "quantile_cont(value, 0.25) AS q25, "
+            "quantile_cont(value, 0.5) AS q50, "
+            "quantile_cont(value, 0.75) AS q75, "
+            "quantile_cont(value, 0.9) AS q90 "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "range_join": (

@@ -132,7 +132,7 @@ class TestOracleEquivalence:
          "approx_quantiles_kmv", "purchaser_clicks", "singleton_docs",
          "daily_type_pivot", "value_histogram", "source_lang_rollup",
          "redact_pii", "chunk_documents", "benchmark_contamination",
-         "docs_in_char_range"],
+         "docs_in_char_range", "value_ntiles", "value_quantiles_cont"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -149,6 +149,44 @@ class TestOracleEquivalence:
             if a.dtype != b.dtype:
                 b = b.astype(a.dtype)
             pd.testing.assert_series_equal(a, b, check_names=False)
+
+    def test_value_quantiles_cont_edges(self):
+        """Interpolation edges: a 1-row type (h=0 for every q, lo==hi),
+        a 2-row type (pure interpolation), and integer positions
+        (d=0 must return lo exactly) — all vs native quantile_cont."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import value_quantiles_cont
+
+        d = tempfile.mkdtemp(prefix="qc_t_")
+        # "one": 1 row; "two": 2 rows; "five": 5 rows so q=0.25/0.5/0.75
+        # hit integer positions h = 1, 2, 3 (d == 0)
+        vals = [42.0, 1.0, 2.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+        types = ["one", "two", "two", "five", "five", "five", "five", "five"]
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "ts": pa.array([0] * len(vals), pa.timestamp("us")),
+                "user_id": pa.array([0] * len(vals), pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals),
+                "props": pa.array([""] * len(vals)),
+            }),
+            f"{d}/events.parquet",
+        )
+        got = value_quantiles_cont(d).to_pandas()
+        con2 = duckdb.connect()
+        con2.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        want = con2.execute(
+            "SELECT event_type, quantile_cont(value, 0.25) AS q25, "
+            "quantile_cont(value, 0.5) AS q50, "
+            "quantile_cont(value, 0.75) AS q75, "
+            "quantile_cont(value, 0.9) AS q90 "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
 
     def test_value_quantiles_tie_heavy_distribution(self, con):
         """Massive ties spanning sorted-block boundaries: the rank-pick
