@@ -578,3 +578,81 @@ def long_tail_docs(sf_dir: str, q: float = 0.9) -> pa.Table:
             {"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())}
         )
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
+def customers_without_big_orders(
+    sf_dir: str, min_total: float = 400_000.0
+) -> pa.Table:
+    """Customers with no order of ``o_totalprice >= min_total`` — the
+    big-big ANTI-join shape (neither side broadcast), completing the
+    join family next to the inner equi-join (``revenue_by_nation``) and
+    the semi-joins (``purchaser_clicks`` / ``_bloom``).
+
+    Ray shape:
+      1. the orders side is pruned AT THE READ (column projection +
+         row-group predicate on o_totalprice), then collapses to
+         DISTINCT o_custkey via a combiner groupby (per-block partials,
+         then a key-uniform shuffle bounded by distinct qualifying
+         customers, not order count) — at 100 TB the anti-join's build
+         side is |customers with a big order|, never |orders|
+      2. native ``Dataset.join(join_type="left_anti")`` on
+         c_custkey = o_custkey — one hash-partitioned all-to-all,
+         output is only the non-matching customer rows.
+
+    Partition count adapts to side sizes (Ray 2.49's hash join cannot
+    finalize empty partitions, same guard as
+    ``dedup.cross_snapshot_dupes``).
+    """
+    import pyarrow.compute as pc
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def norm_keys(batch: pa.Table) -> pa.Table:
+        # empty shuffle partitions carry degenerate schemas (Ray 2.49)
+        # which break the Acero join's key resolution
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64())})
+        return pa.table({"o_custkey": batch.column("o_custkey")})
+
+    okeys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pc.field("o_totalprice") >= min_total,
+        )
+        .groupby("o_custkey")
+        .count()
+        .map_batches(norm_keys, batch_format="pyarrow")
+        .materialize()
+    )
+    cust = cust.materialize()
+    n_left, n_right = cust.count(), okeys.count()
+    if n_left == 0:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())}
+        )
+    if n_right == 0:
+        # nothing to anti-join against: every customer survives (an
+        # all-empty right side also loses its schema inside the hash
+        # shuffle, so the join itself cannot run)
+        tables = [t for t in ray.get(cust.to_arrow_refs()) if t.num_rows]
+    else:
+        nparts = max(1, min(16, min(n_left, n_right) // 16))
+        joined = cust.join(
+            okeys, "left_anti", nparts, on=("c_custkey",), right_on=("o_custkey",)
+        )
+        tables = [
+            t.select(["c_custkey", "c_name"])
+            for t in ray.get(joined.to_arrow_refs())
+            if t.num_rows and "c_custkey" in t.column_names
+        ]
+    if not tables:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())}
+        )
+    out = pa.concat_tables(tables).sort_by([("c_custkey", "ascending")])
+    return out.set_column(
+        0, "c_custkey", out.column("c_custkey").cast(pa.int64())
+    )

@@ -689,6 +689,8 @@ def queries() -> dict:
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
+        # big-big anti-join (native left_anti)
+        "customers_without_big_orders": lambda sf: relational.customers_without_big_orders(sf),
         "stratified_sample": lambda sf: relational.stratified_sample(sf),
         "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
@@ -982,6 +984,13 @@ def oracle_sql() -> dict:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        # big-big ANTI-join (native left_anti; orders side pruned at the
+        # read then collapsed to distinct keys)
+        "customers_without_big_orders": (
+            "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice >= 400000) ORDER BY c_custkey"
         ),
         # grouped top-k (per-source ranking; global top-k is top_docs_by_words)
         "top_docs_per_source": (

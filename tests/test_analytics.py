@@ -132,7 +132,8 @@ class TestOracleEquivalence:
          "approx_quantiles_kmv", "purchaser_clicks", "singleton_docs",
          "daily_type_pivot", "value_histogram", "source_lang_rollup",
          "redact_pii", "chunk_documents", "benchmark_contamination",
-         "docs_in_char_range", "value_ntiles", "value_quantiles_cont"],
+         "docs_in_char_range", "value_ntiles", "value_quantiles_cont",
+         "customers_without_big_orders"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1082,6 +1083,39 @@ class TestCrossSnapshotDupes:
         assert len(got) == len(want)
         if len(got):
             pd.testing.assert_frame_equal(got, want)
+
+
+class TestAntiJoin:
+    def test_empty_right_side_keeps_everyone(self):
+        """A threshold above every order price empties the anti-join's
+        build side: all customers must come back (the degenerate-side
+        guard, where Ray 2.49's hash join would choke on empty
+        partitions)."""
+        from ocr_service_ray.analytics.relational import (
+            customers_without_big_orders,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = customers_without_big_orders(sf, min_total=10**9).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'")
+        n = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+        assert len(got) == n
+        assert got["c_custkey"].is_monotonic_increasing
+
+    def test_everyone_matched_is_empty(self):
+        """Threshold 0 makes every customer match (this corpus gives
+        every customer an order): exact empty result with stable
+        schema."""
+        from ocr_service_ray.analytics.relational import (
+            customers_without_big_orders,
+        )
+
+        got = customers_without_big_orders(
+            "/root/testdata/sf0.001", min_total=0.0
+        )
+        assert got.num_rows == 0
+        assert got.column_names == ["c_custkey", "c_name"]
 
 
 class TestValueNtiles:
