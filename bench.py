@@ -132,6 +132,7 @@ def run_queries(num_cpus: int) -> dict:
             "user_value_windows": lambda: windows.user_value_windows(sf_dir()),
             "value_ntiles": lambda: windows.value_ntiles(sf_dir()),
             "value_quantiles_cont": lambda: windows.value_quantiles_cont(sf_dir()),
+            "value_mad": lambda: windows.value_mad(sf_dir()),
             "purchaser_clicks_bloom": lambda: windows.purchaser_clicks_bloom(sf_dir()),
             "heavy_tokens": lambda: text_analysis.heavy_hitter_tokens(sf_dir()),
             "repetition_scores": lambda: text_analysis.repetition_scores(sf_dir()),

@@ -558,6 +558,58 @@ def _type_rank_pick(ds, want: dict) -> dict:
     return results
 
 
+def value_mad(sf_dir: str) -> pa.Table:
+    """Per event_type median absolute deviation (robust spread):
+    MAD = quantile_disc(|value - median(value)|, 0.5), median itself by
+    the quantile_disc convention.
+
+    The point of this operator is COMPOSITION of the distributed
+    rank-pick: pass 1 picks each type's median (O(types) driver state),
+    the tiny median map is broadcast into a stateless vectorized
+    map_batches that derives the |value - med| column, and pass 2
+    rank-picks the median of the derived column. Neither pass ever
+    materializes a type's values anywhere; total cost is two
+    range-partition sorts.
+    """
+    ds = _events(sf_dir, ["event_type", "value"])
+    totals = {
+        r["event_type"]: r["count()"]
+        for r in ds.groupby("event_type").count().take_all()
+    }
+    if not totals:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "mad": pa.array([], pa.float64())}
+        )
+    med_rank = {t: max(0, int(np.ceil(0.5 * n)) - 1) for t, n in totals.items()}
+    med = _type_rank_pick(ds, {t: [r] for t, r in med_rank.items()})
+    types = sorted(totals)
+    types_arr = np.array(types)
+    med_arr = np.array([med[(t, med_rank[t])] for t in types], dtype=np.float64)
+
+    def abs_dev(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "value": pa.array([], pa.float64())}
+            )
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        # every event_type is in types by construction (pass-1 groupby)
+        idx = np.searchsorted(types_arr, et.astype(str))
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "value": pa.array(np.abs(v - med_arr[idx]), pa.float64())}
+        )
+
+    dev = ds.map_batches(abs_dev, batch_format="pyarrow")
+    mad = _type_rank_pick(dev, {t: [med_rank[t]] for t in types})
+    return pa.table(
+        {"event_type": pa.array(types, pa.string()),
+         "mad": pa.array([mad[(t, med_rank[t])] for t in types], pa.float64())}
+    )
+
+
 def value_quantiles_cont(
     sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)
 ) -> pa.Table:

@@ -709,6 +709,8 @@ def queries() -> dict:
         "value_quantiles": lambda sf: windows.value_quantiles(sf),
         # continuous (interpolated) quantiles, same rank-pick plan
         "value_quantiles_cont": lambda sf: windows.value_quantiles_cont(sf),
+        # robust spread: two composed rank-pick passes
+        "value_mad": lambda sf: windows.value_mad(sf),
         "running_totals": lambda sf: windows.running_totals(sf),
         "user_value_windows": lambda sf: windows.user_value_windows(sf),
         # global rank-assignment (sort + block-offset prefix)
@@ -1237,6 +1239,14 @@ def oracle_sql() -> dict:
             "quantile_cont(value, 0.75) AS q75, "
             "quantile_cont(value, 0.9) AS q90 "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        # per-type median absolute deviation — two quantile_disc passes
+        "value_mad": (
+            "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med "
+            "FROM events GROUP BY 1) "
+            "SELECT e.event_type, quantile_disc(abs(e.value - m.med), 0.5) AS mad "
+            "FROM events e JOIN m USING (event_type) "
+            "GROUP BY e.event_type ORDER BY e.event_type"
         ),
         "range_join": (
             "SELECT a.event_id AS event_id, "

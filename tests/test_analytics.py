@@ -133,7 +133,7 @@ class TestOracleEquivalence:
          "daily_type_pivot", "value_histogram", "source_lang_rollup",
          "redact_pii", "chunk_documents", "benchmark_contamination",
          "docs_in_char_range", "value_ntiles", "value_quantiles_cont",
-         "customers_without_big_orders"],
+         "customers_without_big_orders", "value_mad"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
