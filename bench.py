@@ -90,6 +90,7 @@ def run_queries(num_cpus: int) -> dict:
             "simhash": lambda: dedup.simhash_fingerprints(sf_dir()).materialize(),
             "embedding_neardup": lambda: dedup.embedding_neardup_pairs(sf_dir()),
             "ann_topk": lambda: similarity.brute_topk(sf_dir()),
+            "ann_topk_filtered": lambda: similarity.filtered_topk(sf_dir()),
             "ann_ivf_topk": lambda: similarity.ivf_topk(sf_dir()),
             "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),
             "lang_id": lambda: text_analysis.lang_id(sf_dir()).materialize(),

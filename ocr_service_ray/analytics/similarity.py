@@ -51,12 +51,34 @@ def brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
     Ties broken by ascending neighbor_id (same ORDER BY as the oracle).
     """
     qids, q = _query_matrix(sf_dir, n_queries)
+    return _exact_topk(_emb(sf_dir), qids, q, k)
+
+
+def _exact_topk(
+    ds: "ray.data.Dataset", qids: np.ndarray, q: np.ndarray, k: int
+) -> pa.Table:
+    """Shared exact-top-k tail: broadcast query matrix, per-block local
+    top-k (numpy matmul), tiny driver merge of n_queries×k×blocks rows."""
     q_ref = ray.put(q)
 
     def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table(
+                {"qi": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
         qm = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id"))
-        m = _norm_rows(np.vstack(batch.column("embedding").to_pylist()).astype(np.float64))
+        col = batch.column("embedding")
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            # packed form (float32 bytes) — vectors that crossed a join
+            m = np.vstack(
+                [np.frombuffer(x, np.float32) for x in col.to_pylist()]
+            ).astype(np.float64)
+        else:
+            m = np.vstack(col.to_pylist()).astype(np.float64)
+        m = _norm_rows(m)
         sims = qm @ m.T  # (n_queries, block)
         kk = min(k, sims.shape[1])
         out_q, out_n, out_s = [], [], []
@@ -75,7 +97,7 @@ def brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
         )
 
     partials = pa.concat_tables(
-        ray.get(_emb(sf_dir).map_batches(block_topk, batch_format="pyarrow").to_arrow_refs())
+        ray.get(ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs())
     )
     # final merge: tiny (n_queries * k * n_blocks rows)
     qi = np.asarray(partials.column("qi"))
@@ -95,6 +117,72 @@ def brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
             "rank": pa.array(out_rows["rank"], type=pa.int64()),
         }
     )
+
+
+def filtered_topk(
+    sf_dir: str, n_queries: int = 8, k: int = 10, lang: str = "en"
+) -> pa.Table:
+    """Metadata-FILTERED exact vector search: cosine top-k restricted to
+    neighbors whose document matches a predicate (here lang = ?) — the
+    filtered-ANN verb every production vector engine exposes.
+
+    Ray shape (filter side is corpus-sized at 100 TB, so broadcast is
+    wrong by construction):
+      1. the predicate side is pruned AT THE READ (documents scanned
+         with a pushdown filter, doc_id column only)
+      2. native ``Dataset.join(join_type="left_semi")`` embeddings ⋈
+         allowed-docs on vec_id = doc_id — one hash-partitioned
+         all-to-all keeps only qualifying vectors, metadata never
+         rides along with the embedding payload. The vector payload is
+         PACKED to float32 bytes first (Acero joins cannot carry
+         list<float> non-key fields); the top-k kernel unpacks it.
+      3. the shared exact-top-k tail (`_exact_topk`): broadcast query
+         matrix, per-block matmul + local top-k, tiny driver merge.
+    """
+    import pyarrow.compute as pc
+
+    qids, q = _query_matrix(sf_dir, n_queries)
+    allowed = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id"],
+        filter=pc.field("lang") == lang,
+    ).materialize()
+    n_allowed = allowed.count()
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "rank": pa.array([], pa.int64())}
+    )
+    if n_allowed == 0:
+        return empty
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.binary())}
+            )
+        m = np.ascontiguousarray(
+            np.vstack(batch.column("embedding").to_pylist()), dtype=np.float32
+        )
+        n, dim = m.shape
+        offsets = np.arange(n + 1, dtype=np.int32) * (dim * 4)
+        packed = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(m.tobytes())],
+        )
+        return pa.table({"vec_id": batch.column("vec_id"), "embedding": packed})
+
+    emb = _emb(sf_dir).map_batches(pack, batch_format="pyarrow").materialize()
+    # Ray 2.49's hash join cannot finalize empty partitions — adapt the
+    # partition count to the smaller side (same guard as the other
+    # native-join operators).
+    nparts = max(1, min(16, min(n_allowed, emb.count()) // 16))
+    joined = emb.join(
+        allowed, "left_semi", nparts, on=("vec_id",), right_on=("doc_id",)
+    )
+    out = _exact_topk(joined, qids, q, k)
+    return out if out.num_rows else empty
 
 
 # ----------------------------------------------------------------------

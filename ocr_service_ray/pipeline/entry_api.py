@@ -669,6 +669,10 @@ def queries() -> dict:
         "simhash": dedup.simhash_fingerprints,
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
         "ann_topk": lambda sf: similarity.brute_topk(sf),
+        # metadata-filtered exact vector search: pushdown-pruned
+        # predicate side, native left_semi join (vector payload packed
+        # to binary for Acero), shared exact-top-k tail
+        "ann_topk_filtered": lambda sf: similarity.filtered_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         # exhaustive probe (nprobe == n_clusters): must equal the brute
         # oracle EXACTLY — driver-verifies the full IVF machinery (index
@@ -812,6 +816,20 @@ def oracle_sql() -> dict:
         ),
         "ann_topk": _BRUTE_TOPK_SQL,
         "ann_ivf_exhaustive": _BRUTE_TOPK_SQL,
+        # the filtered variant: neighbors restricted to lang='en' docs
+        "ann_topk_filtered": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q CROSS JOIN embeddings e "
+            "JOIN documents d ON e.vec_id = d.doc_id AND d.lang = 'en') "
+            "SELECT query_id, neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank "
+            "FROM s QUALIFY rank <= 10 ORDER BY query_id, rank"
+        ),
         # PII scrub: counts from the ORIGINAL text, replacements applied
         # email -> phone -> ip (same order both sides; RE2 both sides)
         "redact_pii": (

@@ -133,7 +133,7 @@ class TestOracleEquivalence:
          "daily_type_pivot", "value_histogram", "source_lang_rollup",
          "redact_pii", "chunk_documents", "benchmark_contamination",
          "docs_in_char_range", "value_ntiles", "value_quantiles_cont",
-         "customers_without_big_orders", "value_mad"],
+         "customers_without_big_orders", "value_mad", "ann_topk_filtered"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1083,6 +1083,27 @@ class TestCrossSnapshotDupes:
         assert len(got) == len(want)
         if len(got):
             pd.testing.assert_frame_equal(got, want)
+
+
+class TestFilteredTopk:
+    def test_neighbors_respect_predicate(self):
+        from ocr_service_ray.analytics.similarity import filtered_topk
+
+        got = filtered_topk(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        en = set(
+            con.execute("SELECT doc_id FROM documents WHERE lang = 'en'").df()["doc_id"]
+        )
+        assert len(got) > 0
+        assert set(got["neighbor_id"]).issubset(en)
+
+    def test_unmatched_predicate_is_empty(self):
+        from ocr_service_ray.analytics.similarity import filtered_topk
+
+        got = filtered_topk(SF, lang="xx")
+        assert got.num_rows == 0
+        assert got.column_names == ["query_id", "neighbor_id", "rank"]
 
 
 class TestAntiJoin:
