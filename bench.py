@@ -141,6 +141,7 @@ def run_queries(num_cpus: int) -> dict:
             "long_tail_docs": lambda: relational.long_tail_docs(sf_dir()),
             "curation_status": lambda: curation.curation_status(sf_dir()),
             "cross_snapshot_dupes": lambda: dedup.cross_snapshot_dupes(sf_dir()),
+            "cross_snapshot_neardup": lambda: dedup.cross_snapshot_neardup(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -738,3 +738,159 @@ def cross_snapshot_dupes(sf_dir: str) -> pa.Table:
             {"doc_id": pa.array([], pa.int64()), "base_doc_id": pa.array([], pa.int64())}
         )
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+def cross_snapshot_neardup(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+    max_bucket: int = 256,
+) -> pa.Table:
+    """Incremental NEAR-dup: which docs of the NEW snapshot are
+    near-duplicates (shingle-Jaccard >= threshold) of any BASE-corpus
+    doc — the fuzzy twin of ``cross_snapshot_dupes``. Same deterministic
+    split: base = doc_id < T, new = doc_id >= T, T = (max+1)//2.
+
+    The plan is ``minhash_lsh_pairs``'s distributed LSH with one
+    load-bearing change: pair emission is CROSS-SIDE ONLY. Bucket ids
+    are split into base/new at emission time, so archive-internal
+    duplicate clusters — the dominant pair volume in a mature corpus —
+    never materialize anywhere; candidate count, verify work and driver
+    state are all O(new-side near-dups), which is what makes the pass
+    incremental rather than a recompute.
+
+    Hot-bucket bound (same contract as the full LSH): an oversized
+    bucket emits O(|new|) star pairs from the bucket's MIN BASE id
+    instead of |base|x|new|; precision is untouched (exact verify),
+    recall caveat identical to minhash_lsh_pairs.
+
+    Returns (doc_id [new side], base_doc_id, jaccard), all verified
+    exact pairs, sorted.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    docs = _docs(sf_dir)
+    t_split = (int(docs.max("doc_id")) + 1) // 2
+
+    sig = docs.map_batches(
+        _signature_batch,
+        fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        batch_size=256,
+        batch_format="pyarrow",
+    )
+    collect_ids = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda acc, block: acc + block.column("doc_id").to_pylist(),
+        merge=lambda a, b: a + b,
+        name="docs",
+    )
+    buckets = sig.groupby(["band", "key"]).aggregate(collect_ids)
+
+    def emit_cross_pairs(batch: pa.Table) -> pa.Table:
+        out_b: list[int] = []
+        out_n: list[int] = []
+        for ids in batch.column("docs").to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(set(ids))
+            base = [i for i in ids if i < t_split]
+            new = [i for i in ids if i >= t_split]
+            if not base or not new:
+                continue  # intra-side buckets carry no incremental work
+            if len(ids) > max_bucket:
+                rep = base[0]
+                out_b.extend([rep] * len(new))
+                out_n.extend(new)
+                continue
+            for nb in base:
+                out_b.extend([nb] * len(new))
+                out_n.extend(new)
+        return pa.table(
+            {"base_doc_id": pa.array(out_b, pa.int64()),
+             "doc_id": pa.array(out_n, pa.int64())}
+        )
+
+    distinct = (
+        buckets.map_batches(emit_cross_pairs, batch_format="pyarrow")
+        .groupby(["base_doc_id", "doc_id"])
+        .count()
+    )
+    pair_tbl = _collect(
+        distinct,
+        pa.schema(
+            [("base_doc_id", pa.int64()), ("doc_id", pa.int64()), ("count()", pa.int64())]
+        ),
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "base_doc_id": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    if len(pair_tbl) == 0:
+        return empty
+    need_ref = ray.put(
+        frozenset(pair_tbl.column("base_doc_id").to_pylist())
+        | frozenset(pair_tbl.column("doc_id").to_pylist())
+    )
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        ids, sets = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id in need:
+                ids.append(doc_id)
+                sets.append(sorted(set(shingles(text, shingle_k))))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "sh": pa.array(sets, pa.list_(pa.string()))}
+        )
+
+    sh_blocks = [
+        t
+        for t in ray.get(
+            docs.map_batches(cand_shingles, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    sh_tbl = (
+        pa.concat_tables(sh_blocks)
+        if sh_blocks
+        else pa.table(
+            {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.list_(pa.string()))}
+        )
+    )
+    sh_ref = ray.put(
+        dict(zip(sh_tbl.column("doc_id").to_pylist(),
+                 (set(s) for s in sh_tbl.column("sh").to_pylist())))
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        out_n, out_b, out_j = [], [], []
+        for b, n in zip(
+            batch.column("base_doc_id").to_pylist(), batch.column("doc_id").to_pylist()
+        ):
+            j = jaccard(sh.get(b, set()), sh.get(n, set()))
+            if j >= threshold:
+                out_n.append(n)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table(
+            {"doc_id": pa.array(out_n, pa.int64()),
+             "base_doc_id": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
+        )
+
+    verified = ray.data.from_arrow(
+        pair_tbl.select(["base_doc_id", "doc_id"])
+    ).map_batches(verify, batch_format="pyarrow")
+    tbl = _collect(
+        verified,
+        pa.schema(
+            [("doc_id", pa.int64()), ("base_doc_id", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )
+    return tbl.sort_by([("doc_id", "ascending"), ("base_doc_id", "ascending")])

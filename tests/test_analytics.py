@@ -133,7 +133,8 @@ class TestOracleEquivalence:
          "daily_type_pivot", "value_histogram", "source_lang_rollup",
          "redact_pii", "chunk_documents", "benchmark_contamination",
          "docs_in_char_range", "value_ntiles", "value_quantiles_cont",
-         "customers_without_big_orders", "value_mad", "ann_topk_filtered"],
+         "customers_without_big_orders", "value_mad", "ann_topk_filtered",
+         "cross_snapshot_neardup"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -329,6 +330,30 @@ class TestOracleEquivalence:
         assert len(ng) == 8 * 7 // 2
         assert set(ng["doc_a"]) | set(ng["doc_b"]) == set(range(8))
         assert (ng["jaccard"] == 1.0).all()
+
+    def test_cross_snapshot_neardup_hot_bucket_stars_to_base(self, tmp_path):
+        """Same identical-cluster adversary for the INCREMENTAL LSH: an
+        oversized cross-split bucket must emit exactly one star pair per
+        NEW doc to the min BASE id — bounded output, every new doc still
+        flagged, and no base×base or new×new pair anywhere."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.dedup import cross_snapshot_neardup
+
+        k = 300  # doc_ids 0..299 identical; split T = 150
+        text = "the same boilerplate page body repeated on every mirror " * 4
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(k)), pa.int64()),
+            "text": pa.array([text] * k),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+        got = cross_snapshot_neardup(str(tmp_path), max_bucket=16).to_pandas()
+        t = k // 2
+        assert len(got) == t  # one pair per new doc
+        assert (got["base_doc_id"] == 0).all()
+        assert sorted(got["doc_id"]) == list(range(t, k))
+        assert (got["jaccard"] == 1.0).all()
 
     def test_value_quantiles_mega_type_skew(self, con):
         """One type holding ~99% of all rows must still be exact — the
