@@ -142,6 +142,7 @@ def run_queries(num_cpus: int) -> dict:
             "curation_status": lambda: curation.curation_status(sf_dir()),
             "cross_snapshot_dupes": lambda: dedup.cross_snapshot_dupes(sf_dir()),
             "cross_snapshot_neardup": lambda: dedup.cross_snapshot_neardup(sf_dir()),
+            "snapshot_set_ops": lambda: dedup.snapshot_set_ops(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

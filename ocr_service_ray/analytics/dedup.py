@@ -894,3 +894,65 @@ def cross_snapshot_neardup(
         ),
     )
     return tbl.sort_by([("doc_id", "ascending"), ("base_doc_id", "ascending")])
+
+def snapshot_set_ops(sf_dir: str) -> pa.Table:
+    """Distinct-fingerprint SET OPS across the snapshot split (same
+    deterministic T as the cross-snapshot operators): how many distinct
+    content fingerprints are in the base only (EXCEPT), the new
+    snapshot only (reverse EXCEPT), both (INTERSECT), and either
+    (UNION) — the crawl-drift dashboard numbers.
+
+    Ray shape: fingerprint map with 0/1 side flags → ONE groupby(h)
+    taking max(side) flags (the only corpus-sized shuffle, uniform
+    digest keys) → per-block category bincount partials → O(blocks)
+    driver sum. No fingerprint list ever reaches the driver.
+    """
+    docs = _docs(sf_dir)
+    t_split = (int(docs.max("doc_id")) + 1) // 2
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hashes = [md5_hex(normalize_text(t)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"h": pa.array(hashes),
+             "in_base": pa.array([1 if i < t_split else 0 for i in ids], pa.int64()),
+             "in_new": pa.array([1 if i >= t_split else 0 for i in ids], pa.int64())}
+        )
+
+    flags = (
+        docs.map_batches(fp, batch_format="pyarrow")
+        .groupby("h")
+        .max(["in_base", "in_new"])
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "max(in_base)" not in batch.column_names:
+            z = [0]
+            return pa.table(
+                {"base_only": pa.array(z, pa.int64()),
+                 "new_only": pa.array(z, pa.int64()),
+                 "both": pa.array(z, pa.int64())}
+            )
+        b = np.asarray(batch.column("max(in_base)"), dtype=np.int64)
+        n = np.asarray(batch.column("max(in_new)"), dtype=np.int64)
+        return pa.table(
+            {"base_only": pa.array([int(((b == 1) & (n == 0)).sum())], pa.int64()),
+             "new_only": pa.array([int(((b == 0) & (n == 1)).sum())], pa.int64()),
+             "both": pa.array([int(((b == 1) & (n == 1)).sum())], pa.int64())}
+        )
+
+    parts = _collect(
+        flags.map_batches(partial_counts, batch_format="pyarrow"),
+        pa.schema(
+            [("base_only", pa.int64()), ("new_only", pa.int64()), ("both", pa.int64())]
+        ),
+    )
+    base_only = int(pa.compute.sum(parts.column("base_only")).as_py() or 0)
+    new_only = int(pa.compute.sum(parts.column("new_only")).as_py() or 0)
+    both = int(pa.compute.sum(parts.column("both")).as_py() or 0)
+    return pa.table(
+        {"base_only": pa.array([base_only], pa.int64()),
+         "new_only": pa.array([new_only], pa.int64()),
+         "both": pa.array([both], pa.int64()),
+         "union_count": pa.array([base_only + new_only + both], pa.int64())}
+    )

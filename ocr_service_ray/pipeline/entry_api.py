@@ -737,6 +737,8 @@ def queries() -> dict:
         "cross_snapshot_dupes": lambda sf: dedup.cross_snapshot_dupes(sf),
         # fuzzy twin: cross-side-only LSH pair emission
         "cross_snapshot_neardup": lambda sf: dedup.cross_snapshot_neardup(sf),
+        # distinct-fingerprint union/intersect/except counts
+        "snapshot_set_ops": lambda sf: dedup.snapshot_set_ops(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1121,6 +1123,18 @@ def oracle_sql() -> dict:
             "GROUP BY user_id ORDER BY user_id"
         ),
         # new-vs-base snapshot exact dedup (big-big hash join)
+        # set ops over distinct fingerprints across the split
+        "snapshot_set_ops": (
+            "WITH t AS (SELECT (max(doc_id) + 1) // 2 AS ts FROM documents), "
+            "fp AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h, "
+            "doc_id FROM documents), "
+            "s AS (SELECT h, max(CASE WHEN doc_id < t.ts THEN 1 ELSE 0 END) AS b, "
+            "max(CASE WHEN doc_id >= t.ts THEN 1 ELSE 0 END) AS n FROM fp, t GROUP BY h) "
+            "SELECT CAST(count(*) FILTER (b = 1 AND n = 0) AS BIGINT) AS base_only, "
+            "CAST(count(*) FILTER (b = 0 AND n = 1) AS BIGINT) AS new_only, "
+            "CAST(count(*) FILTER (b = 1 AND n = 1) AS BIGINT) AS both, "
+            "CAST(count(*) AS BIGINT) AS union_count FROM s"
+        ),
         # incremental near-dup: cross-side LSH (archive-internal pairs
         # never materialize); same split + shingle-Jaccard as the SQL
         "cross_snapshot_neardup": (
