@@ -143,6 +143,7 @@ def run_queries(num_cpus: int) -> dict:
             "cross_snapshot_dupes": lambda: dedup.cross_snapshot_dupes(sf_dir()),
             "cross_snapshot_neardup": lambda: dedup.cross_snapshot_neardup(sf_dir()),
             "snapshot_set_ops": lambda: dedup.snapshot_set_ops(sf_dir()),
+            "daily_type_unpivot": lambda: windows.daily_type_unpivot(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

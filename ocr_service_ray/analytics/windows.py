@@ -948,6 +948,51 @@ def daily_type_pivot(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(final, preserve_index=False)
 
 
+def daily_type_unpivot(sf_dir: str) -> pa.Table:
+    """Unpivot (wide -> long melt), the inverse reshape verb of
+    ``daily_type_pivot``: each wide pivot row (day, n_click, n_error,
+    ...) becomes |types| long rows (day, event_type, n), zero counts
+    included (they are values in the pivot, not NULLs).
+
+    Ray shape: the pivot itself is the existing distributed combiner;
+    the melt is a stateless VECTORIZED one-to-many map over the wide
+    blocks (np.repeat/np.tile — |types|x row multiplication with no
+    Python per row), the same flat_map shape as chunk_documents.
+    """
+    wide = daily_type_pivot(sf_dir)
+    types = _EVENT_TYPES
+
+    def melt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "day_s" not in batch.column_names:
+            return pa.table(
+                {"day_s": pa.array([], pa.int64()),
+                 "event_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        day = np.asarray(batch.column("day_s"), dtype=np.int64)
+        counts = np.stack(
+            [np.asarray(batch.column(f"n_{t}"), dtype=np.int64) for t in types],
+            axis=1,
+        )  # (rows, types)
+        return pa.table(
+            {"day_s": pa.array(np.repeat(day, len(types)), pa.int64()),
+             "event_type": pa.array(
+                 np.tile(np.array(types), len(day)), pa.string()
+             ),
+             "n": pa.array(counts.reshape(-1), pa.int64())}
+        )
+
+    from .dedup import _collect
+
+    out = _collect(
+        ray.data.from_arrow(wide).map_batches(melt, batch_format="pyarrow"),
+        pa.schema(
+            [("day_s", pa.int64()), ("event_type", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    return out.sort_by([("day_s", "ascending"), ("event_type", "ascending")])
+
+
 def value_histogram(sf_dir: str, width: float = 10.0) -> pa.Table:
     """Fixed-width histogram of ``value`` per event_type (bin =
     floor(value / width)): vectorized per-batch bincount combiner, tiny

@@ -739,6 +739,8 @@ def queries() -> dict:
         "cross_snapshot_neardup": lambda sf: dedup.cross_snapshot_neardup(sf),
         # distinct-fingerprint union/intersect/except counts
         "snapshot_set_ops": lambda sf: dedup.snapshot_set_ops(sf),
+        # inverse reshape verb (wide -> long melt)
+        "daily_type_unpivot": lambda sf: windows.daily_type_unpivot(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1088,6 +1090,20 @@ def oracle_sql() -> dict:
             "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
             "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # UNPIVOT of the pivot (zeros are values, all rows kept)
+        "daily_type_unpivot": (
+            "WITH p AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY 1) "
+            "SELECT day_s, replace(name, 'n_', '') AS event_type, "
+            "CAST(value AS BIGINT) AS n "
+            "FROM (UNPIVOT p ON n_click, n_error, n_purchase, n_signup, n_view "
+            "INTO NAME name VALUE value) ORDER BY day_s, event_type"
         ),
         "value_histogram": (
             "SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, "

@@ -6,8 +6,11 @@ the rest. Usage: python tools/check_oracles.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
