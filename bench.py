@@ -144,6 +144,9 @@ def run_queries(num_cpus: int) -> dict:
             "cross_snapshot_neardup": lambda: dedup.cross_snapshot_neardup(sf_dir()),
             "snapshot_set_ops": lambda: dedup.snapshot_set_ops(sf_dir()),
             "daily_type_unpivot": lambda: windows.daily_type_unpivot(sf_dir()),
+            "value_trend": lambda: windows.value_trend(sf_dir()),
+            "distinctive_terms": lambda: text_analysis.distinctive_terms(sf_dir()),
+            "user_journeys": lambda: windows.user_journeys(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -524,3 +525,103 @@ def bigram_counts(sf_dir: str, min_count: int = 5) -> pa.Table:
             "n": pa.array(n_arr[keep].astype(np.int64), pa.int64()),
         }
     ).sort_by([("bigram", "ascending")])
+
+
+_TERM = re.compile(r"[a-z0-9]+")
+
+
+def distinctive_terms(sf_dir: str, top_k: int = 3) -> pa.Table:
+    """Per-doc top-``top_k`` distinctive terms — the exact-integer core
+    of TF-IDF feature extraction. Terms are ranked by (tf DESC,
+    corpus-df ASC, term ASC): most frequent in the doc, rarest in the
+    corpus, lexicographic tie-break — a fully integer-exact ordering
+    (no float idf in the ranking, so the DuckDB oracle is hash-exact
+    rather than ulp-lucky; a float ``tf*ln((N+1)/(df+1))`` score ranks
+    identically whenever df differs and is derivable from the emitted
+    (tf, df, N) downstream).
+
+    Distributed shape (two pruned passes over ``documents``):
+    1. corpus document-frequency: per-batch partial df counts (each
+       doc's DISTINCT terms, vectorized np.unique over the batch
+       explode) -> one small groupby(term).sum — the only shuffle, and
+       it moves (term, count) partials, never text.
+    2. per-doc ranking: df map is broadcast via ``ray.put`` (synthetic
+       vocab is tiny; at web scale swap the broadcast for a hash join
+       of the exploded (doc, term, tf) table against the df table —
+       same downstream ranking, documented trade); each batch scores
+       its docs locally with a searchsorted df lookup + lexicographic
+       sort, so the per-doc top-k never shuffles either.
+
+    The reference has no term-statistics support (SURVEY.md §2.9).
+    """
+    from collections import Counter
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for text in batch.column("text").to_pylist():
+            terms.extend(set(_TERM.findall((text or "").lower())))
+        if not terms:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(list(uniq), pa.string()),
+                "df": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df")
+    )
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if tables:
+        import pyarrow.compute as pc
+
+        df_tbl = pa.concat_tables(tables)
+        order = pc.sort_indices(df_tbl.column("term"))
+        terms_sorted = np.asarray(df_tbl.column("term").take(order).to_pylist(), object)
+        df_sorted = df_tbl.column("sum(df)").take(order).to_numpy(zero_copy_only=False)
+    else:
+        terms_sorted = np.asarray([], object)
+        df_sorted = np.asarray([], np.int64)
+    df_ref = ray.put((terms_sorted, df_sorted))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        vocab, dfs = ray.get(df_ref)
+        doc_ids, rnks, terms, tfs, out_dfs = [], [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf = Counter(_TERM.findall((text or "").lower()))
+            if not tf:
+                continue
+            t_arr = np.asarray(list(tf.keys()), object)
+            tf_arr = np.asarray(list(tf.values()), np.int64)
+            d_arr = dfs[np.searchsorted(vocab, t_arr)]
+            # lexicographic (tf desc, df asc, term asc): last key first
+            pick = np.lexsort((t_arr, d_arr, -tf_arr))[:top_k]
+            doc_ids.extend([doc_id] * len(pick))
+            rnks.extend(range(1, len(pick) + 1))
+            terms.extend(t_arr[pick])
+            tfs.extend(tf_arr[pick])
+            out_dfs.extend(d_arr[pick])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "rnk": pa.array(rnks, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(out_dfs, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(rank, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    )
+    return tbl.sort_by([("doc_id", "ascending"), ("rnk", "ascending")])

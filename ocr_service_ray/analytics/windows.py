@@ -1023,6 +1023,126 @@ def value_histogram(sf_dir: str, width: float = 10.0) -> pa.Table:
     return pa.Table.from_pandas(final, preserve_index=False)
 
 
+def value_trend(sf_dir: str) -> pa.Table:
+    """Per event_type linear trend of value over time: OLS slope /
+    intercept / Pearson correlation of (x = seconds since 2024-01-01,
+    y = value in integer cents).
+
+    Distributed shape: all five moment sums (Σx Σy Σxy Σx² Σy²) are
+    EXACT int64 partials computed vectorized per batch (x ≤ 2.6e6 s for
+    a month of data, y ≤ ~6e4 cents → Σx² ≲ 1e17 per type, safely in
+    int64 up to ~1e9 rows/type; overflow would need a wider epoch — use
+    a later reference date, not floats), reduced by one tiny
+    groupby(event_type).sum over ≤ types × blocks rows. The float
+    finish (slope/intercept/corr) happens ONCE per type on the reduced
+    sums with a single fixed IEEE expression — bit-identical to the
+    oracle SQL evaluating the same expression on the same exact sums,
+    no accumulation-order sensitivity anywhere. The reference has no
+    regression support (SURVEY.md §2.9); this is the distributed-
+    moments member of the combiner family.
+    """
+    ref_us = int(pd.Timestamp("2024-01-01").value // 1000)  # epoch micros
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        x = (ts_us - ref_us) // 1_000_000
+        v = np.asarray(batch.column("value"), dtype=np.float64) * 100
+        y = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sxx": pa.array(x * x, pa.int64()),
+                "syy": pa.array(y * y, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    sums = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
+        .to_pandas()
+        .rename(columns={f"sum({c})": c for c in ("n", "sx", "sy", "sxy", "sxx", "syy")})
+    )
+    n = sums["n"].astype(np.float64).to_numpy()
+    sx = sums["sx"].astype(np.float64).to_numpy()
+    sy = sums["sy"].astype(np.float64).to_numpy()
+    sxy = sums["sxy"].astype(np.float64).to_numpy()
+    sxx = sums["sxx"].astype(np.float64).to_numpy()
+    syy = sums["syy"].astype(np.float64).to_numpy()
+    cov_n = n * sxy - sx * sy  # n² × covariance
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    intercept = (sy - slope * sx) / n
+    corr = cov_n / np.sqrt(var_x * var_y)
+    out = pd.DataFrame(
+        {
+            "event_type": sums["event_type"],
+            "n": sums["n"].astype(np.int64),
+            "slope": slope,
+            "intercept": intercept,
+            "corr_xy": corr,
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def user_journeys(sf_dir: str, prefix_len: int = 8) -> pa.Table:
+    """Sequence mining: frequency of each user's first-``prefix_len``
+    event-type path (events ordered by (ts, event_id)).
+
+    Distributed shape: hash-shuffle by user_id (bounded groups — a
+    user's events, same partitioning key the session family reuses) ->
+    per-group vectorized path build -> the path frequency count is a
+    per-batch np.unique partial + one tiny groupby(path).sum, so the
+    second shuffle moves (path, count) partials only. The reference has
+    no sequence analysis (SURVEY.md §2.9).
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        path = ">".join(df["event_type"].head(prefix_len))
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "path" not in batch.column_names:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "n_users": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(
+            np.asarray(batch.column("path").to_pylist(), dtype=object), return_counts=True
+        )
+        return pa.table(
+            {
+                "path": pa.array(list(uniq), pa.string()),
+                "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    final = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("path")
+        .sum("n_users")
+        .to_pandas()
+        .rename(columns={"sum(n_users)": "n_users"})
+    )
+    final["n_users"] = final["n_users"].astype(np.int64)
+    final = final.sort_values("path").reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
 def user_value_windows(sf_dir: str, lookback_s: int = 300) -> pa.Table:
     """Per-event time-RANGE sliding window + lag, per user: for every
     event, the sum/count of that user's value-cents over

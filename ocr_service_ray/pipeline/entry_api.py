@@ -741,6 +741,12 @@ def queries() -> dict:
         "snapshot_set_ops": lambda sf: dedup.snapshot_set_ops(sf),
         # inverse reshape verb (wide -> long melt)
         "daily_type_unpivot": lambda sf: windows.daily_type_unpivot(sf),
+        # per-type OLS slope/intercept/corr via exact-int distributed moments
+        "value_trend": lambda sf: windows.value_trend(sf),
+        # per-doc top-3 distinctive terms (exact-integer TF-IDF core)
+        "distinctive_terms": lambda sf: text_analysis.distinctive_terms(sf),
+        # sequence mining: first-8 event-type path frequencies
+        "user_journeys": lambda sf: windows.user_journeys(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -907,6 +913,24 @@ def oracle_sql() -> dict:
         "fingerprints": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        # exact-integer TF-IDF core: rank by (tf desc, corpus df asc,
+        # term asc) — no float idf in the ordering (see
+        # text_analysis.distinctive_terms)
+        "distinctive_terms": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM tok GROUP BY 1), "
+            "ranked AS (SELECT doc_id, term, tf, df, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tf DESC, df ASC, term ASC) AS rnk "
+            "FROM tf JOIN df USING (term)) "
+            "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df "
+            "FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"
         ),
         # M4 norm_text: ×->X, collapse whitespace, correction table (same
         # sequential order as ops.textops.COMMON_CORRECTIONS).
@@ -1104,6 +1128,33 @@ def oracle_sql() -> dict:
             "CAST(value AS BIGINT) AS n "
             "FROM (UNPIVOT p ON n_click, n_error, n_purchase, n_signup, n_view "
             "INTO NAME name VALUE value) ORDER BY day_s, event_type"
+        ),
+        # per-user ordered path prefix, then path frequency
+        "user_journeys": (
+            "WITH s AS (SELECT user_id, "
+            "array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path "
+            "FROM events GROUP BY user_id) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM s GROUP BY 1 ORDER BY 1"
+        ),
+        # same exact integer moment sums, same single IEEE float finish
+        # (see windows.value_trend — bit-identical by construction)
+        "value_trend": (
+            "WITH m AS (SELECT event_type, "
+            "CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000) AS DOUBLE) AS sx, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS sy, "
+            "CAST(sum(((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000) "
+            "* CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS sxy, "
+            "CAST(sum(((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000) "
+            "* ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000)) AS DOUBLE) AS sxx, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS syy "
+            "FROM events GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, "
+            "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept, "
+            "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy "
+            "FROM m ORDER BY event_type"
         ),
         "value_histogram": (
             "SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin, "
