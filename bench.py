@@ -147,6 +147,7 @@ def run_queries(num_cpus: int) -> dict:
             "value_trend": lambda: windows.value_trend(sf_dir()),
             "distinctive_terms": lambda: text_analysis.distinctive_terms(sf_dir()),
             "user_journeys": lambda: windows.user_journeys(sf_dir()),
+            "value_ranks": lambda: windows.value_ranks(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

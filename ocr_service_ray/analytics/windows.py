@@ -1096,6 +1096,162 @@ def value_trend(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def value_ranks(sf_dir: str) -> pa.Table:
+    """The SQL rank family per partition: rank / dense_rank /
+    row_number / percent_rank of ``value`` within ``event_type``
+    (peers by value; row_number tie-broken by event_id).
+
+    Distributed shape (the rank-ASSIGNMENT sibling of ``value_ntiles``,
+    generalized to PARTITIONED ranks with duplicate-value runs that may
+    span block boundaries): one range-partition sort on (event_type,
+    value, event_id) — the only all-to-all — then a METADATA-ONLY
+    per-block pass summarizing each block's type-segments (rows,
+    distinct values, boundary values, trailing-run length; O(types per
+    block), never row data), a driver prefix scan over those summaries
+    that threads run continuation across blocks (a value-run crossing a
+    block boundary keeps its global rank start; its distinct value is
+    counted once), and finally one vectorized task per block assigning
+    all four ranks from (offsets, local run ids). Driver state is
+    O(blocks), row data never leaves the cluster.
+
+    percent_rank = (rank - 1) / (n_partition - 1) — the same two exact
+    integers divided once on both sides, so hash-exact.
+    """
+    import ray
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    refs = ds.sort(["event_type", "value", "event_id"]).to_arrow_refs()
+
+    @ray.remote
+    def summarize(tbl: pa.Table) -> list:
+        if tbl.num_rows == 0 or "event_type" not in tbl.column_names:
+            return []
+        et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        v = np.asarray(tbl.column("value"), dtype=np.float64)
+        segs = []
+        new_seg = np.r_[True, et[1:] != et[:-1]]
+        starts = np.flatnonzero(new_seg)
+        ends = np.r_[starts[1:], len(et)]
+        for s, e in zip(starts, ends):
+            sv = v[s:e]
+            new_run = np.r_[True, sv[1:] != sv[:-1]]
+            n_trail = int((len(sv) - 1) - np.flatnonzero(new_run)[-1]) + 1
+            segs.append(
+                {
+                    "etype": et[s],
+                    "n_rows": int(e - s),
+                    "n_distinct": int(new_run.sum()),
+                    "first_val": float(sv[0]),
+                    "last_val": float(sv[-1]),
+                    "n_trailing": n_trail,
+                }
+            )
+        return segs
+
+    block_segs = ray.get([summarize.remote(r) for r in refs])
+
+    # driver prefix scan: thread per-type row/distinct offsets and the
+    # boundary run's global start across blocks (metadata only)
+    cum_rows: dict = {}
+    cum_distinct: dict = {}
+    prev_type: object = None
+    prev_val: float | None = None
+    run_start = 0  # within-type row offset where the current trailing run began
+    plans = []  # per block: list of (rows_before, dense_base, first_run_base|None)
+    for segs in block_segs:
+        plan = []
+        for seg in segs:
+            t = seg["etype"]
+            rows_before = cum_rows.get(t, 0)
+            distinct_before = cum_distinct.get(t, 0)
+            continuing = t == prev_type and seg["first_val"] == prev_val
+            plan.append(
+                (
+                    rows_before,
+                    distinct_before + (0 if continuing else 1),
+                    run_start if continuing else None,
+                )
+            )
+            cum_rows[t] = rows_before + seg["n_rows"]
+            cum_distinct[t] = (
+                distinct_before + seg["n_distinct"] - (1 if continuing else 0)
+            )
+            if not (continuing and seg["n_distinct"] == 1):
+                run_start = rows_before + seg["n_rows"] - seg["n_trailing"]
+            prev_type, prev_val = t, seg["last_val"]
+        plans.append(plan)
+    totals_ref = ray.put(dict(cum_rows))
+
+    @ray.remote
+    def assign(tbl: pa.Table, plan: list) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "rn": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "dense_rnk": pa.array([], pa.int64()),
+                "pct_rank": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0 or "event_type" not in tbl.column_names:
+            return empty
+        totals = ray.get(totals_ref)
+        et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        v = np.asarray(tbl.column("value"), dtype=np.float64)
+        rn = np.empty(len(et), np.int64)
+        rnk = np.empty(len(et), np.int64)
+        dense = np.empty(len(et), np.int64)
+        pct = np.empty(len(et), np.float64)
+        new_seg = np.r_[True, et[1:] != et[:-1]]
+        starts = np.flatnonzero(new_seg)
+        ends = np.r_[starts[1:], len(et)]
+        for (s, e), (rows_before, dense_base, first_run_base) in zip(
+            zip(starts, ends), plan
+        ):
+            sv = v[s:e]
+            m = e - s
+            local = np.arange(m, dtype=np.int64)
+            new_run = np.r_[True, sv[1:] != sv[:-1]]
+            run_id = np.cumsum(new_run) - 1
+            run_start_idx = np.flatnonzero(new_run)  # local idx of each run start
+            run_rank = rows_before + run_start_idx + 1
+            if first_run_base is not None:
+                run_rank[0] = first_run_base + 1
+            rn[s:e] = rows_before + local + 1
+            rnk[s:e] = run_rank[run_id]
+            dense[s:e] = dense_base + run_id
+            n_t = totals[et[s]]
+            pct[s:e] = (
+                (rnk[s:e] - 1) / (n_t - 1) if n_t > 1 else np.zeros(m)
+            )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+                "rn": pa.array(rn, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+                "dense_rnk": pa.array(dense, pa.int64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    parts = ray.get([assign.remote(r, p) for r, p in zip(refs, plans)])
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "rn": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "dense_rnk": pa.array([], pa.int64()),
+                "pct_rank": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by([("event_id", "ascending")])
+
+
 def user_journeys(sf_dir: str, prefix_len: int = 8) -> pa.Table:
     """Sequence mining: frequency of each user's first-``prefix_len``
     event-type path (events ordered by (ts, event_id)).

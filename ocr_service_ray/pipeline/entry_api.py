@@ -747,6 +747,8 @@ def queries() -> dict:
         "distinctive_terms": lambda sf: text_analysis.distinctive_terms(sf),
         # sequence mining: first-8 event-type path frequencies
         "user_journeys": lambda sf: windows.user_journeys(sf),
+        # SQL rank family (rank/dense_rank/row_number/percent_rank)
+        "value_ranks": lambda sf: windows.value_ranks(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1128,6 +1130,19 @@ def oracle_sql() -> dict:
             "CAST(value AS BIGINT) AS n "
             "FROM (UNPIVOT p ON n_click, n_error, n_purchase, n_signup, n_view "
             "INTO NAME name VALUE value) ORDER BY day_s, event_type"
+        ),
+        # rank family per event_type partition (peers by value;
+        # row_number tie-broken by event_id); percent_rank is the same
+        # (rank-1)/(n-1) integer division on both sides
+        "value_ranks": (
+            "SELECT event_id, event_type, "
+            "CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, "
+            "CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rnk, "
+            "CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS dense_rnk, "
+            "CASE WHEN count(*) OVER (PARTITION BY event_type) > 1 THEN "
+            "CAST(rank() OVER (PARTITION BY event_type ORDER BY value) - 1 AS DOUBLE) "
+            "/ (count(*) OVER (PARTITION BY event_type) - 1) ELSE 0.0 END AS pct_rank "
+            "FROM events ORDER BY event_id"
         ),
         # per-user ordered path prefix, then path frequency
         "user_journeys": (

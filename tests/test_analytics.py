@@ -135,7 +135,7 @@ class TestOracleEquivalence:
          "docs_in_char_range", "value_ntiles", "value_quantiles_cont",
          "customers_without_big_orders", "value_mad", "ann_topk_filtered",
          "cross_snapshot_neardup", "snapshot_set_ops", "daily_type_unpivot",
-         "value_trend", "distinctive_terms", "user_journeys"],
+         "value_trend", "distinctive_terms", "user_journeys", "value_ranks"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1205,3 +1205,81 @@ class TestValueNtiles:
             "AS BIGINT) AS bucket FROM events ORDER BY event_id"
         ).df()
         pd.testing.assert_frame_equal(got3, want3)
+
+
+class TestValueRanks:
+    def test_mega_tie_runs_span_blocks(self):
+        """Adversarial fixture for the cross-block run-continuation
+        logic: a multi-file events dir (12 input blocks) where one
+        (type, value) run is thousands of rows long, guaranteeing
+        duplicate-value runs span sorted-block boundaries; rank /
+        dense_rank / row_number / percent_rank must all match the SQL
+        window oracle bit-for-bit."""
+        import tempfile
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import value_ranks
+
+        d = tempfile.mkdtemp(prefix="ranks_")
+        os.makedirs(f"{d}/events.parquet")
+        rng = np.random.default_rng(11)
+        eid = 0
+        for part in range(12):
+            n = 500
+            etype = rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1])
+            # type a: almost all value 7.0 (one mega run); b/c: tiny domains
+            val = np.where(
+                etype == "a",
+                np.where(rng.random(n) < 0.9, 7.0, 9.0),
+                rng.integers(0, 4, size=n).astype(float),
+            )
+            tbl = pa.table({
+                "event_id": pa.array(np.arange(eid, eid + n), pa.int64()),
+                "ts": pa.array([1_000_000 * i for i in range(n)], pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(n, np.int64)),
+                "event_type": pa.array(list(etype), pa.string()),
+                "value": pa.array(val, pa.float64()),
+            })
+            pq.write_table(tbl, f"{d}/events.parquet/part-{part:02d}.parquet")
+            eid += n
+        got = value_ranks(d).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+        want = con.execute(
+            "SELECT event_id, event_type, "
+            "CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn, "
+            "CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rnk, "
+            "CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS dense_rnk, "
+            "CASE WHEN count(*) OVER (PARTITION BY event_type) > 1 THEN "
+            "CAST(rank() OVER (PARTITION BY event_type ORDER BY value) - 1 AS DOUBLE) "
+            "/ (count(*) OVER (PARTITION BY event_type) - 1) ELSE 0.0 END AS pct_rank "
+            "FROM events ORDER BY event_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_single_row_partition(self):
+        """n=1 partition: percent_rank is defined 0.0, not NaN."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import value_ranks
+
+        tbl = pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([0, 0, 0], pa.timestamp("us")),
+            "user_id": pa.array([0, 0, 0], pa.int64()),
+            "event_type": pa.array(["solo", "duo", "duo"], pa.string()),
+            "value": pa.array([5.0, 1.0, 1.0], pa.float64()),
+        })
+        d = tempfile.mkdtemp(prefix="solo_")
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = value_ranks(d).to_pandas()
+        solo = got[got.event_type == "solo"].iloc[0]
+        assert solo.pct_rank == 0.0 and solo.rnk == 1 and solo.dense_rnk == 1
+        duo = got[got.event_type == "duo"]
+        assert list(duo.rnk) == [1, 1] and list(duo.rn) == [1, 2]
+        assert list(duo.pct_rank) == [0.0, 0.0]
