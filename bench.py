@@ -148,6 +148,10 @@ def run_queries(num_cpus: int) -> dict:
             "distinctive_terms": lambda: text_analysis.distinctive_terms(sf_dir()),
             "user_journeys": lambda: windows.user_journeys(sf_dir()),
             "value_ranks": lambda: windows.value_ranks(sf_dir()),
+            "zscore_outliers": lambda: windows.zscore_outliers(sf_dir()),
+            "value_mode": lambda: windows.value_mode(sf_dir()),
+            "daily_new_users": lambda: windows.daily_new_users(sf_dir()),
+            "dup_ngram_spans": lambda: text_analysis.dup_ngram_spans(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

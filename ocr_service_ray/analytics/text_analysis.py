@@ -625,3 +625,83 @@ def distinctive_terms(sf_dir: str, top_k: int = 3) -> pa.Table:
         [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     )
     return tbl.sort_by([("doc_id", "ascending"), ("rnk", "ascending")])
+
+
+def dup_ngram_spans(sf_dir: str, n: int = 8) -> pa.Table:
+    """Exact duplicated-substring detection: every word ``n``-gram that
+    appears in >= 2 distinct documents, with its doc- and
+    occurrence-counts — the corpus-level core of exact substring
+    deduplication (Lee et al. 2022's "Deduplicating Training Data
+    Makes Language Models Better" does this over suffix arrays; at the
+    n-gram granularity the distributed plan is a pure combiner).
+
+    Distributed shape: per-batch window explode (tokens -> n-grams,
+    vectorized slicing per doc) immediately reduced to per-batch
+    (gram, n_docs, n_occ) partials via np.unique — so the one shuffle
+    moves gram partials, never document text — then groupby(gram).sum
+    + a distinct-doc>=2 filter. At web scale the gram string would be
+    a 128-bit hash with an optional verify pass (same plan, smaller
+    keys); here the literal gram keeps the DuckDB oracle exact.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        doc_grams: list[str] = []  # distinct within doc for n_docs partials
+        for text in batch.column("text").to_pylist():
+            toks = _TERM.findall((text or "").lower())
+            if len(toks) < n:
+                continue
+            local = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            grams.extend(local)
+            doc_grams.extend(set(local))
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_occ": pa.array([], pa.int64()),
+            }
+        )
+        if not grams:
+            return empty
+        occ_u, occ_c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        doc_u, doc_c = np.unique(np.asarray(doc_grams, dtype=object), return_counts=True)
+        # occ_u is a superset-equal key set of doc_u (same grams)
+        occ = dict(zip(occ_u, occ_c))
+        return pa.table(
+            {
+                "gram": pa.array(list(doc_u), pa.string()),
+                "n_docs": pa.array(doc_c.astype(np.int64), pa.int64()),
+                "n_occ": pa.array([int(occ[g]) for g in doc_u], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .sum(["n_docs", "n_occ"])
+    )
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_occ": pa.array([], pa.int64()),
+            }
+        )
+    tbl = pa.concat_tables(tables)
+    nd = tbl.column("sum(n_docs)").to_numpy(zero_copy_only=False)
+    keep = nd >= 2
+    return pa.table(
+        {
+            "gram": pa.array(
+                np.asarray(tbl.column("gram").to_pylist(), object)[keep], pa.string()
+            ),
+            "n_docs": pa.array(nd[keep].astype(np.int64), pa.int64()),
+            "n_occ": pa.array(
+                tbl.column("sum(n_occ)").to_numpy(zero_copy_only=False)[keep].astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    ).sort_by([("gram", "ascending")])

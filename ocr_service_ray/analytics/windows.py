@@ -1252,6 +1252,180 @@ def value_ranks(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts).sort_by([("event_id", "ascending")])
 
 
+def zscore_outliers(sf_dir: str, threshold: float = 3.0) -> pa.Table:
+    """Per-type z-score anomaly filter: events whose value-cents sit
+    more than ``threshold`` sample standard deviations from their
+    type's mean.
+
+    Two-pass distributed shape: pass 1 is the exact-int moments
+    combiner (n, Σy, Σy² per type — same int64 partials as
+    ``value_trend``); the tiny per-type stats are broadcast via
+    ``ray.put`` and pass 2 is a stateless vectorized filter over a
+    pruned re-read. Mean/sd/z are computed with ONE fixed IEEE
+    expression from the exact sums — identical on the oracle side, so
+    the boundary comparison (|z| > t) can never disagree.
+    """
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64) * 100
+        y = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(y), np.int64)),
+                "sy": pa.array(y, pa.int64()),
+                "syy": pa.array(y * y, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("n", "sum"), ("sy", "sum"), ("syy", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "sy", "syy"])
+
+    stats = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "sy", "syy"])
+        .to_pandas()
+    )
+    lookup = {}
+    for _, r in stats.iterrows():
+        n = float(r["sum(n)"])
+        sy = float(r["sum(sy)"])
+        syy = float(r["sum(syy)"])
+        mean = sy / n
+        sd = np.sqrt((n * syy - sy * sy) / (n * (n - 1))) if n > 1 else 0.0
+        lookup[r["event_type"]] = (mean, float(sd))
+    stats_ref = ray.put(lookup)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        v = np.asarray(batch.column("value"), dtype=np.float64) * 100
+        y = np.floor(np.abs(v) + 0.5) * np.sign(v)
+        mean = np.asarray([st[t][0] for t in et])
+        sd = np.asarray([st[t][1] for t in et])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (y - mean) / sd
+        # sd == 0 (degenerate all-equal type) yields NaN z; NaN compares
+        # differently in DuckDB (NaN > x is true there) — exclude the
+        # degenerate case explicitly on BOTH sides instead
+        keep = (sd > 0) & (np.abs(z) > threshold)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").filter(pa.array(keep)),
+                "event_type": batch.column("event_type").filter(pa.array(keep)),
+                "z": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    out = _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "z": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("event_id", "ascending")])
+
+
+def value_mode(sf_dir: str) -> pa.Table:
+    """Per-type mode of value-cents (ties -> smallest value): the
+    distributed MODE shape — per-batch (type, cents) count partials,
+    one groupby over the reduced (type, cents) key space (bounded by
+    the value domain, not the row count), then a driver-side argmax
+    over the tiny aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64) * 100
+        y = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(y, pa.int64()),
+                "n": pa.array(np.ones(len(y), np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type", "cents"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    agg = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    agg = agg.sort_values(["event_type", "n", "cents"], ascending=[True, False, True])
+    out = agg.groupby("event_type", sort=True).head(1).reset_index(drop=True)
+    out = out.rename(columns={"cents": "mode_cents"})[["event_type", "mode_cents", "n"]]
+    out["mode_cents"] = out["mode_cents"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def daily_new_users(sf_dir: str) -> pa.Table:
+    """Per day: distinct active users, first-seen (new) users, and the
+    cumulative user count — the growth-accounting verbs.
+
+    Distributed shape: two combiner aggregates — (a) first-seen day per
+    user via per-batch min partials + groupby(user).min (user-keyed,
+    uniform), (b) daily active via the two-level exact-distinct groupby
+    (day,user) -> day. Both reduce to day-keyed tables bounded by the
+    calendar, so the cumulative sum is a driver-side prefix over a
+    tiny table."""
+    import pyarrow.compute as pc
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("s")),
+            pa.int64(),
+        )
+        t = pa.table({"day_s": win, "user_id": batch.column("user_id")})
+        # in-batch distinct: shrink the shuffle to unique (day, user)
+        g = pa.TableGroupBy(t, ["day_s", "user_id"]).aggregate([])
+        return g
+
+    pairs = (
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(day_user, batch_format="pyarrow")
+        .groupby(["day_s", "user_id"])
+        .count()
+        # consumed twice (first-seen + daily-active); materialize the
+        # distinct (day,user) table once instead of re-shuffling
+        .materialize()
+    )
+    first = (
+        pairs.groupby("user_id")
+        .min("day_s")
+        .to_pandas()
+        .rename(columns={"min(day_s)": "fd"})
+    )
+    active = (
+        pairs.groupby("day_s")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_active"})
+    )
+    new = first.groupby("fd").size().rename("n_new").reset_index()
+    out = active.merge(new, left_on="day_s", right_on="fd", how="left").drop(
+        columns=["fd"]
+    )
+    out["n_new"] = out["n_new"].fillna(0).astype(np.int64)
+    out["n_active"] = out["n_active"].astype(np.int64)
+    out = out.sort_values("day_s").reset_index(drop=True)
+    out["cum_users"] = out["n_new"].cumsum().astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def user_journeys(sf_dir: str, prefix_len: int = 8) -> pa.Table:
     """Sequence mining: frequency of each user's first-``prefix_len``
     event-type path (events ordered by (ts, event_id)).

@@ -749,6 +749,14 @@ def queries() -> dict:
         "user_journeys": lambda sf: windows.user_journeys(sf),
         # SQL rank family (rank/dense_rank/row_number/percent_rank)
         "value_ranks": lambda sf: windows.value_ranks(sf),
+        # per-type z-score anomaly filter (two-pass moments + broadcast)
+        "zscore_outliers": lambda sf: windows.zscore_outliers(sf),
+        # distributed mode (ties -> smallest value)
+        "value_mode": lambda sf: windows.value_mode(sf),
+        # growth accounting: daily active / new / cumulative users
+        "daily_new_users": lambda sf: windows.daily_new_users(sf),
+        # exact duplicated-substring (word 8-gram) detection
+        "dup_ngram_spans": lambda sf: text_analysis.dup_ngram_spans(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -915,6 +923,18 @@ def oracle_sql() -> dict:
         "fingerprints": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        # every word 8-gram present in >= 2 distinct docs (DuckDB list
+        # slicing is 1-based inclusive: t[i:i+7] is an 8-token window)
+        "dup_ngram_spans": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "idx AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i FROM toks), "
+            "g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx) "
+            "SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_occ "
+            "FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2 ORDER BY gram"
         ),
         # exact-integer TF-IDF core: rank by (tf desc, corpus df asc,
         # term asc) — no float idf in the ordering (see
@@ -1143,6 +1163,48 @@ def oracle_sql() -> dict:
             "CAST(rank() OVER (PARTITION BY event_type ORDER BY value) - 1 AS DOUBLE) "
             "/ (count(*) OVER (PARTITION BY event_type) - 1) ELSE 0.0 END AS pct_rank "
             "FROM events ORDER BY event_id"
+        ),
+        # same exact moment sums; mean/sd/z evaluated with the identical
+        # IEEE expression; sd=0 degenerate types excluded on both sides
+        # (NaN ordering differs between engines)
+        "zscore_outliers": (
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(cents) AS DOUBLE) AS sy, "
+            "CAST(sum(cents * cents) AS DOUBLE) AS syy FROM c GROUP BY 1), "
+            "s AS (SELECT event_type, sy / n AS mean, "
+            "CASE WHEN n > 1 THEN sqrt((n * syy - sy * sy) / (n * (n - 1))) "
+            "ELSE 0.0 END AS sd FROM m) "
+            "SELECT event_id, c.event_type, "
+            "(CAST(cents AS DOUBLE) - mean) / sd AS z "
+            "FROM c JOIN s USING (event_type) "
+            "WHERE sd > 0 AND abs((CAST(cents AS DOUBLE) - mean) / sd) > 3.0 "
+            "ORDER BY event_id"
+        ),
+        # mode with deterministic tie-break (count desc, value asc)
+        "value_mode": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, cents, n, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY n DESC, cents ASC) AS rnk FROM c) "
+            "SELECT event_type, cents AS mode_cents, n FROM r "
+            "WHERE rnk = 1 ORDER BY event_type"
+        ),
+        # daily active / first-seen / cumulative distinct users
+        "daily_new_users": (
+            "WITH d AS (SELECT DISTINCT "
+            "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, user_id "
+            "FROM events), "
+            "f AS (SELECT user_id, min(day_s) AS fd FROM d GROUP BY 1), "
+            "a AS (SELECT day_s, CAST(count(*) AS BIGINT) AS n_active "
+            "FROM d GROUP BY 1), "
+            "nw AS (SELECT fd, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1) "
+            "SELECT a.day_s, a.n_active, "
+            "CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new, "
+            "CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY a.day_s) AS BIGINT) AS cum_users "
+            "FROM a LEFT JOIN nw ON a.day_s = nw.fd ORDER BY a.day_s"
         ),
         # per-user ordered path prefix, then path frequency
         "user_journeys": (

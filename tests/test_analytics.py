@@ -135,7 +135,8 @@ class TestOracleEquivalence:
          "docs_in_char_range", "value_ntiles", "value_quantiles_cont",
          "customers_without_big_orders", "value_mad", "ann_topk_filtered",
          "cross_snapshot_neardup", "snapshot_set_ops", "daily_type_unpivot",
-         "value_trend", "distinctive_terms", "user_journeys", "value_ranks"],
+         "value_trend", "distinctive_terms", "user_journeys", "value_ranks",
+         "zscore_outliers", "value_mode", "daily_new_users", "dup_ngram_spans"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
