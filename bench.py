@@ -152,6 +152,9 @@ def run_queries(num_cpus: int) -> dict:
             "value_mode": lambda: windows.value_mode(sf_dir()),
             "daily_new_users": lambda: windows.daily_new_users(sf_dir()),
             "dup_ngram_spans": lambda: text_analysis.dup_ngram_spans(sf_dir()),
+            "user_purchase_error_profile": lambda: relational.user_purchase_error_profile(sf_dir()),
+            "props_k_stats": lambda: windows.props_k_stats(sf_dir()),
+            "embedding_quantize": lambda: similarity.embedding_quantize(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -656,3 +656,111 @@ def customers_without_big_orders(
     return out.set_column(
         0, "c_custkey", out.column("c_custkey").cast(pa.int64())
     )
+
+
+def user_purchase_error_profile(sf_dir: str, num_partitions: int = 16) -> pa.Table:
+    """Big-big FULL OUTER join: per-user purchase stats ⟗ per-user
+    error stats over ``events`` — users that only purchased, only
+    erred, or both, with zero-filled counts (the COALESCE convention).
+
+    Ray shape: each side is first collapsed by a per-batch combiner +
+    groupby(user) to at most one row per user (so the join input is
+    users, not events), then native ``Dataset.join(full_outer)`` hash-
+    partitions both sides — the canonical plan when NEITHER side fits
+    in memory and BOTH sides can dangle (left_anti/semi handle one-
+    sided questions; full outer answers the union profile in one
+    pass). Null sides are zero-filled vectorized post-join.
+    """
+    import ray
+
+    def side(event_type: str, out_n: str, out_cents: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            et = batch.column("event_type").to_numpy(zero_copy_only=False)
+            keep = et == event_type
+            v = np.asarray(batch.column("value"), dtype=np.float64)[keep] * 100
+            cents = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+            t = pa.table(
+                {
+                    "user_id": batch.column("user_id").filter(pa.array(keep)),
+                    out_n: pa.array(np.ones(len(cents), np.int64)),
+                    out_cents: pa.array(cents, pa.int64()),
+                }
+            )
+            g = pa.TableGroupBy(t, ["user_id"]).aggregate(
+                [(out_n, "sum"), (out_cents, "sum")]
+            )
+            return g.rename_columns(["user_id", out_n, out_cents])
+
+        def norm(b: pa.Table) -> pa.Table:
+            # empty shuffle partitions carry degenerate schemas (the
+            # Ray 2.49 quirk _collect handles elsewhere); the join's
+            # schema resolution needs every block identically shaped
+            if b.num_rows == 0 or f"sum({out_n})" not in b.column_names:
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        out_n: pa.array([], pa.int64()),
+                        out_cents: pa.array([], pa.int64()),
+                    }
+                )
+            return b.rename_columns(["user_id", out_n, out_cents])
+
+        return (
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .sum([out_n, out_cents])
+            .map_batches(norm, batch_format="pyarrow")
+        )
+
+    left = side("purchase", "n_purchases", "purchase_cents").materialize()
+    right = side("error", "n_errors", "error_cents").materialize()
+    # size the hash-join partition count to the data: all-empty shuffle
+    # partitions crash Acero's key resolution (same guard
+    # customers_without_big_orders applies)
+    n_l, n_r = left.count(), right.count()
+    nparts = max(1, min(num_partitions, min(n_l, n_r) // 16))
+    joined = left.join(
+        right,
+        "full_outer",
+        nparts,
+        on=("user_id",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_purchases": pa.array([], pa.int64()),
+                    "purchase_cents": pa.array([], pa.int64()),
+                    "n_errors": pa.array([], pa.int64()),
+                    "error_cents": pa.array([], pa.int64()),
+                }
+            )
+        cols = {"user_id": pc.cast(batch.column("user_id"), pa.int64())}
+        for c in ("n_purchases", "purchase_cents", "n_errors", "error_cents"):
+            cols[c] = pc.cast(pc.fill_null(batch.column(c), 0), pa.int64())
+        return pa.table(cols)
+
+    tables = [
+        t for t in ray.get(joined.map_batches(finish, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tables:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+                "purchase_cents": pa.array([], pa.int64()),
+                "n_errors": pa.array([], pa.int64()),
+                "error_cents": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("user_id", "ascending")])

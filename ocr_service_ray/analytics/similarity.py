@@ -435,3 +435,90 @@ def embedding_clusters(sf_dir: str, n_clusters: int = 8, iters: int = 8) -> pa.T
     out = _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
     tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
     return tbl.sort_by([("vec_id", "ascending")])
+
+
+def embedding_quantize(sf_dir: str) -> pa.Table:
+    """Int8-style scalar quantization of the embedding column: per-dim
+    min/max over the corpus, then q = floor((x - mn) * 255 / (mx - mn)
+    + 0.5) per component — the storage-compression pass a web-scale
+    vector pipeline runs before ANN indexing. Emits a per-vector
+    integer profile (component sum / min / max of q) rather than the
+    d-wide codes so the result is compact and integer-exact.
+
+    Distributed shape: pass 1 is a per-block (dim, min, max) partial —
+    d rows per block, reduced driver-side (min/max are order-free, no
+    float accumulation anywhere); the d-length scale vectors are
+    broadcast via ``ray.put``; pass 2 quantizes each block vectorized
+    (one reshape + one fused numpy expression). All float arithmetic
+    is the same fixed double-precision expression the oracle SQL
+    evaluates, so q is bit-identical.
+    """
+
+    def to_matrix(batch: pa.Table) -> np.ndarray:
+        col = batch.column("embedding").combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        return flat.reshape(batch.num_rows, -1)
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.float64()),
+                 "mx": pa.array([], pa.float64())}
+            )
+        m = to_matrix(batch)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0), pa.float64()),
+                "mx": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _emb(sf_dir).map_batches(minmax, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "q_sum": pa.array([], pa.int64()),
+             "q_min": pa.array([], pa.int64()),
+             "q_max": pa.array([], pa.int64())}
+        )
+    allp = pa.concat_tables(parts).to_pandas()
+    g = allp.groupby("dim", sort=True).agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = g["mn"].to_numpy()
+    mx = g["mx"].to_numpy()
+    scale_ref = ray.put((mn, mx))
+
+    def quant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "q_sum": pa.array([], pa.int64()),
+                 "q_min": pa.array([], pa.int64()),
+                 "q_max": pa.array([], pa.int64())}
+            )
+        mn_, mx_ = ray.get(scale_ref)
+        m = to_matrix(batch)
+        span = mx_ - mn_
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = (m - mn_) * 255.0 / span
+        q = np.floor(v + 0.5)
+        q = np.where(span > 0, q, 0.0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "q_sum": pa.array(q.sum(axis=1), pa.int64()),
+                "q_min": pa.array(q.min(axis=1), pa.int64()),
+                "q_max": pa.array(q.max(axis=1), pa.int64()),
+            }
+        )
+
+    out = _emb(sf_dir).map_batches(quant, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables).sort_by([("vec_id", "ascending")])

@@ -1335,6 +1335,53 @@ def zscore_outliers(sf_dir: str, threshold: float = 3.0) -> pa.Table:
     return pa.concat_tables(tables).sort_by([("event_id", "ascending")])
 
 
+def props_k_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: parse the JSON ``props`` column's
+    integer field ``k`` and aggregate (count, value cents) per k.
+
+    The extraction is fully vectorized — ``pyarrow.compute``'s
+    ``extract_regex`` RE2 kernel, the engine DuckDB's JSON/regex path
+    shares, so no Python-per-row JSON parsing in the hot loop (a
+    general-schema variant would switch to a per-batch
+    ``json.loads`` actor stage; for a fixed field the regex kernel is
+    the fast path and exactly mirrors ``json_extract``). Combiner
+    aggregate: k-keyed partials, one tiny shuffle."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            pc.fill_null(batch.column("props"), ""), r'"k":\s*(?P<kv>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(ex, "kv"), pa.int64())
+        v = np.asarray(batch.column("value"), dtype=np.float64) * 100
+        cents = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+        valid = pc.is_valid(k)
+        t = pa.table(
+            {
+                "k": pc.filter(k, valid),
+                "n": pa.array(
+                    np.ones(int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0), np.int64)
+                ),
+                "sum_cents": pa.array(cents[np.asarray(valid)], pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["k"]).aggregate([("n", "sum"), ("sum_cents", "sum")])
+        return g.rename_columns(["k", "n", "sum_cents"])
+
+    final = (
+        _events(sf_dir, ["props", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum(["n", "sum_cents"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(sum_cents)": "sum_cents"})
+    )
+    final["n"] = final["n"].astype(np.int64)
+    final["sum_cents"] = final["sum_cents"].astype(np.int64)
+    final = final.sort_values("k").reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
 def value_mode(sf_dir: str) -> pa.Table:
     """Per-type mode of value-cents (ties -> smallest value): the
     distributed MODE shape — per-batch (type, cents) count partials,

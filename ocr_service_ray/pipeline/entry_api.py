@@ -753,10 +753,16 @@ def queries() -> dict:
         "zscore_outliers": lambda sf: windows.zscore_outliers(sf),
         # distributed mode (ties -> smallest value)
         "value_mode": lambda sf: windows.value_mode(sf),
+        # semi-structured JSON field extraction + combiner aggregate
+        "props_k_stats": lambda sf: windows.props_k_stats(sf),
+        # int8-style scalar quantization of the embedding column
+        "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
         # growth accounting: daily active / new / cumulative users
         "daily_new_users": lambda sf: windows.daily_new_users(sf),
         # exact duplicated-substring (word 8-gram) detection
         "dup_ngram_spans": lambda sf: text_analysis.dup_ngram_spans(sf),
+        # big-big FULL OUTER join of per-user purchase/error profiles
+        "user_purchase_error_profile": lambda sf: relational.user_purchase_error_profile(sf),
         "approx_quantiles_kmv": lambda sf: windows.approx_quantiles_kmv(sf),
         "purchaser_clicks": lambda sf: windows.purchaser_clicks(sf),
         "singleton_docs": lambda sf: dedup.singleton_docs(sf),
@@ -1181,6 +1187,44 @@ def oracle_sql() -> dict:
             "FROM c JOIN s USING (event_type) "
             "WHERE sd > 0 AND abs((CAST(cents AS DOUBLE) - mean) / sd) > 3.0 "
             "ORDER BY event_id"
+        ),
+        # both sides aggregated to user grain, then FULL OUTER with
+        # COALESCE zero-fill
+        "user_purchase_error_profile": (
+            "WITH p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1), "
+            "e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS error_cents "
+            "FROM events WHERE event_type = 'error' GROUP BY 1) "
+            "SELECT coalesce(p.user_id, e.user_id) AS user_id, "
+            "CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases, "
+            "CAST(coalesce(purchase_cents, 0) AS BIGINT) AS purchase_cents, "
+            "CAST(coalesce(n_errors, 0) AS BIGINT) AS n_errors, "
+            "CAST(coalesce(error_cents, 0) AS BIGINT) AS error_cents "
+            "FROM p FULL OUTER JOIN e ON p.user_id = e.user_id ORDER BY user_id"
+        ),
+        # same per-dim min/max (order-free, exact) + identical double
+        # quantization expression; degenerate zero-span dims -> q=0
+        "embedding_quantize": (
+            "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+            "m AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1), "
+            "q AS (SELECT vec_id, CASE WHEN mx - mn > 0 THEN "
+            "CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT) "
+            "ELSE 0 END AS qv FROM e JOIN m USING (dim)) "
+            "SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum, "
+            "CAST(min(qv) AS BIGINT) AS q_min, CAST(max(qv) AS BIGINT) AS q_max "
+            "FROM q GROUP BY 1 ORDER BY 1"
+        ),
+        # JSON field extraction (json_extract mirrors the RE2 kernel
+        # on this fixed single-field schema)
+        "props_k_stats": (
+            "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM events WHERE json_extract(props, '$.k') IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # mode with deterministic tie-break (count desc, value asc)
         "value_mode": (

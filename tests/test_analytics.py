@@ -136,7 +136,8 @@ class TestOracleEquivalence:
          "customers_without_big_orders", "value_mad", "ann_topk_filtered",
          "cross_snapshot_neardup", "snapshot_set_ops", "daily_type_unpivot",
          "value_trend", "distinctive_terms", "user_journeys", "value_ranks",
-         "zscore_outliers", "value_mode", "daily_new_users", "dup_ngram_spans"],
+         "zscore_outliers", "value_mode", "daily_new_users", "dup_ngram_spans",
+         "user_purchase_error_profile", "props_k_stats", "embedding_quantize"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1284,3 +1285,39 @@ class TestValueRanks:
         duo = got[got.event_type == "duo"]
         assert list(duo.rnk) == [1, 1] and list(duo.rn) == [1, 2]
         assert list(duo.pct_rank) == [0.0, 0.0]
+
+
+class TestFullOuterProfile:
+    def test_dangling_sides_zero_filled(self):
+        """The sf corpora may have every user on both sides; this
+        fixture pins genuine one-sided users (purchase-only and
+        error-only) through the native full_outer join."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.relational import user_purchase_error_profile
+
+        rows = [
+            # user 1: both; user 2: purchase only; user 3: error only
+            (1, "purchase", 10.0), (1, "error", 1.0),
+            (2, "purchase", 20.0), (2, "purchase", 2.5),
+            (3, "error", 30.0),
+            (4, "click", 99.0),  # neither side: absent from output
+        ]
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        })
+        d = tempfile.mkdtemp(prefix="fo_")
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = user_purchase_error_profile(d).to_pandas()
+        assert list(got.user_id) == [1, 2, 3]
+        assert list(got.n_purchases) == [1, 2, 0]
+        assert list(got.purchase_cents) == [1000, 2250, 0]
+        assert list(got.n_errors) == [1, 0, 1]
+        assert list(got.error_cents) == [100, 0, 3000]
