@@ -154,6 +154,8 @@ def run_queries(num_cpus: int) -> dict:
             "dup_ngram_spans": lambda: text_analysis.dup_ngram_spans(sf_dir()),
             "user_purchase_error_profile": lambda: relational.user_purchase_error_profile(sf_dir()),
             "props_k_stats": lambda: windows.props_k_stats(sf_dir()),
+            "funnel_counts": lambda: windows.funnel_counts(sf_dir()),
+            "retention_cohorts": lambda: windows.retention_cohorts(sf_dir()),
             "embedding_quantize": lambda: similarity.embedding_quantize(sf_dir()),
         }.items():
             t0 = time.perf_counter()

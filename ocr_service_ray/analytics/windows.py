@@ -1335,6 +1335,120 @@ def zscore_outliers(sf_dir: str, threshold: float = 3.0) -> pa.Table:
     return pa.concat_tables(tables).sort_by([("event_id", "ascending")])
 
 
+def funnel_counts(sf_dir: str) -> pa.Table:
+    """Ordered funnel conversion view -> click -> purchase: how many
+    users completed each prefix (a later stage must occur STRICTLY
+    after the earliest completion of the previous one).
+
+    Distributed shape: hash-shuffle by user (the session-family key),
+    per-group vectorized stage scan (three searchsorted probes over
+    the user's sorted timestamps), then a 3-row count combiner. The
+    per-user group is bounded by that user's events.
+    """
+    stages = ("view", "click", "purchase")
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = df["event_type"].to_numpy()
+        reached = 0
+        prev_t = -1
+        for st in stages:
+            mask = (et == st) & (ts > prev_t)
+            if not mask.any():
+                break
+            prev_t = ts[mask].min()
+            reached += 1
+        return pa.table(
+            {
+                "user_id": pa.array([df["user_id"].iloc[0]], pa.int64()),
+                "reached": pa.array([reached], pa.int64()),
+            }
+        )
+
+    per = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "reached" not in batch.column_names:
+            return pa.table(
+                {"stage": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+            )
+        r = np.asarray(batch.column("reached"))
+        # a user that reached stage s counts toward every stage <= s
+        counts = np.zeros(len(stages), np.int64)
+        for s in range(1, len(stages) + 1):
+            counts[s - 1] = int((r >= s).sum())
+        return pa.table(
+            {
+                "stage": pa.array(np.arange(1, len(stages) + 1, dtype=np.int64)),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    final = (
+        per.map_batches(partial, batch_format="pyarrow")
+        .groupby("stage")
+        .sum("n_users")
+        .to_pandas()
+        .rename(columns={"sum(n_users)": "n_users"})
+    )
+    final["n_users"] = final["n_users"].astype(np.int64)
+    final = final.sort_values("stage").reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention triangle: users grouped by first-seen day
+    (cohort); for each (cohort_day, day_offset) the number of cohort
+    users active that many days later.
+
+    Distributed shape: ONE user-keyed shuffle of the in-batch-distinct
+    (day, user) pairs; each per-user group is bounded by the calendar
+    (<= days-in-corpus rows), emits (first_day, day - first_day)
+    partials; a tiny (cohort, offset)-keyed count combiner finishes.
+    No join needed — the cohort assignment and the activity offsets
+    live in the same group."""
+    import pyarrow.compute as pc
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("s")),
+            pa.int64(),
+        )
+        t = pa.table({"user_id": batch.column("user_id"), "day_s": win})
+        return pa.TableGroupBy(t, ["user_id", "day_s"]).aggregate([])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        days = np.unique(np.asarray(group.column("day_s")))
+        fd = days[0]
+        return pa.table(
+            {
+                "cohort_day_s": pa.array(np.full(len(days), fd), pa.int64()),
+                "day_offset": pa.array((days - fd) // 86400, pa.int64()),
+                "n_users": pa.array(np.ones(len(days), np.int64)),
+            }
+        )
+
+    final = (
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(day_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_day_s", "day_offset"])
+        .sum("n_users")
+        .to_pandas()
+        .rename(columns={"sum(n_users)": "n_users"})
+    )
+    final["n_users"] = final["n_users"].astype(np.int64)
+    final = final.sort_values(["cohort_day_s", "day_offset"]).reset_index(drop=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
 def props_k_stats(sf_dir: str) -> pa.Table:
     """Semi-structured extraction: parse the JSON ``props`` column's
     integer field ``k`` and aggregate (count, value cents) per k.

@@ -755,6 +755,10 @@ def queries() -> dict:
         "value_mode": lambda sf: windows.value_mode(sf),
         # semi-structured JSON field extraction + combiner aggregate
         "props_k_stats": lambda sf: windows.props_k_stats(sf),
+        # ordered funnel conversion (view -> click -> purchase)
+        "funnel_counts": lambda sf: windows.funnel_counts(sf),
+        # cohort retention triangle (first-seen day x day offset)
+        "retention_cohorts": lambda sf: windows.retention_cohorts(sf),
         # int8-style scalar quantization of the embedding column
         "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
         # growth accounting: daily active / new / cumulative users
@@ -1216,6 +1220,34 @@ def oracle_sql() -> dict:
             "SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum, "
             "CAST(min(qv) AS BIGINT) AS q_min, CAST(max(qv) AS BIGINT) AS q_max "
             "FROM q GROUP BY 1 ORDER BY 1"
+        ),
+        # min-ts chaining with STRICT > between stages, matching the
+        # per-user scan
+        "funnel_counts": (
+            "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN v USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > v.t1 GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN c USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > c.t2 GROUP BY e.user_id) "
+            "SELECT CAST(1 AS BIGINT) AS stage, "
+            "CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users "
+            "UNION ALL SELECT CAST(2 AS BIGINT), "
+            "CAST((SELECT count(*) FROM c) AS BIGINT) "
+            "UNION ALL SELECT CAST(3 AS BIGINT), "
+            "CAST((SELECT count(*) FROM p) AS BIGINT) ORDER BY stage"
+        ),
+        # cohort = first active day; offset counted in whole days
+        "retention_cohorts": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s FROM events), "
+            "f AS (SELECT user_id, min(day_s) AS fd FROM d GROUP BY 1) "
+            "SELECT fd AS cohort_day_s, "
+            "CAST((day_s - fd) // 86400 AS BIGINT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM d JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # JSON field extraction (json_extract mirrors the RE2 kernel
         # on this fixed single-field schema)

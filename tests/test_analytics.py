@@ -137,7 +137,8 @@ class TestOracleEquivalence:
          "cross_snapshot_neardup", "snapshot_set_ops", "daily_type_unpivot",
          "value_trend", "distinctive_terms", "user_journeys", "value_ranks",
          "zscore_outliers", "value_mode", "daily_new_users", "dup_ngram_spans",
-         "user_purchase_error_profile", "props_k_stats", "embedding_quantize"],
+         "user_purchase_error_profile", "props_k_stats", "embedding_quantize",
+         "funnel_counts", "retention_cohorts"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
