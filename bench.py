@@ -156,6 +156,7 @@ def run_queries(num_cpus: int) -> dict:
             "props_k_stats": lambda: windows.props_k_stats(sf_dir()),
             "funnel_counts": lambda: windows.funnel_counts(sf_dir()),
             "retention_cohorts": lambda: windows.retention_cohorts(sf_dir()),
+            "latest_doc_versions": lambda: dedup.latest_doc_versions(sf_dir()),
             "embedding_quantize": lambda: similarity.embedding_quantize(sf_dir()),
         }.items():
             t0 = time.perf_counter()

@@ -956,3 +956,69 @@ def snapshot_set_ops(sf_dir: str) -> pa.Table:
          "both": pa.array([both], pa.int64()),
          "union_count": pa.array([base_only + new_only + both], pa.int64())}
     )
+
+
+def latest_doc_versions(sf_dir: str) -> pa.Table:
+    """MERGE / upsert (CDC latest-wins): apply an updates snapshot on
+    top of a base snapshot, keeping exactly one row per doc_id — the
+    highest version — with the winner's payload stats. The lakehouse
+    compaction verb: base is the full documents table at version 1,
+    the updates snapshot is modeled deterministically as every
+    doc_id % 7 == 0 re-ingested at version 2 with an appended edit
+    marker (payload length + 5), so the oracle constructs the
+    identical union and the winning payload is distinguishable.
+
+    Ray shape: union(base, updates) -> ONE doc-keyed hash shuffle ->
+    per-group vectorized argmax(version) (each group holds at most
+    n_versions rows, so groups are bounded by the snapshot count, not
+    the corpus); the payload travels with its row, so no join-back
+    pass is needed. At web scale the union sides would be separate
+    partitioned tables read with aligned partitioning — the plan is
+    unchanged.
+    """
+    import pyarrow.compute as pc
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column("text"), "")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "version": pa.array(
+                    np.ones(batch.num_rows, np.int64), pa.int64()
+                ),
+                "text_len": pc.cast(pc.utf8_length(txt), pa.int64()),
+            }
+        )
+
+    def update_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        keep = ids % 7 == 0
+        txt = pc.fill_null(batch.column("text").filter(pa.array(keep)), "")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "version": pa.array(np.full(int(keep.sum()), 2, np.int64)),
+                "text_len": pc.add(pc.cast(pc.utf8_length(txt), pa.int64()), 5),
+            }
+        )
+
+    base = _docs(sf_dir).map_batches(base_rows, batch_format="pyarrow")
+    updates = _docs(sf_dir).map_batches(update_rows, batch_format="pyarrow")
+
+    def pick_latest(group: pa.Table) -> pa.Table:
+        v = np.asarray(group.column("version"))
+        i = int(np.argmax(v))
+        return group.take([i])
+
+    merged = (
+        base.union(updates)
+        .groupby("doc_id")
+        .map_groups(pick_latest, batch_format="pyarrow")
+    )
+    out = _collect(
+        merged,
+        pa.schema(
+            [("doc_id", pa.int64()), ("version", pa.int64()), ("text_len", pa.int64())]
+        ),
+    )
+    return out.sort_by([("doc_id", "ascending")])

@@ -759,6 +759,8 @@ def queries() -> dict:
         "funnel_counts": lambda sf: windows.funnel_counts(sf),
         # cohort retention triangle (first-seen day x day offset)
         "retention_cohorts": lambda sf: windows.retention_cohorts(sf),
+        # MERGE/upsert: latest-wins across base + updates snapshots
+        "latest_doc_versions": lambda sf: dedup.latest_doc_versions(sf),
         # int8-style scalar quantization of the embedding column
         "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
         # growth accounting: daily active / new / cumulative users
@@ -1220,6 +1222,16 @@ def oracle_sql() -> dict:
             "SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum, "
             "CAST(min(qv) AS BIGINT) AS q_min, CAST(max(qv) AS BIGINT) AS q_max "
             "FROM q GROUP BY 1 ORDER BY 1"
+        ),
+        # same union + latest-wins pick (window rnk=1 by version desc)
+        "latest_doc_versions": (
+            "WITH u AS (SELECT doc_id, CAST(1 AS BIGINT) AS version, "
+            "CAST(length(text) AS BIGINT) AS text_len FROM documents "
+            "UNION ALL SELECT doc_id, CAST(2 AS BIGINT), "
+            "CAST(length(text) + 5 AS BIGINT) FROM documents WHERE doc_id % 7 = 0), "
+            "r AS (SELECT doc_id, version, text_len, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY version DESC) AS rnk FROM u) "
+            "SELECT doc_id, version, text_len FROM r WHERE rnk = 1 ORDER BY doc_id"
         ),
         # min-ts chaining with STRICT > between stages, matching the
         # per-user scan
