@@ -157,6 +157,7 @@ def run_queries(num_cpus: int) -> dict:
             "funnel_counts": lambda: windows.funnel_counts(sf_dir()),
             "retention_cohorts": lambda: windows.retention_cohorts(sf_dir()),
             "latest_doc_versions": lambda: dedup.latest_doc_versions(sf_dir()),
+            "bpe_vocab": lambda: text_analysis.bpe_vocab(sf_dir()),
             "embedding_quantize": lambda: similarity.embedding_quantize(sf_dir()),
         }.items():
             t0 = time.perf_counter()

@@ -705,3 +705,148 @@ def dup_ngram_spans(sf_dir: str, n: int = 8) -> pa.Table:
             ),
         }
     ).sort_by([("gram", "ascending")])
+
+
+def bpe_vocab(sf_dir: str, n_merges: int = 10) -> pa.Table:
+    """Distributed BPE tokenizer training (the merge-table core of
+    Sennrich et al. 2016): learn ``n_merges`` byte-pair merges over
+    the corpus word distribution, deterministic tie-break
+    (count DESC, pair lexicographic ASC).
+
+    Distributed shape: one corpus pass builds the WORD-FREQUENCY table
+    via the usual combiner (per-batch np.unique + groupby(word).sum) —
+    after that every BPE iteration runs over the word-type table, not
+    the corpus: map_batches emits (pair, weighted count) partials from
+    each word's current symbol sequence, a tiny groupby(pair).sum
+    reduces, the driver picks the global argmax (broadcast as the next
+    merge rule), and a vectorized map applies the merge to the symbol
+    sequences. The word-type table is the right unit at web scale (it
+    is orders of magnitude smaller than the corpus and shrinks no
+    further), and the per-iteration state that moves is ONE merge rule.
+
+    No SQL oracle (iterative global-argmax is not expressible as one
+    query); pinned instead by an exact pure-Python reference
+    implementation over the same word-frequency table
+    (tests/test_analytics.py::TestBpeVocab), the kmeans precedent.
+    """
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words.extend(_TERM.findall((text or "").lower()))
+        if not words:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "freq": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(list(uniq), pa.string()),
+                "freq": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    word_freq = (
+        _docs(sf_dir)
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("freq")
+    )
+
+    # symbol sequences as space-joined strings (Arrow-friendly state)
+    def init_syms(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.column_names:
+            return pa.table(
+                {"syms": pa.array([], pa.string()), "freq": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "syms": pa.array(
+                    [" ".join(w) for w in batch.column("word").to_pylist()],
+                    pa.string(),
+                ),
+                "freq": pa.array(
+                    batch.column("sum(freq)").to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    state = word_freq.map_batches(init_syms, batch_format="pyarrow").materialize()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            pairs: list[str] = []
+            weights: list[int] = []
+            freqs = batch.column("freq").to_numpy(zero_copy_only=False)
+            for syms, f in zip(batch.column("syms").to_pylist(), freqs):
+                parts = syms.split(" ")
+                for a, b in zip(parts, parts[1:]):
+                    pairs.append(f"{a}\x00{b}")
+                    weights.append(int(f))
+            if not pairs:
+                return pa.table(
+                    {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+                )
+            arr = np.asarray(pairs, dtype=object)
+            uniq, inv = np.unique(arr, return_inverse=True)
+            w = np.bincount(inv, weights=np.asarray(weights, np.float64)).astype(np.int64)
+            return pa.table(
+                {"pair": pa.array(list(uniq), pa.string()), "n": pa.array(w, pa.int64())}
+            )
+
+        counts = [
+            t
+            for t in ray.get(
+                state.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby("pair")
+                .sum("n")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        if not counts:
+            break
+        ct = pa.concat_tables(counts)
+        pairs_arr = np.asarray(ct.column("pair").to_pylist(), dtype=object)
+        n_arr = ct.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        # global argmax, tie-break lexicographic asc on the pair string
+        best_i = np.lexsort((pairs_arr, -n_arr))[0]
+        left, right = pairs_arr[best_i].split("\x00")
+        merges.append((left, right, int(n_arr[best_i])))
+        bigram = f"{left} {right}"
+        merged = f"{left}{right}"
+
+        def apply_merge(
+            batch: pa.Table, left=left, right=right, merged=merged
+        ) -> pa.Table:
+            # canonical greedy left-to-right non-overlapping merge
+            syms = []
+            for s in batch.column("syms").to_pylist():
+                p = s.split(" ")
+                res = []
+                i = 0
+                while i < len(p):
+                    if i < len(p) - 1 and p[i] == left and p[i + 1] == right:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(p[i])
+                        i += 1
+                syms.append(" ".join(res))
+            return pa.table(
+                {"syms": pa.array(syms, pa.string()), "freq": batch.column("freq")}
+            )
+
+        state = state.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "merge_idx": pa.array(np.arange(len(merges), dtype=np.int64)),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )

@@ -761,6 +761,9 @@ def queries() -> dict:
         "retention_cohorts": lambda sf: windows.retention_cohorts(sf),
         # MERGE/upsert: latest-wins across base + updates snapshots
         "latest_doc_versions": lambda sf: dedup.latest_doc_versions(sf),
+        # distributed BPE tokenizer training (iterative merge table;
+        # no SQL oracle — pinned by an exact pure-Python reference)
+        "bpe_vocab": lambda sf: text_analysis.bpe_vocab(sf),
         # int8-style scalar quantization of the embedding column
         "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
         # growth accounting: daily active / new / cumulative users

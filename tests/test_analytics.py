@@ -1322,3 +1322,85 @@ class TestFullOuterProfile:
         assert list(got.purchase_cents) == [1000, 2250, 0]
         assert list(got.n_errors) == [1, 0, 1]
         assert list(got.error_cents) == [100, 0, 3000]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeVocab:
+    @staticmethod
+    def _reference_bpe(word_freq: dict, n_merges: int):
+        """Pure-Python Sennrich-style BPE over a word-frequency dict:
+        overlapping pair counts, greedy left-to-right merge, tie-break
+        (count desc, pair lexicographic asc)."""
+        state = {tuple(w): f for w, f in word_freq.items()}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for syms, f in state.items():
+                for p in zip(syms, syms[1:]):
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), n = best
+            merges.append((l, r, n))
+            new_state = {}
+            for syms, f in state.items():
+                res = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                key = tuple(res)
+                new_state[key] = new_state.get(key, 0) + f
+            state = new_state
+        return merges
+
+    def test_matches_reference_implementation(self):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import bpe_vocab
+
+        got = bpe_vocab(SF, n_merges=10).to_pandas()
+        texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+        wf = Counter()
+        for t in texts.column("text").to_pylist():
+            wf.update(re.findall(r"[a-z0-9]+", (t or "").lower()))
+        want = self._reference_bpe(dict(wf), 10)
+        assert len(got) == len(want)
+        for i, (l, r, n) in enumerate(want):
+            row = got.iloc[i]
+            assert (row.left, row.right, int(row.pair_count)) == (l, r, n), (
+                i, (row.left, row.right, int(row.pair_count)), (l, r, n)
+            )
+
+    def test_tiny_overlap_and_ties(self):
+        """'aaaa' exercises overlapping pair counting (3 counted, 2
+        mergeable) and deterministic lexicographic ties."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import bpe_vocab
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["aaaa aaaa", "bb bb"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["s", "s"], pa.string()),
+            "n_chars": pa.array([9, 5], pa.int64()),
+        })
+        d = tempfile.mkdtemp(prefix="bpe_")
+        pq.write_table(tbl, f"{d}/documents.parquet")
+        got = bpe_vocab(d, n_merges=3).to_pandas()
+        wf = {"aaaa": 2, "bb": 2}
+        want = self._reference_bpe(wf, 3)
+        assert [
+            (r.left, r.right, int(r.pair_count)) for r in got.itertuples()
+        ] == want
