@@ -40,14 +40,12 @@ def curation_status(sf_dir: str, min_words: int = 10) -> pa.Table:
 
     from . import dedup
 
-    def fp(batch: pa.Table) -> pa.Table:
-        hashes = [md5_hex(normalize_text(t)) for t in batch.column("text").to_pylist()]
-        return pa.table({"h": pa.array(hashes), "doc_id": batch.column("doc_id")})
-
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    groups = docs.map_batches(fp, batch_format="pyarrow").groupby("h").aggregate(
+    # pass A starts from the process-cached fingerprint table (one
+    # normalize+md5 pass shared with exact_dedup / the snapshot family)
+    groups = dedup.fingerprint_table(sf_dir).groupby("h").aggregate(
         Min("doc_id"), Count()
     )
 

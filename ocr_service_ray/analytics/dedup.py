@@ -61,6 +61,29 @@ def _collect(ds: "ray.data.Dataset", empty_schema: pa.Schema) -> pa.Table:
 # ----------------------------------------------------------------------
 # Exact dedup
 
+# exact_dedup / cross_snapshot_dupes / snapshot_set_ops /
+# curation_status all start from the same (doc_id, md5-of-normalized-
+# text) table; memoize the MATERIALIZED fingerprint dataset per corpus
+# so the family pays for ONE normalize+md5 pass per process (the same
+# pattern as the pipeline's blob_scan cache and dedup's _PAIRS_CACHE).
+# The pinned blocks are (int64, 32-char hex) — tiny next to the corpus.
+_FP_CACHE: dict[str, "ray.data.Dataset"] = {}
+
+
+def fingerprint_table(sf_dir: str) -> "ray.data.Dataset":
+    ds = _FP_CACHE.get(sf_dir)
+    if ds is None:
+
+        def fp(batch: pa.Table) -> pa.Table:
+            hashes = [
+                md5_hex(normalize_text(t)) for t in batch.column("text").to_pylist()
+            ]
+            return pa.table({"h": pa.array(hashes), "doc_id": batch.column("doc_id")})
+
+        ds = _docs(sf_dir).map_batches(fp, batch_format="pyarrow").materialize()
+        _FP_CACHE[sf_dir] = ds
+    return ds
+
 
 def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Keep min(doc_id) per normalized-content hash.
@@ -68,12 +91,7 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     Ray shape: stateless hash map_batches → groupby(hash).min(doc_id)
     (ONE shuffle, keys are digests so the hash partitioning is uniform).
     """
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [md5_hex(normalize_text(t)) for t in batch.column("text").to_pylist()]
-        return pa.table({"h": pa.array(hashes), "doc_id": batch.column("doc_id")})
-
-    ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    ds = fingerprint_table(sf_dir)
     out = ds.groupby("h").min("doc_id")
     return out.select_columns(["min(doc_id)"]).rename_columns({"min(doc_id)": "doc_id"})
 
@@ -675,16 +693,8 @@ def cross_snapshot_dupes(sf_dir: str) -> pa.Table:
     """
     import pyarrow.compute as pc
 
-    hi = (
-        _docs(sf_dir)
-        .select_columns(["doc_id"])
-        .max("doc_id")
-    )
-    t_split = (int(hi) + 1) // 2
-
-    def fp(batch: pa.Table) -> pa.Table:
-        hashes = [md5_hex(normalize_text(t)) for t in batch.column("text").to_pylist()]
-        return pa.table({"h": pa.array(hashes), "doc_id": batch.column("doc_id")})
+    fp_ds = fingerprint_table(sf_dir)
+    t_split = (int(fp_ds.max("doc_id")) + 1) // 2
 
     def norm_base(batch: pa.Table) -> pa.Table:
         # empty shuffle partitions carry degenerate schemas (Ray 2.49)
@@ -699,22 +709,32 @@ def cross_snapshot_dupes(sf_dir: str) -> pa.Table:
             {"h": batch.column("h"), "base_doc_id": batch.column("min(doc_id)")}
         )
 
+    def side(keep_base: bool):
+        # split the cached fingerprint table by the snapshot boundary
+        # (a vectorized in-memory filter; on a cold cache this is the
+        # same single corpus pass the old pruned double-read paid twice)
+        def split(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+                return pa.table(
+                    {"h": pa.array([], pa.string()),
+                     "doc_id": pa.array([], pa.int64())}
+                )
+            ids = pc.cast(batch.column("doc_id"), pa.int64())
+            mask = (
+                pc.less(ids, t_split) if keep_base else pc.greater_equal(ids, t_split)
+            )
+            kept = batch.filter(mask)
+            return pa.table({"h": kept.column("h"), "doc_id": kept.column("doc_id")})
+
+        return fp_ds.map_batches(split, batch_format="pyarrow")
+
     base = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            filter=pc.field("doc_id") < t_split,
-        )
-        .map_batches(fp, batch_format="pyarrow")
+        side(keep_base=True)
         .groupby("h")
         .min("doc_id")
         .map_batches(norm_base, batch_format="pyarrow")
     )
-    new = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"],
-        filter=pc.field("doc_id") >= t_split,
-    ).map_batches(fp, batch_format="pyarrow")
+    new = side(keep_base=False)
     # Ray 2.49's hash join breaks on EMPTY partitions (the aggregator
     # builds them schema-less) — size the partition count so every
     # partition statistically holds rows; at sf scale this is 16, on
@@ -907,20 +927,25 @@ def snapshot_set_ops(sf_dir: str) -> pa.Table:
     digest keys) → per-block category bincount partials → O(blocks)
     driver sum. No fingerprint list ever reaches the driver.
     """
-    docs = _docs(sf_dir)
-    t_split = (int(docs.max("doc_id")) + 1) // 2
+    fp_ds = fingerprint_table(sf_dir)
+    t_split = (int(fp_ds.max("doc_id")) + 1) // 2
 
-    def fp(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        hashes = [md5_hex(normalize_text(t)) for t in batch.column("text").to_pylist()]
+    def flag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {"h": pa.array([], pa.string()),
+                 "in_base": pa.array([], pa.int64()),
+                 "in_new": pa.array([], pa.int64())}
+            )
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         return pa.table(
-            {"h": pa.array(hashes),
-             "in_base": pa.array([1 if i < t_split else 0 for i in ids], pa.int64()),
-             "in_new": pa.array([1 if i >= t_split else 0 for i in ids], pa.int64())}
+            {"h": batch.column("h"),
+             "in_base": pa.array((ids < t_split).astype(np.int64), pa.int64()),
+             "in_new": pa.array((ids >= t_split).astype(np.int64), pa.int64())}
         )
 
     flags = (
-        docs.map_batches(fp, batch_format="pyarrow")
+        fp_ds.map_batches(flag, batch_format="pyarrow")
         .groupby("h")
         .max(["in_base", "in_new"])
     )
