@@ -174,13 +174,17 @@ def hopping_counts(sf_dir: str, size_s: int = 3600, hop_s: int = 900) -> pa.Tabl
 
 def asof_last_purchase(sf_dir: str) -> pa.Table:
     """AS-OF join: each 'click' event matched to the SAME user's latest
-    strictly-earlier 'purchase' event (or -1 if none).
+    strictly-earlier 'purchase' event (or -1 if none). Tie semantics
+    are EXPLICIT: among purchases sharing the latest qualifying ts, the
+    max event_id wins (the oracle fuzz showed DuckDB's native ASOF
+    leaves that choice unspecified; the driver oracle encodes this
+    tie-break, and equivalence with native ASOF on tie-free corpora is
+    pinned separately).
 
     The canonical time-series join Ray Data lacks natively, composed as
     the charter prescribes: hash-shuffle by user_id, then a vectorized
     per-group ``searchsorted`` (both sides of one user fit one group —
     the same partitioning assumption as sessionize, documented there).
-    Oracle: DuckDB native ``ASOF LEFT JOIN``.
     """
 
     def per_user(group: pa.Table) -> pa.Table:

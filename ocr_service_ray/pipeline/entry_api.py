@@ -1549,13 +1549,24 @@ def oracle_sql() -> dict:
             "ON b.ts >= a.ts - INTERVAL 300 SECOND AND b.ts < a.ts "
             "GROUP BY a.event_id ORDER BY a.event_id"
         ),
+        # explicit deterministic as-of: among purchases tied at the
+        # latest qualifying ts, the max event_id wins (DuckDB's native
+        # ASOF leaves that tie UNSPECIFIED — found by the oracle fuzz;
+        # equivalence with native ASOF on tie-free corpora is pinned in
+        # tests/test_analytics.py)
         "asof_join": (
+            "WITH a AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "b AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "j AS (SELECT a.event_id AS event_id, b.event_id AS bid, "
+            "a.ts AS ats, b.ts AS bts, row_number() OVER "
+            "(PARTITION BY a.event_id ORDER BY b.ts DESC, b.event_id DESC) AS rn "
+            "FROM a JOIN b ON a.user_id = b.user_id AND a.ts > b.ts) "
             "SELECT a.event_id AS event_id, "
-            "COALESCE(b.event_id, -1) AS prior_purchase_id, "
-            "COALESCE(CAST(epoch_us(a.ts) - epoch_us(b.ts) AS DOUBLE) / 1000000.0, -1.0) AS gap_s "
-            "FROM (SELECT * FROM events WHERE event_type = 'click') a "
-            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b "
-            "ON a.user_id = b.user_id AND a.ts > b.ts "
+            "COALESCE(j.bid, -1) AS prior_purchase_id, "
+            "COALESCE(CAST(epoch_us(a.ts) - epoch_us(j.bts) AS DOUBLE) / 1000000.0, -1.0) AS gap_s "
+            "FROM a LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id) "
             "ORDER BY a.event_id"
         ),
         "pricing_summary": (

@@ -1404,3 +1404,27 @@ class TestBpeVocab:
         assert [
             (r.left, r.right, int(r.pair_count)) for r in got.itertuples()
         ] == want
+
+
+class TestAsofTieSemantics:
+    def test_oracle_equals_native_asof_when_tie_free(self):
+        """The driver oracle switched from native ASOF to an explicit
+        window form (native ASOF leaves duplicate-build-ts ties
+        unspecified — found by the oracle fuzz); on tie-free corpora
+        like the sf tables the two must coincide, keeping the
+        'matches DuckDB ASOF' claim pinned."""
+        from ocr_service_ray.pipeline import entry_api
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+        explicit = con.execute(entry_api.oracle_sql()["asof_join"]).df()
+        native = con.execute(
+            "SELECT a.event_id AS event_id, "
+            "COALESCE(b.event_id, -1) AS prior_purchase_id, "
+            "COALESCE(CAST(epoch_us(a.ts) - epoch_us(b.ts) AS DOUBLE) / 1000000.0, -1.0) AS gap_s "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') a "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b "
+            "ON a.user_id = b.user_id AND a.ts > b.ts "
+            "ORDER BY a.event_id"
+        ).df()
+        pd.testing.assert_frame_equal(explicit, native)

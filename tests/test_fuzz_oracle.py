@@ -1,0 +1,201 @@
+"""Randomized oracle fuzz: run the SQL-oracled queries() entries
+against DuckDB on GENERATED adversarial tables rather than the sf
+fixtures — duplicate timestamps, tied values, negatives, half-cent
+rounding boundaries, mega-user skew, duplicate / whitespace-variant /
+empty documents, degenerate embedding dims. The sf corpora are
+well-behaved; this file is where the edge semantics (RANGE peer rules,
+rank ties, round() half-away, NaN guards, span-0 quantization) earn
+their keep.
+
+Everything reuses entry_api.queries() / oracle_sql() verbatim — both
+are parameterized by the data directory, so the whole driver gate runs
+unchanged over the fuzz tables.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _gen_events(rng: np.random.Generator, n: int = 600) -> pa.Table:
+    base = np.datetime64("2024-01-05T00:00:00", "us").astype(np.int64)
+    # duplicate-heavy ts pool + a spread + one far outlier
+    pool = np.sort(rng.integers(0, 5 * 86400_000_000, 40))
+    offs = np.where(
+        rng.random(n) < 0.5,
+        rng.choice(pool, n),
+        rng.integers(0, 20 * 86400_000_000, n),
+    )
+    offs[0] = 24 * 86400_000_000 * 24  # lone far-future event
+    user = np.where(
+        rng.random(n) < 0.4, 3, rng.integers(0, 12, n)
+    ).astype(np.int64)  # mega-user skew
+    et = rng.choice(EVENT_TYPES, n)
+    et[:5] = EVENT_TYPES  # every type present
+    # tied + boundary + negative + duplicate values
+    v = np.round(rng.uniform(0, 560, n), 2)
+    tie_pool = np.array([7.0, 7.0, 0.0, 1.005, 2.675, -5.25, 123.455])
+    tie_idx = rng.random(n) < 0.35
+    v[tie_idx] = rng.choice(tie_pool, int(tie_idx.sum()))
+    props = np.array(
+        [
+            json.dumps({"k": int(k)}) if p < 0.8 else ("{}" if p < 0.9 else None)
+            for k, p in zip(rng.integers(-5, 120, n), rng.random(n))
+        ],
+        dtype=object,
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "ts": pa.array(base + offs, pa.timestamp("us")),
+            "user_id": pa.array(user),
+            "event_type": pa.array(list(et), pa.string()),
+            "value": pa.array(v, pa.float64()),
+            "props": pa.array(list(props), pa.string()),
+        }
+    )
+
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "the", "of", "is", "x1", "no2",
+          "zz", "qq", "mid"]
+
+
+def _gen_documents(rng: np.random.Generator, n: int = 80) -> pa.Table:
+    texts: list[str] = []
+    for i in range(n):
+        k = int(rng.integers(3, 40))
+        words = list(rng.choice(_VOCAB, k))
+        sep = rng.choice([" ", "  ", "\t", " \n"], k).tolist()
+        texts.append("".join(w + s for w, s in zip(words, sep)).rstrip())
+    texts[0] = ""  # empty doc
+    texts[1] = "short"
+    for j in (5, 11, 17, 23):  # exact duplicate cluster
+        texts[j] = "the quick alpha beta gamma delta of is zz qq mid x1"
+    texts[7] = "the  quick\talpha beta gamma delta of is zz qq mid x1"  # ws variant
+    texts[9] = "mail me at foo.bar@example.com or 10.0.0.1 ok"  # PII
+    # a shared 8-gram across two non-identical docs
+    shared = "one two three four five six seven eight"
+    texts[13] = shared + " tail a"
+    texts[19] = "head b " + shared
+    lang = rng.choice(["en", "es", "pt"], n)
+    source = rng.choice(["web", "mail", "scan"], n)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(list(lang), pa.string()),
+            "source": pa.array(list(source), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def _gen_embeddings(rng: np.random.Generator, n: int = 40, d: int = 8) -> pa.Table:
+    m = rng.normal(0, 1, (n, d)).astype(np.float32)
+    m[:, 2] = 0.125  # constant dim: quantization span == 0
+    m[4] = m[3]  # duplicate vector
+    m[6] = 1e-8  # near-zero vector
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+        }
+    )
+
+
+EVENT_QUERIES = [
+    "tumbling_counts", "hopping_counts", "sessionize", "sessionize_scan",
+    "running_totals", "user_value_windows", "asof_join", "range_join",
+    "distinct_users", "value_quantiles", "value_quantiles_cont",
+    "value_ntiles", "value_mad", "value_ranks", "value_mode", "value_trend",
+    "zscore_outliers", "value_histogram", "daily_type_pivot",
+    "daily_type_unpivot", "daily_new_users", "retention_cohorts",
+    "funnel_counts", "user_journeys", "props_k_stats", "purchaser_clicks",
+    "approx_distinct_users", "approx_quantiles_kmv",
+    "user_purchase_error_profile",
+]
+
+DOC_QUERIES = [
+    "token_counts", "quality_scores", "fingerprints", "text_normalize",
+    "lang_id", "exact_dedup", "simhash", "distinctive_terms",
+    "dup_ngram_spans", "latest_doc_versions", "chunk_documents",
+    "redact_pii", "hash_sample", "source_stats", "source_lang_rollup",
+    "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
+    "minhash_pairs", "ngram_jaccard", "rare_token_scores",
+    "repetition_scores", "bigram_counts",
+]
+
+EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFuzzOracle:
+    @staticmethod
+    def _run(sf_dir: str, names: list[str]):
+        from ocr_service_ray.pipeline import entry_api
+
+        qs = entry_api.queries()
+        oracles = entry_api.oracle_sql()
+        con = duckdb.connect()
+        import os
+
+        for t in ("events", "documents", "embeddings"):
+            if os.path.exists(f"{sf_dir}/{t}.parquet"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+        failures = []
+        for name in names:
+            got = qs[name](sf_dir)
+            if hasattr(got, "to_pandas"):
+                got = got.to_pandas()
+            got = pd.DataFrame(got)
+            want = con.execute(oracles[name]).df()
+            g = got[sorted(got.columns)].sort_values(
+                sorted(got.columns)).reset_index(drop=True)
+            w = want[sorted(want.columns)].sort_values(
+                sorted(want.columns)).reset_index(drop=True)
+            try:
+                assert list(g.columns) == list(w.columns), "columns"
+                assert len(g) == len(w), f"rows {len(g)} != {len(w)}"
+                for c in g.columns:
+                    a, b = g[c], w[c]
+                    if a.dtype != b.dtype:
+                        b = b.astype(a.dtype)
+                    pd.testing.assert_series_equal(a, b, check_names=False)
+            except AssertionError as e:
+                failures.append(f"{name}: {e}")
+        assert not failures, "\n".join(failures)
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_events_fuzz(self, seed):
+        rng = np.random.default_rng(seed)
+        d = tempfile.mkdtemp(prefix=f"fuzz_ev_{seed}_")
+        pq.write_table(_gen_events(rng), f"{d}/events.parquet")
+        self._run(d, EVENT_QUERIES)
+
+    @pytest.mark.parametrize("seed", [7])
+    def test_documents_fuzz(self, seed):
+        rng = np.random.default_rng(seed)
+        d = tempfile.mkdtemp(prefix=f"fuzz_doc_{seed}_")
+        pq.write_table(_gen_documents(rng), f"{d}/documents.parquet")
+        self._run(d, DOC_QUERIES)
+
+    @pytest.mark.parametrize("seed", [11])
+    def test_embeddings_fuzz(self, seed):
+        rng = np.random.default_rng(seed)
+        d = tempfile.mkdtemp(prefix=f"fuzz_emb_{seed}_")
+        pq.write_table(_gen_embeddings(rng), f"{d}/embeddings.parquet")
+        self._run(d, EMB_QUERIES)
