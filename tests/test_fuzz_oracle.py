@@ -134,8 +134,87 @@ DOC_QUERIES = [
     "redact_pii", "hash_sample", "source_stats", "source_lang_rollup",
     "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
     "minhash_pairs", "ngram_jaccard", "rare_token_scores",
-    "repetition_scores", "bigram_counts",
+    "repetition_scores", "bigram_counts", "singleton_docs",
+    "neardup_clusters", "curation_status", "heavy_tokens",
+    "top_docs_per_source", "stratified_sample", "long_tail_docs",
+    "benchmark_contamination",
 ]
+
+TPCH_QUERIES = [
+    "pricing_summary", "orders_by_nation", "revenue_by_nation",
+    "customers_without_big_orders",
+]
+
+
+
+def _gen_tpch(rng: np.random.Generator, d: str) -> None:
+    n_nat, n_cust, n_ord, n_li = 6, 30, 200, 600
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(n_nat, dtype=np.int32)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(n_nat)], pa.string()),
+            "n_regionkey": pa.array((np.arange(n_nat) % 3).astype(np.int32)),
+        }
+    )
+    # every custkey references a valid nation (orders_by_nation fails
+    # loudly on dangling keys by design); one customer has NO orders
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(1, n_cust + 1, dtype=np.int64)),
+            "c_name": pa.array([f"Customer#{i:05d}" for i in range(1, n_cust + 1)]),
+            "c_nationkey": pa.array(
+                rng.integers(0, n_nat, n_cust).astype(np.int32)
+            ),
+            "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_cust), 2)),
+            "c_mktsegment": pa.array(
+                list(rng.choice(["AUTO", "HOUSE", "SHIP"], n_cust)), pa.string()
+            ),
+        }
+    )
+    ock = rng.integers(1, n_cust, n_ord).astype(np.int64)  # customer n_cust dangles
+    price = np.round(rng.uniform(900, 470000, n_ord), 2)
+    price[:8] = [400000.0, 399999.995, 400000.005, 123.455, 0.0, 449999.99,
+                 400000.01, 65432.105]  # threshold + rounding edges
+    base_day = np.datetime64("2024-02-01", "us").astype(np.int64)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(1, n_ord + 1, dtype=np.int64)),
+            "o_custkey": pa.array(ock),
+            "o_orderstatus": pa.array(list(rng.choice(["O", "F", "P"], n_ord))),
+            "o_totalprice": pa.array(price, pa.float64()),
+            "o_orderdate": pa.array(
+                base_day + rng.integers(0, 90, n_ord) * 86400_000_000,
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(list(rng.choice(["1-URGENT", "3-LOW"], n_ord))),
+        }
+    )
+    lok = rng.integers(1, n_ord + 1, n_li).astype(np.int64)
+    ep = np.round(rng.uniform(1, 95000, n_li), 2)
+    ep[:4] = [0.005, 1.015, 999.995, 0.0]
+    disc = np.round(rng.choice([0.0, 0.01, 0.05, 0.1], n_li), 2)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(lok),
+            "l_partkey": pa.array(rng.integers(1, 50, n_li).astype(np.int64)),
+            "l_suppkey": pa.array(rng.integers(1, 10, n_li).astype(np.int64)),
+            "l_linenumber": pa.array(rng.integers(1, 7, n_li).astype(np.int32)),
+            "l_quantity": pa.array(rng.integers(1, 50, n_li).astype(np.float64)),
+            "l_extendedprice": pa.array(ep, pa.float64()),
+            "l_discount": pa.array(disc, pa.float64()),
+            "l_tax": pa.array(np.round(rng.choice([0.0, 0.04], n_li), 2)),
+            "l_returnflag": pa.array(list(rng.choice(["A", "N", "R"], n_li))),
+            "l_linestatus": pa.array(list(rng.choice(["O", "F"], n_li))),
+            "l_shipdate": pa.array(
+                base_day + rng.integers(0, 120, n_li) * 86400_000_000,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    for name, tbl in [("nation", nation), ("customer", cust),
+                      ("orders", orders), ("lineitem", lineitem)]:
+        pq.write_table(tbl, f"{d}/{name}.parquet")
+
 
 EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup"]
 
@@ -151,7 +230,8 @@ class TestFuzzOracle:
         con = duckdb.connect()
         import os
 
-        for t in ("events", "documents", "embeddings"):
+        for t in ("events", "documents", "embeddings", "nation",
+                  "customer", "orders", "lineitem"):
             if os.path.exists(f"{sf_dir}/{t}.parquet"):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -192,6 +272,13 @@ class TestFuzzOracle:
         d = tempfile.mkdtemp(prefix=f"fuzz_doc_{seed}_")
         pq.write_table(_gen_documents(rng), f"{d}/documents.parquet")
         self._run(d, DOC_QUERIES)
+
+    @pytest.mark.parametrize("seed", [13])
+    def test_tpch_fuzz(self, seed):
+        rng = np.random.default_rng(seed)
+        d = tempfile.mkdtemp(prefix=f"fuzz_tpch_{seed}_")
+        _gen_tpch(rng, d)
+        self._run(d, TPCH_QUERIES)
 
     @pytest.mark.parametrize("seed", [11])
     def test_embeddings_fuzz(self, seed):
