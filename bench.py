@@ -157,6 +157,8 @@ def run_queries(num_cpus: int) -> dict:
             "funnel_counts": lambda: windows.funnel_counts(sf_dir()),
             "retention_cohorts": lambda: windows.retention_cohorts(sf_dir()),
             "latest_doc_versions": lambda: dedup.latest_doc_versions(sf_dir()),
+            "rolling_active_users": lambda: windows.rolling_active_users(sf_dir()),
+            "top_values_with_ties": lambda: windows.top_values_with_ties(sf_dir()),
             "bpe_vocab": lambda: text_analysis.bpe_vocab(sf_dir()),
             "embedding_quantize": lambda: similarity.embedding_quantize(sf_dir()),
         }.items():

@@ -1339,6 +1339,141 @@ def zscore_outliers(sf_dir: str, threshold: float = 3.0) -> pa.Table:
     return pa.concat_tables(tables).sort_by([("event_id", "ascending")])
 
 
+def rolling_active_users(sf_dir: str, window_days: int = 7) -> pa.Table:
+    """Sliding-window DISTINCT count: per day, the number of distinct
+    users active in the trailing ``window_days`` window — the
+    rolling-MAU/WAU verb, where plain window sums don't work because
+    distinct doesn't decompose.
+
+    Distributed shape: events collapse to in-batch-distinct
+    (day, user) pairs first (the only corpus-sized reduction); each
+    pair then replicates into the <= window_days windows it can serve
+    — all INSIDE the batch, hopping_counts-style — and a two-level
+    groupby ((window_day, user) distinct, then count per window_day)
+    finishes. The shuffle moves (day, user) replicas bounded by
+    window_days x distinct pairs, never events. Windows are emitted
+    only for days that have events (calendar gaps carry no row).
+    """
+    import pyarrow.compute as pc
+
+    day_us = 86400 * 1_000_000
+
+    def pairs_replicated(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("s")),
+            pa.int64(),
+        )
+        t = pa.table({"day_s": win, "user_id": batch.column("user_id")})
+        t = pa.TableGroupBy(t, ["day_s", "user_id"]).aggregate([])
+        day = np.asarray(t.column("day_s"))
+        user = np.asarray(t.column("user_id"))
+        # replicate each (day,user) into the window_days windows ending
+        # at day .. day + window_days - 1 (vectorized tile/repeat)
+        offs = np.arange(window_days, dtype=np.int64) * 86400
+        wday = (np.repeat(day, window_days) + np.tile(offs, len(day)))
+        return pa.table(
+            {
+                "window_day_s": pa.array(wday, pa.int64()),
+                "user_id": pa.array(np.repeat(user, window_days), pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+    # days that actually have events (the output domain)
+    have_days = (
+        ds.map_batches(
+            lambda b: pa.TableGroupBy(
+                pa.table(
+                    {"day_s": pc.cast(
+                        pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                                pa.timestamp("s")), pa.int64())}
+                ),
+                ["day_s"],
+            ).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("day_s")
+        .count()
+        .to_pandas()["day_s"]
+        .to_numpy()
+    )
+    have = set(int(x) for x in have_days)
+
+    counts = (
+        ds.map_batches(pairs_replicated, batch_format="pyarrow")
+        .groupby(["window_day_s", "user_id"])
+        .count()
+        .groupby("window_day_s")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_active"})
+    )
+    counts = counts[counts["window_day_s"].isin(have)].reset_index(drop=True)
+    counts["n_active"] = counts["n_active"].astype(np.int64)
+    counts = counts.rename(columns={"window_day_s": "day_s"}).sort_values(
+        "day_s"
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+def top_values_with_ties(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-``k`` events by value WITH TIES (SQL ``rank() <= k``): every
+    event whose value ties the k-th largest is kept, so the result can
+    exceed k rows — the threshold semantics plain row_number top-k
+    misses.
+
+    Distributed shape: per-block local top-k values (vectorized
+    partition) merge to a threshold on the driver (O(k x blocks)
+    scalars); the threshold broadcasts into a stateless filter pass —
+    no global sort, no corpus shuffle at all.
+    """
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.float64())})
+        keep = np.sort(v)[-k:]
+        return pa.table({"v": pa.array(keep, pa.float64())})
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    tops = [
+        t for t in ray.get(
+            ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tops:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    allv = np.sort(
+        np.concatenate([np.asarray(t.column("v")) for t in tops])
+    )[::-1]
+    thresh = allv[min(k, len(allv)) - 1]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        m = pa.array(v >= thresh)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").filter(m),
+                "event_type": batch.column("event_type").filter(m),
+                "value": batch.column("value").filter(m),
+            }
+        )
+
+    out = ds.map_batches(keep, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables).sort_by(
+        [("value", "descending"), ("event_id", "ascending")]
+    )
+
+
 def funnel_counts(sf_dir: str) -> pa.Table:
     """Ordered funnel conversion view -> click -> purchase: how many
     users completed each prefix (a later stage must occur STRICTLY

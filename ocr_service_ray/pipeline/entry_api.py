@@ -757,6 +757,10 @@ def queries() -> dict:
         "props_k_stats": lambda sf: windows.props_k_stats(sf),
         # ordered funnel conversion (view -> click -> purchase)
         "funnel_counts": lambda sf: windows.funnel_counts(sf),
+        # sliding-window distinct count (rolling 7-day active users)
+        "rolling_active_users": lambda sf: windows.rolling_active_users(sf),
+        # top-k WITH TIES via broadcast threshold + filter
+        "top_values_with_ties": lambda sf: windows.top_values_with_ties(sf),
         # cohort retention triangle (first-seen day x day offset)
         "retention_cohorts": lambda sf: windows.retention_cohorts(sf),
         # MERGE/upsert: latest-wins across base + updates snapshots
@@ -1235,6 +1239,23 @@ def oracle_sql() -> dict:
             "r AS (SELECT doc_id, version, text_len, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY version DESC) AS rnk FROM u) "
             "SELECT doc_id, version, text_len FROM r WHERE rnk = 1 ORDER BY doc_id"
+        ),
+        # rolling distinct: windows only for days that have events;
+        # window ending at day d covers [d-6, d]
+        "rolling_active_users": (
+            "WITH d AS (SELECT DISTINCT "
+            "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, user_id "
+            "FROM events), days AS (SELECT DISTINCT day_s FROM d) "
+            "SELECT days.day_s, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active "
+            "FROM days JOIN d ON d.day_s BETWEEN days.day_s - 518400 AND days.day_s "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # WITH TIES: every row whose value ties the k-th largest
+        "top_values_with_ties": (
+            "WITH r AS (SELECT event_id, event_type, value, "
+            "rank() OVER (ORDER BY value DESC) AS rnk FROM events) "
+            "SELECT event_id, event_type, value FROM r WHERE rnk <= 10 "
+            "ORDER BY value DESC, event_id"
         ),
         # min-ts chaining with STRICT > between stages, matching the
         # per-user scan

@@ -138,7 +138,8 @@ class TestOracleEquivalence:
          "value_trend", "distinctive_terms", "user_journeys", "value_ranks",
          "zscore_outliers", "value_mode", "daily_new_users", "dup_ngram_spans",
          "user_purchase_error_profile", "props_k_stats", "embedding_quantize",
-         "funnel_counts", "retention_cohorts", "latest_doc_versions"],
+         "funnel_counts", "retention_cohorts", "latest_doc_versions",
+         "rolling_active_users", "top_values_with_ties"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api

@@ -124,7 +124,8 @@ EVENT_QUERIES = [
     "daily_type_unpivot", "daily_new_users", "retention_cohorts",
     "funnel_counts", "user_journeys", "props_k_stats", "purchaser_clicks",
     "approx_distinct_users", "approx_quantiles_kmv",
-    "user_purchase_error_profile",
+    "user_purchase_error_profile", "rolling_active_users",
+    "top_values_with_ties",
 ]
 
 DOC_QUERIES = [
