@@ -111,6 +111,35 @@ def _hasher(num_perm: int) -> MinHasher:
     return MinHasher(num_perm=num_perm, seed=1)
 
 
+# minhash_lsh_pairs and cross_snapshot_neardup run the identical
+# shingle->minhash->band signature pass (the dominant cost of either);
+# memoize the materialized signature table per (corpus, params) so the
+# second family member free-rides (the _FP_CACHE pattern).
+_SIG_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+
+
+def _signatures(
+    sf_dir: str, num_perm: int, bands: int, shingle_k: int
+) -> "ray.data.Dataset":
+    key = (sf_dir, num_perm, bands, shingle_k)
+    ds = _SIG_CACHE.get(key)
+    if ds is None:
+        ds = (
+            _docs(sf_dir)
+            .map_batches(
+                _signature_batch,
+                fn_kwargs={
+                    "num_perm": num_perm, "bands": bands, "shingle_k": shingle_k
+                },
+                batch_size=256,
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        _SIG_CACHE[key] = ds
+    return ds
+
+
 def _signature_batch(batch: pa.Table, num_perm: int, bands: int, shingle_k: int) -> pa.Table:
     mh = _hasher(num_perm)
     rows_per_band = num_perm // bands
@@ -192,13 +221,7 @@ def minhash_lsh_pairs(
         return cached
     from ray.data.aggregate import AggregateFn
 
-    docs = _docs(sf_dir)
-    sig = docs.map_batches(
-        _signature_batch,
-        fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_size=256,
-        batch_format="pyarrow",
-    )
+    sig = _signatures(sf_dir, num_perm, bands, shingle_k)
 
     # shuffle 1: bucket doc_ids per (band, key). accumulate_block gets the
     # group's rows as one Arrow slice -> vectorized per bucket.
@@ -271,7 +294,9 @@ def minhash_lsh_pairs(
     sh_blocks = [
         t
         for t in ray.get(
-            docs.map_batches(cand_shingles, batch_format="pyarrow").to_arrow_refs()
+            _docs(sf_dir)
+            .map_batches(cand_shingles, batch_format="pyarrow")
+            .to_arrow_refs()
         )
         if t.num_rows  # Ray 2.49 emits schema-less empty blocks
     ]
@@ -793,12 +818,7 @@ def cross_snapshot_neardup(
     docs = _docs(sf_dir)
     t_split = (int(docs.max("doc_id")) + 1) // 2
 
-    sig = docs.map_batches(
-        _signature_batch,
-        fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_size=256,
-        batch_format="pyarrow",
-    )
+    sig = _signatures(sf_dir, num_perm, bands, shingle_k)
     collect_ids = AggregateFn(
         init=lambda k: [],
         accumulate_block=lambda acc, block: acc + block.column("doc_id").to_pylist(),
