@@ -1923,6 +1923,109 @@ def purchaser_clicks_bloom(sf_dir: str, m_bits: int = 1 << 17) -> pa.Table:
     return pa.concat_tables(tables).sort_by([("user_id", "ascending")])
 
 
+def throttled_events(sf_dir: str, window_s: int = 600) -> pa.Table:
+    """Rate-limit thinning: keep the FIRST event per (user_id, tumbling
+    ``window_s`` window) — first = min (ts, event_id) — plus how many
+    events that window held. The keep-first-per-key verb used to
+    throttle crawl/event firehoses before downstream aggregation.
+
+    Distributed shape — the packed-sortable-key ARGMIN combiner: each
+    row is encoded as one fixed-width big-endian binary key
+    (ts_us(8) || event_id(8) || event_type(16)), so "first row per
+    key" becomes ``groupby(user, win).min(key)``: a plain min/sum
+    combiner whose partials reduce inside every block before the ONE
+    shuffle, with the whole winning row riding in the key — no
+    join-back, no map_groups, no per-group Python. The winners are
+    decoded vectorized at the Arrow buffer level in a final
+    map_batches. (Lexicographic binary order == (ts, event_id) order
+    because both ints are non-negative and big-endian; event_id is
+    unique so the type tail never decides a comparison.)
+    """
+    wus = window_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts_us = np.asarray(batch.column("ts").cast(pa.int64()), dtype=np.int64)
+        win = (ts_us // wus) * window_s
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype("S16")
+        m = np.empty((n, 32), np.uint8)
+        m[:, :8] = ts_us.astype(">i8").view(np.uint8).reshape(-1, 8)
+        m[:, 8:16] = eid.astype(">i8").view(np.uint8).reshape(-1, 8)
+        m[:, 16:32] = np.frombuffer(et.tobytes(), np.uint8).reshape(-1, 16)
+        offs = np.arange(n + 1, dtype=np.int32) * 32
+        key = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(m.tobytes())],
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "win_s": pa.array(win, pa.int64()),
+                "key": key,
+                "n": pa.array(np.ones(n, np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["user_id", "win_s"]).aggregate(
+            [("key", "min"), ("n", "sum")]
+        )
+        return g.rename_columns(["user_id", "win_s", "key", "n"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        arr = batch.column("min(key)").combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "win_s": pa.array([], pa.int64()),
+                    "kept_event_id": pa.array([], pa.int64()),
+                    "kept_ts_us": pa.array([], pa.int64()),
+                    "kept_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        off = np.frombuffer(arr.buffers()[1], odt)[arr.offset : arr.offset + n]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        m = data[off[:, None].astype(np.int64) + np.arange(32)[None, :]]
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "win_s": batch.column("win_s"),
+                "kept_event_id": pa.array(
+                    m[:, 8:16].copy().view(">i8").ravel().astype(np.int64)
+                ),
+                "kept_ts_us": pa.array(
+                    m[:, :8].copy().view(">i8").ravel().astype(np.int64)
+                ),
+                "kept_type": pa.array(
+                    m[:, 16:32].copy().view("S16").ravel().astype("U16")
+                ),
+                "n_events": batch.column("sum(n)"),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    out = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "win_s"])
+        .aggregate(Min("key"), Sum("n"))
+        .map_batches(decode, batch_format="pyarrow")
+    )
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return decode(pa.table({"min(key)": pa.array([], pa.binary()),
+                                "user_id": pa.array([], pa.int64()),
+                                "win_s": pa.array([], pa.int64()),
+                                "sum(n)": pa.array([], pa.int64())}))
+    return pa.concat_tables(tables).sort_by(
+        [("user_id", "ascending"), ("win_s", "ascending")]
+    )
+
+
 def value_ntiles(sf_dir: str, n_buckets: int = 4) -> pa.Table:
     """Global NTILE bucket per event over (value, event_id) order — the
     distributed RANK-ASSIGNMENT shape (every row gets a function of its

@@ -761,6 +761,9 @@ def queries() -> dict:
         "rolling_active_users": lambda sf: windows.rolling_active_users(sf),
         # top-k WITH TIES via broadcast threshold + filter
         "top_values_with_ties": lambda sf: windows.top_values_with_ties(sf),
+        # rate-limit thinning: keep-first-per-(user,window) via the
+        # packed-sortable-key argmin combiner (one shuffle, no join-back)
+        "throttled_events": lambda sf: windows.throttled_events(sf),
         # cohort retention triangle (first-seen day x day offset)
         "retention_cohorts": lambda sf: windows.retention_cohorts(sf),
         # MERGE/upsert: latest-wins across base + updates snapshots
@@ -1249,6 +1252,20 @@ def oracle_sql() -> dict:
             "SELECT days.day_s, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active "
             "FROM days JOIN d ON d.day_s BETWEEN days.day_s - 518400 AND days.day_s "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # keep-first-per-(user_id, 600s tumbling window); first =
+        # min (ts, event_id) — the same total order the packed binary
+        # key encodes on the Ray side
+        "throttled_events": (
+            "WITH w AS (SELECT user_id, event_id, event_type, ts, "
+            "CAST(epoch_us(ts) // 600000000 AS BIGINT) * 600 AS win_s FROM events), "
+            "r AS (SELECT user_id, win_s, event_id, event_type, epoch_us(ts) AS ts_us, "
+            "row_number() OVER (PARTITION BY user_id, win_s ORDER BY ts, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY user_id, win_s) AS n_events FROM w) "
+            "SELECT user_id, win_s, event_id AS kept_event_id, "
+            "CAST(ts_us AS BIGINT) AS kept_ts_us, event_type AS kept_type, "
+            "CAST(n_events AS BIGINT) AS n_events "
+            "FROM r WHERE rn = 1 ORDER BY user_id, win_s"
         ),
         # WITH TIES: every row whose value ties the k-th largest
         "top_values_with_ties": (
