@@ -1773,6 +1773,59 @@ def user_journeys(sf_dir: str, prefix_len: int = 8) -> pa.Table:
     return pa.Table.from_pandas(final, preserve_index=False)
 
 
+def event_transitions(sf_dir: str) -> pa.Table:
+    """Behavior mining: corpus-wide Markov transition counts between
+    consecutive event types within a user's (ts, event_id)-ordered
+    stream, plus the per-``from_type`` transition probability.
+
+    Distributed shape: one user-keyed shuffle (the session family's
+    partitioning assumption: a user's events fit one group) -> per-group
+    vectorized lag + in-group ``np.unique`` pair counts, so the second
+    shuffle moves (from, to, n) PARTIALS only -> tiny groupby sum; the
+    probability is a driver-side division over the |types|² table.
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        et = df["event_type"].to_numpy()
+        if len(et) < 2:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pairs = np.char.add(np.char.add(et[:-1].astype("U32"), ">"),
+                            et[1:].astype("U32"))
+        uniq, counts = np.unique(pairs, return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(list(uniq), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    agg = agg[agg["pair"].notna()]
+    split = agg["pair"].str.split(">", n=1, expand=True)
+    agg["from_type"], agg["to_type"] = split[0], split[1]
+    agg["n"] = agg["n"].astype(np.int64)
+    tot = agg.groupby("from_type")["n"].transform("sum")
+    agg["p"] = agg["n"].astype(np.float64) / tot.astype(np.float64)
+    out = agg[["from_type", "to_type", "n", "p"]].sort_values(
+        ["from_type", "to_type"]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def user_value_windows(sf_dir: str, lookback_s: int = 300) -> pa.Table:
     """Per-event time-RANGE sliding window + lag, per user: for every
     event, the sum/count of that user's value-cents over

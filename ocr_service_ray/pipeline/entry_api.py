@@ -764,6 +764,9 @@ def queries() -> dict:
         # rate-limit thinning: keep-first-per-(user,window) via the
         # packed-sortable-key argmin combiner (one shuffle, no join-back)
         "throttled_events": lambda sf: windows.throttled_events(sf),
+        # Markov transition counts/probabilities between consecutive
+        # per-user event types (user-keyed shuffle + pair partials)
+        "event_transitions": lambda sf: windows.event_transitions(sf),
         # cohort retention triangle (first-seen day x day offset)
         "retention_cohorts": lambda sf: windows.retention_cohorts(sf),
         # MERGE/upsert: latest-wins across base + updates snapshots
@@ -1252,6 +1255,18 @@ def oracle_sql() -> dict:
             "SELECT days.day_s, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active "
             "FROM days JOIN d ON d.day_s BETWEEN days.day_s - 518400 AND days.day_s "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # per-user consecutive event-type transitions: lag window over
+        # (ts, event_id) order, then a (from, to) rollup; p is the same
+        # one-shot double division both sides
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "c AS (SELECT prev AS from_type, event_type AS to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM o WHERE prev IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, CAST(n AS DOUBLE) / "
+            "CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p "
+            "FROM c ORDER BY from_type, to_type"
         ),
         # keep-first-per-(user_id, 600s tumbling window); first =
         # min (ts, event_id) — the same total order the packed binary

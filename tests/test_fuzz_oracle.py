@@ -125,7 +125,7 @@ EVENT_QUERIES = [
     "funnel_counts", "user_journeys", "props_k_stats", "purchaser_clicks",
     "approx_distinct_users", "approx_quantiles_kmv",
     "user_purchase_error_profile", "rolling_active_users",
-    "top_values_with_ties", "throttled_events",
+    "top_values_with_ties", "throttled_events", "event_transitions",
 ]
 
 DOC_QUERIES = [
