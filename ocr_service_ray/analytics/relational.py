@@ -162,6 +162,57 @@ def hash_sample(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(pick, batch_format="pyarrow")
 
 
+def dataset_splits(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test assignment (~90/5/5) + per
+    (source, split) doc/char rollup — the split verb a training-data
+    pipeline needs to be reproducible across cluster sizes, restarts
+    and incremental re-runs: membership is a pure function of the
+    doc_id (md5 prefix thresholds), never of arrival order or RNG
+    state, so a re-ingested shard lands in the same split.
+
+    Distributed shape: stateless vectorized md5 map (same
+    ``md5_batch_int_ids`` kernel as ``hash_sample``) + a
+    (source, split)-keyed count/sum combiner — partials reduce
+    per block, the shuffle moves |sources|x3 rows.
+    """
+    from .hashing import md5_batch_int_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        b0 = md5_batch_int_ids(ids)[:, 0]
+        # hex-prefix thresholds: byte0 < 0xe6 -> train, < 0xf3 -> val
+        split = np.where(b0 < 0xE6, "train", np.where(b0 < 0xF3, "val", "test"))
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "split": pa.array(split, pa.string()),
+                "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                "n_chars": batch.column("n_chars"),
+            }
+        )
+        g = pa.TableGroupBy(t, ["source", "split"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["source", "split", "n_docs", "n_chars"])
+
+    import ray.data
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .sum(["n_docs", "n_chars"])
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_chars)": "n_chars"})
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    out = out.sort_values(["source", "split"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def top_docs_by_words(sf_dir: str, k: int = 50) -> pa.Table:
     """Top-k documents by word count: distributed sort + limit.
 

@@ -700,6 +700,8 @@ def queries() -> dict:
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
         "rare_token_scores": lambda sf: relational.rare_token_scores(sf),
         "hash_sample": relational.hash_sample,
+        # deterministic ~90/5/5 train/val/test split + per-source rollup
+        "dataset_splits": lambda sf: relational.dataset_splits(sf),
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
         "source_stats": relational.source_stats,
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
@@ -1523,6 +1525,17 @@ def oracle_sql() -> dict:
         "hash_sample": (
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'"
+        ),
+        # hex prefix thresholds: 'e6' = 230/256 ~ 90% train, 'f3' = 243
+        # -> ~5% val, rest test; 2-hex-char compare == digest byte 0
+        "dataset_splits": (
+            "WITH s AS (SELECT source, n_chars, CASE "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' "
+            "ELSE 'test' END AS split FROM documents) "
+            "SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS n_chars "
+            "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "top_docs_by_words": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words "

@@ -135,7 +135,7 @@ DOC_QUERIES = [
     "redact_pii", "hash_sample", "source_stats", "source_lang_rollup",
     "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
     "minhash_pairs", "ngram_jaccard", "rare_token_scores",
-    "repetition_scores", "bigram_counts", "singleton_docs",
+    "repetition_scores", "bigram_counts", "singleton_docs", "dataset_splits",
     "neardup_clusters", "curation_status", "heavy_tokens",
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
     "benchmark_contamination",
