@@ -850,3 +850,95 @@ def bpe_vocab(sf_dir: str, n_merges: int = 10) -> pa.Table:
             "pair_count": pa.array([m[2] for m in merges], pa.int64()),
         }
     )
+
+
+def packed_sequences(sf_dir: str, seq_len: int = 2048) -> pa.Table:
+    """Sequence packing for LLM pretraining, concat-and-chunk style:
+    the corpus token stream (docs concatenated in doc_id order, tokens
+    = RE2 ``\\S+``) is cut into fixed ``seq_len`` sequences; each doc
+    reports the sequence range it lands in and its offset inside the
+    first one. Unlike greedy bin-packing this wastes zero tokens and —
+    crucially for the distributed plan — is a PURE PREFIX SUM, not a
+    sequential carry.
+
+    Ray shape (the rank-assignment family, see ``value_ntiles``):
+    vectorized token-count map -> one range-partition sort on doc_id ->
+    a metadata-only pass fetches per-block token SUMS (one scalar per
+    block, never values) -> driver prefix over O(blocks) scalars ->
+    one vectorized task per block maps local cumsum + block offset to
+    (first_seq, last_seq, offset). Nothing corpus-sized ever leaves
+    the blocks except the sort itself.
+    """
+    import ray
+    import ray.data
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(
+                    [len(_TOKEN.findall(t or "")) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    refs = (
+        _docs(sf_dir)
+        .map_batches(counts, batch_format="pyarrow")
+        .sort("doc_id")
+        .to_arrow_refs()
+    )
+
+    @ray.remote
+    def block_sum(tbl: pa.Table) -> int:
+        if tbl.num_rows == 0 or "n_tokens" not in tbl.column_names:
+            return 0
+        return int(np.asarray(tbl.column("n_tokens")).sum())
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def assign(tbl: pa.Table, offset: int) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "first_seq": pa.array([], pa.int64()),
+                "last_seq": pa.array([], pa.int64()),
+                "offset_in_seq": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0 or "doc_id" not in tbl.column_names:
+            return empty
+        nt = np.asarray(tbl.column("n_tokens"), dtype=np.int64)
+        start = offset + np.concatenate([[0], np.cumsum(nt)[:-1]]).astype(np.int64)
+        first = start // seq_len
+        # empty docs sit AT their start position (first == last)
+        last = np.where(nt > 0, (start + nt - 1) // seq_len, first)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "first_seq": pa.array(first, pa.int64()),
+                "last_seq": pa.array(last, pa.int64()),
+                "offset_in_seq": pa.array(start % seq_len, pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        [assign.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    )
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "first_seq": pa.array([], pa.int64()),
+                "last_seq": pa.array([], pa.int64()),
+                "offset_in_seq": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])

@@ -683,6 +683,9 @@ def queries() -> dict:
         # float) — determinism across block layouts pinned by tests
         "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
         "token_counts": text_analysis.token_counts,
+        # LLM sequence packing (concat-and-chunk): global token prefix
+        # sums via sort + metadata-only block offsets
+        "packed_sequences": lambda sf: text_analysis.packed_sequences(sf),
         "redact_pii": text_analysis.redact_pii,
         "chunk_documents": lambda sf: text_analysis.chunk_documents(sf),
         "benchmark_contamination": lambda sf: text_analysis.benchmark_contamination(sf),
@@ -928,6 +931,20 @@ def oracle_sql() -> dict:
         "docs_in_char_range": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE n_chars BETWEEN 400 AND 700 ORDER BY doc_id"
+        ),
+        # exclusive prefix sum of \S+ token counts in doc_id order,
+        # then pure integer division/modulo — same stream cut both sides
+        "packed_sequences": (
+            "WITH tok AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS start FROM tok) "
+            "SELECT doc_id, n_tokens, CAST(start // 2048 AS BIGINT) AS first_seq, "
+            "CAST(CASE WHEN n_tokens = 0 THEN start // 2048 "
+            "ELSE (start + n_tokens - 1) // 2048 END AS BIGINT) AS last_seq, "
+            "CAST(start % 2048 AS BIGINT) AS offset_in_seq FROM c ORDER BY doc_id"
         ),
         "token_counts": (
             "SELECT doc_id, "

@@ -136,6 +136,7 @@ DOC_QUERIES = [
     "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
     "minhash_pairs", "ngram_jaccard", "rare_token_scores",
     "repetition_scores", "bigram_counts", "singleton_docs", "dataset_splits",
+    "packed_sequences",
     "neardup_clusters", "curation_status", "heavy_tokens",
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
     "benchmark_contamination",
