@@ -109,3 +109,89 @@ def curation_status(sf_dir: str, min_words: int = 10) -> pa.Table:
     out = docs.map_batches(status, batch_format="pyarrow")
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
+def canonical_docs(sf_dir: str) -> pa.Table:
+    """Cluster-representative election: every doc maps to the CANONICAL
+    doc of its verified near-dup cluster — the member with the most
+    content (max n_chars, ties -> min doc_id) — or to itself when it
+    has no near-dups. ``keep`` marks the survivors. This upgrades
+    keep-min-doc_id dedup (``neardup_clusters``) to the quality-aware
+    retention policy real corpus curation uses: drop the duplicates,
+    keep the best copy.
+
+    Distributed shape: the cached verified-LSH cluster table is
+    O(docs-in-pairs); the metadata needed to elect (n_chars of cluster
+    members ONLY) comes from a column-pruned read filtered by a
+    broadcast member set, so election happens on the driver over the
+    duplicate-rate-sized table; the final corpus-wide assignment is one
+    stateless broadcast-map pass. No shuffle beyond the pair machinery.
+    """
+    import numpy as np
+
+    from . import dedup
+
+    clusters = dedup.neardup_clusters(sf_dir)
+    doc_ids = clusters.column("doc_id").to_pylist()
+    reps = clusters.column("cluster_rep").to_pylist()
+    member_of = dict(zip(doc_ids, reps))
+    member_ref = ray.put(frozenset(member_of))
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def members_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ms = ray.get(member_ref)
+        if batch.num_rows == 0:
+            return batch
+        mask = pa.array(
+            np.fromiter(
+                (int(d) in ms for d in batch.column("doc_id").to_pylist()),
+                np.bool_,
+                batch.num_rows,
+            )
+        )
+        return batch.filter(mask)
+
+    mtbls = [
+        t
+        for t in ray.get(
+            docs.map_batches(members_only, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    canon_of: dict[int, int] = {}
+    if mtbls:
+        m = pa.concat_tables(mtbls).to_pandas()
+        m["rep"] = m["doc_id"].map(member_of)
+        m = m.sort_values(
+            ["rep", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        best = m.groupby("rep", sort=False).head(1)
+        rep_to_canon = dict(zip(best["rep"], best["doc_id"]))
+        canon_of = {d: int(rep_to_canon[r]) for d, r in member_of.items()}
+    canon_ref = ray.put(canon_of)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(canon_ref)
+        ids = batch.column("doc_id").to_pylist()
+        canon = np.fromiter(
+            (cm.get(int(d), int(d)) for d in ids), np.int64, len(ids)
+        )
+        own = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "canonical_id": pa.array(canon, pa.int64()),
+                "keep": pa.array(canon == own),
+            }
+        )
+
+    out = docs.map_batches(assign, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables).select(
+        ["doc_id", "canonical_id", "keep"]
+    ).sort_by([("doc_id", "ascending")])

@@ -738,6 +738,9 @@ def queries() -> dict:
         "long_tail_docs": lambda sf: relational.long_tail_docs(sf),
         # capstone curation ladder (length -> exact-dup -> near-dup)
         "curation_status": _q_curation_status,
+        # quality-aware retention: per near-dup cluster keep the member
+        # with max n_chars (ties -> min doc_id); others map to it
+        "canonical_docs": _q_canonical_docs,
         # incremental dedup of a new snapshot vs the base corpus
         "cross_snapshot_dupes": lambda sf: dedup.cross_snapshot_dupes(sf),
         # fuzzy twin: cross-side-only LSH pair emission
@@ -858,6 +861,32 @@ def oracle_sql() -> dict:
             "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
             "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep "
             "FROM reach GROUP BY a ORDER BY doc_id"
+        ),
+        # same recursive closure as neardup_clusters, plus the
+        # quality-aware election: max n_chars then min doc_id
+        "canonical_docs": (
+            "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+            + _SHINGLE_JACCARD_SQL
+            + ")), edges AS ("
+            "SELECT doc_a AS a, doc_b AS b FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs "
+            "UNION SELECT doc_a, doc_a FROM pairs "
+            "UNION SELECT doc_b, doc_b FROM pairs), "
+            "reach AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+            "clusters AS (SELECT a AS doc_id, min(b) AS cluster_rep "
+            "FROM reach GROUP BY a), "
+            "best AS (SELECT c.cluster_rep, c.doc_id AS canonical_id, "
+            "row_number() OVER (PARTITION BY c.cluster_rep "
+            "ORDER BY d.n_chars DESC, c.doc_id) AS rn "
+            "FROM clusters c JOIN documents d ON c.doc_id = d.doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(b.canonical_id, d.doc_id) AS BIGINT) AS canonical_id, "
+            "d.doc_id = COALESCE(b.canonical_id, d.doc_id) AS keep "
+            "FROM documents d "
+            "LEFT JOIN clusters c ON d.doc_id = c.doc_id "
+            "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
+            "ON c.cluster_rep = b.cluster_rep ORDER BY d.doc_id"
         ),
         "embedding_neardup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
@@ -1674,6 +1703,12 @@ def _q_curation_status(sf_dir: str) -> pa.Table:
     from ..analytics.curation import curation_status
 
     return curation_status(sf_dir)
+
+
+def _q_canonical_docs(sf_dir: str) -> pa.Table:
+    from ..analytics.curation import canonical_docs
+
+    return canonical_docs(sf_dir)
 
 
 def q_ocr_raw_lines(sf_dir: str) -> pa.Table:
