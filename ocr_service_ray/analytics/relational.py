@@ -815,3 +815,194 @@ def user_purchase_error_profile(sf_dir: str, num_partitions: int = 16) -> pa.Tab
             }
         )
     return pa.concat_tables(tables).sort_by([("user_id", "ascending")])
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str | None = None,
+    cutoff_days: int = 45,
+    k: int = 10,
+) -> pa.Table:
+    """TPC-H Q3 shape — top-k unshipped-order revenue for one market
+    segment: customer(filter) ⋈ orders(date<cutoff) ⋈ lineitem
+    (shipdate>cutoff), grouped by order, top-k by revenue.
+
+    Parameters are DATA-DERIVED so the same query exercises any corpus
+    (incl. the fuzz tables): segment defaults to min(c_mktsegment),
+    cutoff to min(o_orderdate) + ``cutoff_days`` — both cheap pruned
+    min-aggregates mirrored by scalar subqueries in the oracle.
+
+    Ray shape (one broadcast, one big-big shuffle, one combiner):
+      1. the customer side collapses to a qualifying c_custkey SET —
+         pruned read + vectorized segment filter -> ray.put broadcast +
+         sorted-array searchsorted membership inside the orders pass
+         (at a scale where the segment's customers outgrow a broadcast,
+         the swap is the native left_semi join ``ann_topk_filtered``
+         demonstrates);
+      2. orders and lineitem are both pruned AT THE READ (column
+         projection + row-group predicates on the date columns);
+      3. one native inner join on the order key (big-big, neither side
+         collected), then per-batch integer revenue-cents partials
+         keyed by (l_orderkey, o_orderdate) — exact int64
+         cents x (100 - discount%) arithmetic, order-insensitive —
+         and a key-uniform groupby sum;
+      4. distributed sort + limit for the top-k tail (full tie-break).
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    if segment is None:
+        segment = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+        ).min("c_mktsegment")
+    min_date = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    ).min("o_orderdate")
+    cut = np.datetime64(min_date, "us") + np.timedelta64(
+        cutoff_days * 86400_000_000, "us"
+    )
+
+    custs = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == segment,
+    )
+    keys = np.sort(
+        np.concatenate(
+            [
+                np.asarray(t.column("c_custkey"), dtype=np.int64)
+                for t in ray.get(custs.to_arrow_refs())
+                if t.num_rows
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    key_ref = ray.put(keys)
+
+    def seg_orders(batch: pa.Table) -> pa.Table:
+        # o_orderdate travels as int64 MICROSECONDS through every
+        # distributed stage: Ray's shuffle/aggregate boundaries round-
+        # trip key columns through numpy and degrade timestamp
+        # precision (us -> s); the cast back happens once at the end
+        empty = pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "od_us": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return empty
+        ks = ray.get(key_ref)
+        if len(ks) == 0:
+            return empty
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        pos = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+        m = pa.array(ks[pos] == ck)
+        kept = batch.filter(m)
+        return pa.table(
+            {
+                # join key named l_orderkey so the join needs no rename
+                "l_orderkey": kept.column("o_orderkey"),
+                "od_us": kept.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    orders = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=pc.field("o_orderdate") < cut,
+        )
+        .map_batches(seg_orders, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_extendedprice" not in batch.column_names:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.int64()),
+                }
+            )
+        ep = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        dc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        ep_c = np.floor(ep * 100 + 0.5).astype(np.int64)
+        dc_c = np.floor(dc * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev": pa.array(ep_c * (100 - dc_c), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    li = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=pc.field("l_shipdate") > cut,
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    empty_i = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "od_us": pa.array([], pa.int64()),
+            "revenue_c100": pa.array([], pa.int64()),
+        }
+    )
+    empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "revenue_c100": pa.array([], pa.int64()),
+        }
+    )
+    n_left, n_right = li.count(), orders.count()
+    if n_left == 0 or n_right == 0:
+        return empty
+    nparts = max(1, min(16, min(n_left, n_right) // 16))
+    joined = li.join(orders, "inner", nparts, on=("l_orderkey",))
+
+    def post_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "rev" not in batch.column_names:
+            return empty_i
+        g = pa.TableGroupBy(batch, ["l_orderkey", "od_us"]).aggregate(
+            [("rev", "sum")]
+        )
+        return g.rename_columns(["l_orderkey", "od_us", "revenue_c100"])
+
+    from ray.data.aggregate import Sum
+
+    top = (
+        joined.map_batches(post_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "od_us"])
+        .aggregate(Sum("revenue_c100"))
+        .map_batches(
+            lambda b: b.rename_columns(["l_orderkey", "od_us", "revenue_c100"])
+            if b.num_rows
+            else empty_i,
+            batch_format="pyarrow",
+        )
+        .sort(
+            ["revenue_c100", "od_us", "l_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )
+    tables = [t for t in ray.get(top.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return empty
+    out = pa.concat_tables(tables)
+    return pa.table(
+        {
+            "l_orderkey": out.column("l_orderkey"),
+            "o_orderdate": out.column("od_us").cast(pa.timestamp("us")),
+            "revenue_c100": out.column("revenue_c100"),
+        }
+    )

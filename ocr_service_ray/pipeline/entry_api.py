@@ -696,6 +696,9 @@ def queries() -> dict:
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
+        # TPC-H Q3: segment filter -> broadcast semi -> big-big join ->
+        # revenue combiner -> distributed top-k (data-derived params)
+        "shipping_priority": lambda sf: relational.shipping_priority(sf),
         # big-big anti-join (native left_anti)
         "customers_without_big_orders": lambda sf: relational.customers_without_big_orders(sf),
         "stratified_sample": lambda sf: relational.stratified_sample(sf),
@@ -1680,6 +1683,23 @@ def oracle_sql() -> dict:
             "COALESCE(CAST(epoch_us(a.ts) - epoch_us(j.bts) AS DOUBLE) / 1000000.0, -1.0) AS gap_s "
             "FROM a LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id) "
             "ORDER BY a.event_id"
+        ),
+        # Q3 with data-derived params (min segment; min order date + 45
+        # days); revenue in exact cents x (100 - discount%) int units
+        "shipping_priority": (
+            "WITH params AS (SELECT "
+            "(SELECT min(c_mktsegment) FROM customer) AS seg, "
+            "(SELECT min(o_orderdate) + INTERVAL 45 DAY FROM orders) AS cut) "
+            "SELECT l_orderkey, o_orderdate, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_c100 "
+            "FROM customer, orders, lineitem, params "
+            "WHERE c_mktsegment = params.seg AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < params.cut AND l_shipdate > params.cut "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_c100 DESC, o_orderdate, l_orderkey LIMIT 10"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

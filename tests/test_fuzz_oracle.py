@@ -144,7 +144,7 @@ DOC_QUERIES = [
 
 TPCH_QUERIES = [
     "pricing_summary", "orders_by_nation", "revenue_by_nation",
-    "customers_without_big_orders",
+    "customers_without_big_orders", "shipping_priority",
 ]
 
 
