@@ -2139,3 +2139,106 @@ def value_ntiles(sf_dir: str, n_buckets: int = 4) -> pa.Table:
     return pa.concat_tables([t for t in parts if t.num_rows]).sort_by(
         [("event_id", "ascending")]
     )
+
+
+def debounced_events(sf_dir: str, quiet_s: int = 60) -> pa.Table:
+    """Debounce: keep an event only if the PREVIOUS event of the same
+    (user_id, event_type) — by (ts, event_id) order, kept or not — is
+    more than ``quiet_s`` older (lag semantics, so the decision is a
+    pure window function, not a sequential carry like throttling-vs-
+    last-KEPT would be). Emits the kept events with their gap.
+
+    Distributed shape: one user-keyed shuffle (session-family bound),
+    then a per-group vectorized pass — sort by (type, ts, id), one
+    boundary mask per type run, one diff — no per-row Python.
+    """
+    q_us = quiet_s * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["event_type", "ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = df["event_type"].to_numpy()
+        first = np.empty(len(df), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        gap[first] = -1
+        keep = first | (gap > q_us)
+        kept = df[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(kept["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(kept["user_id"].to_numpy(), pa.int64()),
+                "event_type": pa.array(kept["event_type"].to_numpy(), pa.string()),
+                "gap_us": pa.array(gap[keep], pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("event_id", "ascending")])
+
+
+def interval_coverage(sf_dir: str) -> pa.Table:
+    """Interval-union per user: each event opens a VARIABLE-length
+    interval [ts, ts + |value| seconds); report how many merged islands
+    the user's intervals form and the total covered microseconds.
+    Variable lengths make this a true interval-union problem (a running
+    max over interval ENDS decides the merge), not gap sessionization.
+
+    Distributed shape: one user-keyed shuffle, per-group vectorized
+    island detection (sort by start, ``np.maximum.accumulate`` of ends,
+    one boundary mask) -> one (user, n_islands, covered) row per group.
+    Integer-microsecond arithmetic keeps it bit-exact vs the SQL
+    running-max island oracle.
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        s = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = df["value"].to_numpy(dtype=np.float64)
+        dur = np.floor(np.abs(v) * 1_000_000 + 0.5).astype(np.int64)
+        e = s + dur
+        # running max of interval ends over all EARLIER intervals
+        cme = np.maximum.accumulate(e)
+        new_island = np.empty(len(s), dtype=bool)
+        new_island[0] = True
+        new_island[1:] = s[1:] > cme[:-1]
+        starts = s[new_island]
+        # island end = running max at the last member = cme just before
+        # the next island starts (or at the very end)
+        idx = np.flatnonzero(new_island)
+        ends = np.concatenate([cme[idx[1:] - 1], [cme[-1]]])
+        covered = int((ends - starts).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "n_islands": pa.array([int(new_island.sum())], pa.int64()),
+                "covered_us": pa.array([covered], pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_islands": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("user_id", "ascending")])

@@ -778,6 +778,11 @@ def queries() -> dict:
         # Markov transition counts/probabilities between consecutive
         # per-user event types (user-keyed shuffle + pair partials)
         "event_transitions": lambda sf: windows.event_transitions(sf),
+        # debounce: drop events within 60s of the previous same-typed
+        # event of the user (lag semantics, vectorized per group)
+        "debounced_events": lambda sf: windows.debounced_events(sf),
+        # variable-length interval union per user (running-max islands)
+        "interval_coverage": lambda sf: windows.interval_coverage(sf),
         # cohort retention triangle (first-seen day x day offset)
         "retention_cohorts": lambda sf: windows.retention_cohorts(sf),
         # MERGE/upsert: latest-wins across base + updates snapshots
@@ -1306,6 +1311,37 @@ def oracle_sql() -> dict:
             "SELECT days.day_s, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active "
             "FROM days JOIN d ON d.day_s BETWEEN days.day_s - 518400 AND days.day_s "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # keep iff the previous same-(user,type) event is > 60s older;
+        # gap_us = -1 for the first event of a key
+        "debounced_events": (
+            "WITH o AS (SELECT event_id, user_id, event_type, ts, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS pts FROM events) "
+            "SELECT event_id, user_id, event_type, "
+            "CAST(COALESCE(epoch_us(ts) - epoch_us(pts), -1) AS BIGINT) AS gap_us "
+            "FROM o WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 60000000 "
+            "ORDER BY event_id"
+        ),
+        # classic island technique: a new island starts where the start
+        # exceeds the running max of all earlier ends; intervals are
+        # [ts, ts + |value| seconds) in integer microseconds
+        "interval_coverage": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + CAST(round(abs(value) * 1000000) AS BIGINT) AS e "
+            "FROM events), "
+            "o AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM iv), "
+            "f AS (SELECT user_id, s, e, CASE WHEN prev_max IS NULL "
+            "OR s > prev_max THEN 1 ELSE 0 END AS ni FROM o), "
+            "g AS (SELECT user_id, s, e, sum(ni) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM f), "
+            "i AS (SELECT user_id, island, min(s) AS is_, max(e) AS ie "
+            "FROM g GROUP BY 1, 2) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, "
+            "CAST(sum(ie - is_) AS BIGINT) AS covered_us "
+            "FROM i GROUP BY 1 ORDER BY 1"
         ),
         # per-user consecutive event-type transitions: lag window over
         # (ts, event_id) order, then a (from, to) rollup; p is the same

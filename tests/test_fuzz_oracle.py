@@ -126,6 +126,7 @@ EVENT_QUERIES = [
     "approx_distinct_users", "approx_quantiles_kmv",
     "user_purchase_error_profile", "rolling_active_users",
     "top_values_with_ties", "throttled_events", "event_transitions",
+    "debounced_events", "interval_coverage",
 ]
 
 DOC_QUERIES = [
