@@ -91,6 +91,7 @@ def run_queries(num_cpus: int) -> dict:
             "embedding_neardup": lambda: dedup.embedding_neardup_pairs(sf_dir()),
             "ann_topk": lambda: similarity.brute_topk(sf_dir()),
             "ann_topk_filtered": lambda: similarity.filtered_topk(sf_dir()),
+            "ann_topk_quantized": lambda: similarity.quantized_topk(sf_dir()),
             "ann_ivf_topk": lambda: similarity.ivf_topk(sf_dir()),
             "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),
             "lang_id": lambda: text_analysis.lang_id(sf_dir()).materialize(),
@@ -161,6 +162,14 @@ def run_queries(num_cpus: int) -> dict:
             "top_values_with_ties": lambda: windows.top_values_with_ties(sf_dir()),
             "bpe_vocab": lambda: text_analysis.bpe_vocab(sf_dir()),
             "embedding_quantize": lambda: similarity.embedding_quantize(sf_dir()),
+            "throttled_events": lambda: windows.throttled_events(sf_dir()),
+            "event_transitions": lambda: windows.event_transitions(sf_dir()),
+            "debounced_events": lambda: windows.debounced_events(sf_dir()),
+            "interval_coverage": lambda: windows.interval_coverage(sf_dir()),
+            "dataset_splits": lambda: relational.dataset_splits(sf_dir()),
+            "shipping_priority": lambda: relational.shipping_priority(sf_dir()),
+            "packed_sequences": lambda: text_analysis.packed_sequences(sf_dir()),
+            "canonical_docs": lambda: curation.canonical_docs(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

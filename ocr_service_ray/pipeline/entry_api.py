@@ -673,6 +673,8 @@ def queries() -> dict:
         # predicate side, native left_semi join (vector payload packed
         # to binary for Acero), shared exact-top-k tail
         "ann_topk_filtered": lambda sf: similarity.filtered_topk(sf),
+        # int8-quantized max-inner-product search: integer-exact scores
+        "ann_topk_quantized": lambda sf: similarity.quantized_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         # exhaustive probe (nprobe == n_clusters): must equal the brute
         # oracle EXACTLY — driver-verifies the full IVF machinery (index
@@ -1281,6 +1283,24 @@ def oracle_sql() -> dict:
         ),
         # same per-dim min/max (order-free, exact) + identical double
         # quantization expression; degenerate zero-span dims -> q=0
+        # same quantization expression as embedding_quantize, then an
+        # exact int64 dot-product top-k over the codes
+        "ann_topk_quantized": (
+            "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+            "m AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1), "
+            "q AS (SELECT vec_id, dim, CASE WHEN mx - mn > 0 THEN "
+            "CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT) "
+            "ELSE 0 END AS qv FROM e JOIN m USING (dim)), "
+            "qq AS (SELECT vec_id AS query_id, dim, qv AS a FROM q WHERE vec_id < 8), "
+            "s AS (SELECT qq.query_id, q.vec_id AS neighbor_id, "
+            "CAST(sum(qq.a * q.qv) AS BIGINT) AS score "
+            "FROM qq JOIN q ON qq.dim = q.dim GROUP BY 1, 2) "
+            "SELECT query_id, neighbor_id, score, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank "
+            "FROM s QUALIFY rank <= 10 ORDER BY query_id, rank"
+        ),
         "embedding_quantize": (
             "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
             "generate_subscripts(embedding, 1) AS dim FROM embeddings), "

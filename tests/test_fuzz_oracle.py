@@ -219,7 +219,8 @@ def _gen_tpch(rng: np.random.Generator, d: str) -> None:
         pq.write_table(tbl, f"{d}/{name}.parquet")
 
 
-EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup"]
+EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
+               "ann_topk_quantized"]
 
 
 @pytest.mark.usefixtures("ray_session")
