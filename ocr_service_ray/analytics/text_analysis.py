@@ -942,3 +942,142 @@ def packed_sequences(sf_dir: str, seq_len: int = 2048) -> pa.Table:
             }
         )
     return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
+
+
+def _lev_le_k(a: str, b: str, k: int) -> bool:
+    """Exact ``levenshtein(a, b) <= k`` candidate verification: banded
+    dynamic program of width ``2k+1`` with early exit when a whole band
+    row exceeds ``k`` — O(len * k) per pair, and pairs are candidate-
+    sized (the minhash broadcast-verify precedent), never corpus-sized.
+    """
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    big = k + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        cur[0] = i
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[lo : hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def fuzzy_token_pairs(sf_dir: str, min_len: int = 3, max_dist: int = 2) -> pa.Table:
+    """Fuzzy string-similarity join over the corpus word-TYPE table:
+    every unordered pair of distinct word types within Levenshtein
+    distance ``max_dist`` (the spell-variant / typo-consolidation
+    primitive for OCR-output vocab cleanup and fuzzy-key blocking; the
+    reference has no analogue — SURVEY.md §2.9 gap).
+
+    Distributed FastSS plan (Bocek et al. 2007, deletion
+    neighborhoods):
+      1. word-type table via the usual per-block distinct combiner
+         (shuffle bounded by distinct-words-per-block) — the TYPE
+         table, not the corpus, is the unit of work, and at web scale
+         it is orders of magnitude smaller;
+      2. each type emits its deletion neighborhood of depth
+         ``max_dist`` (all subsets of <= max_dist deleted positions,
+         ~L^2/2 variants for k=2); ``groupby(variant)`` buckets
+         candidates — FastSS guarantees recall 1 for lev <= k (the
+         aligned non-edited positions form a shared variant), and
+         bucket size is INTRINSICALLY bounded by a constant in the
+         alphabet size and word length, so there is no hot-key cliff
+         to cap (unlike LSH bands);
+      3. pair-keyed groupby dedups candidates that share several
+         variants, then a per-batch verify applies the exact banded-DP
+         ``_lev_le_k`` predicate (candidate-sized work).
+
+    Oracle: DuckDB ``levenshtein`` all-pairs over the same
+    tokenization — O(|types|^2) there vs near-linear here.
+    """
+    from itertools import combinations
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        words: set[str] = set()
+        for text in batch.column("text").to_pylist():
+            words.update(
+                w for w in _TERM.findall((text or "").lower()) if len(w) >= min_len
+            )
+        return pa.table({"word": pa.array(sorted(words), pa.string())})
+
+    types = (
+        _docs(sf_dir)
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .count()
+    )
+
+    def variants(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.column_names:
+            return pa.table(
+                {"variant": pa.array([], pa.string()), "word": pa.array([], pa.string())}
+            )
+        vs: list[str] = []
+        ws: list[str] = []
+        for w in batch.column("word").to_pylist():
+            neigh = {w}
+            for d in range(1, max_dist + 1):
+                for pos in combinations(range(len(w)), d):
+                    drop = set(pos)
+                    neigh.add("".join(c for i, c in enumerate(w) if i not in drop))
+            vs.extend(neigh)
+            ws.extend([w] * len(neigh))
+        return pa.table(
+            {"variant": pa.array(vs, pa.string()), "word": pa.array(ws, pa.string())}
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ws = sorted(set(group.column("word").to_pylist()))
+        a: list[str] = []
+        b: list[str] = []
+        # bucket membership is alphabet/length-bounded, so the O(B^2)
+        # loop is constant-bounded per bucket
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                a.append(ws[i])
+                b.append(ws[j])
+        return pa.table(
+            {"word_a": pa.array(a, pa.string()), "word_b": pa.array(b, pa.string())}
+        )
+
+    candidates = (
+        types.map_batches(variants, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["word_a", "word_b"])
+        .count()
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word_a" not in batch.column_names:
+            return pa.table(
+                {"word_a": pa.array([], pa.string()), "word_b": pa.array([], pa.string())}
+            )
+        aa = batch.column("word_a").to_pylist()
+        bb = batch.column("word_b").to_pylist()
+        keep = [_lev_le_k(x, y, max_dist) for x, y in zip(aa, bb)]
+        return pa.table(
+            {
+                "word_a": pa.array([x for x, k in zip(aa, keep) if k], pa.string()),
+                "word_b": pa.array([y for y, k in zip(bb, keep) if k], pa.string()),
+            }
+        )
+
+    out = candidates.map_batches(verify, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"word_a": pa.array([], pa.string()), "word_b": pa.array([], pa.string())}
+        )
+    return pa.concat_tables(tables).sort_by(
+        [("word_a", "ascending"), ("word_b", "ascending")]
+    )

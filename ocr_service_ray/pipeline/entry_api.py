@@ -739,6 +739,9 @@ def queries() -> dict:
         "repetition_scores": lambda sf: text_analysis.repetition_scores(sf),
         # corpus n-gram LM count table (combiner-bounded shuffle)
         "bigram_counts": lambda sf: text_analysis.bigram_counts(sf),
+        # FastSS fuzzy-join: word-type pairs within edit distance 2 via
+        # deletion-neighborhood blocking + exact banded-DP verify
+        "fuzzy_token_pairs": lambda sf: text_analysis.fuzzy_token_pairs(sf),
         # global-quantile + pushdown-filtered re-read composition
         "long_tail_docs": lambda sf: relational.long_tail_docs(sf),
         # capstone curation ladder (length -> exact-dup -> near-dup)
@@ -1603,6 +1606,16 @@ def oracle_sql() -> dict:
             "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), g AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2 AND words[1] <> ''), b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g) "
             "SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS n FROM b "
             "GROUP BY bg HAVING count(*) >= 5 ORDER BY bigram"
+        ),
+        # FastSS candidates + banded-DP verify == brute levenshtein
+        # all-pairs oracle (same [a-z0-9]+ tokenization both sides)
+        "fuzzy_token_pairs": (
+            "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS w FROM documents), "
+            "t AS (SELECT DISTINCT w FROM tok WHERE len(w) >= 3) "
+            "SELECT a.w AS word_a, b.w AS word_b FROM t a JOIN t b "
+            "ON a.w < b.w AND abs(len(a.w) - len(b.w)) <= 2 "
+            "AND levenshtein(a.w, b.w) <= 2 ORDER BY word_a, word_b"
         ),
         # Misra-Gries candidates + exact verify == brute HAVING oracle
         "heavy_tokens": (

@@ -139,7 +139,8 @@ class TestOracleEquivalence:
          "zscore_outliers", "value_mode", "daily_new_users", "dup_ngram_spans",
          "user_purchase_error_profile", "props_k_stats", "embedding_quantize",
          "funnel_counts", "retention_cohorts", "latest_doc_versions",
-         "rolling_active_users", "top_values_with_ties"],
+         "rolling_active_users", "top_values_with_ties",
+         "fuzzy_token_pairs"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1429,3 +1430,63 @@ class TestAsofTieSemantics:
             "ORDER BY a.event_id"
         ).df()
         pd.testing.assert_frame_equal(explicit, native)
+
+
+class TestFuzzyTokenPairs:
+    """FastSS deletion-neighborhood join: the sf vocab exercises only a
+    handful of distance-2 pairs, so these fixtures drive the full
+    ladder — typo clusters (sub/ins/del), false-positive variant
+    collisions, and a randomized banded-DP vs DuckDB levenshtein
+    parity sweep."""
+
+    def _sf(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_typo_corpus_matches_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import fuzzy_token_pairs
+        from ocr_service_ray.pipeline import entry_api
+
+        sf = self._sf(tmp_path, [
+            # substitution / deletion / insertion variants of "table"
+            "table table tble tables tadle",
+            # a second cluster plus unrelated far words
+            "receipt receit receipts zzzzzzzz qqqq",
+            # shared-variant false positive shape: ab/ba-style words
+            "abc bac cab xyz",
+        ])
+        got = fuzzy_token_pairs(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        want = con.execute(entry_api.oracle_sql()["fuzzy_token_pairs"]).df()
+        pd.testing.assert_frame_equal(got, want)
+        # the positive path really fired
+        assert len(got) >= 8
+
+    def test_lev_banded_matches_duckdb(self):
+        """_lev_le_k (banded DP, early exit) == levenshtein()<=k on a
+        randomized sweep including length gaps beyond the band."""
+        import numpy as np
+
+        from ocr_service_ray.analytics.text_analysis import _lev_le_k
+
+        rng = np.random.default_rng(42)
+        alpha = list("abcd")
+        words = [
+            "".join(rng.choice(alpha, size=rng.integers(0, 9)))
+            for _ in range(120)
+        ]
+        con = duckdb.connect()
+        for k in (1, 2):
+            for a in words[:40]:
+                for b in words[40:80]:
+                    want = con.execute(
+                        "SELECT levenshtein(?, ?) <= ?", [a, b, k]
+                    ).fetchone()[0]
+                    assert _lev_le_k(a, b, k) == want, (a, b, k)
