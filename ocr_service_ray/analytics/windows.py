@@ -2242,3 +2242,110 @@ def interval_coverage(sf_dir: str) -> pa.Table:
             }
         )
     return pa.concat_tables(tables).sort_by([("user_id", "ascending")])
+
+
+def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
+    """Market-basket co-occurrence mining: for every unordered pair of
+    ``props.k`` items that occur for the same user, the number of
+    users with both (support) — the candidate-pair pass of frequent-
+    itemset mining / co-click similarity.
+
+    Distributed shape:
+      1. per-batch vectorized extraction (RE2 ``extract_regex``, the
+         props_k_stats kernel) reduced to in-batch DISTINCT
+         (user, k) pairs — the shuffle moves distinct pairs per
+         block, not events;
+      2. one user-keyed groupby; per-user ``np.unique`` + triu pair
+         emission (O(basket^2) — the honest cost of exact pair
+         support; at web scale cap or sample mega-baskets the way the
+         LSH hot-bucket star-cap does, with the support floor making
+         the truncation auditable);
+      3. (k_a, k_b) support combiner — key space is bounded by the
+         item-pair domain, not user count — then the HAVING floor.
+    """
+    import pyarrow.compute as pc
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            pc.fill_null(batch.column("props"), ""), r'"k":\s*(?P<kv>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(ex, "kv"), pa.int64())
+        valid = pc.is_valid(k)
+        t = pa.table(
+            {
+                "user_id": pc.filter(batch.column("user_id"), valid),
+                "k": pc.filter(k, valid),
+            }
+        )
+        g = pa.TableGroupBy(t, ["user_id", "k"]).aggregate([])
+        return g
+
+    def per_user_pairs(group: pa.Table) -> pa.Table:
+        ks = np.unique(np.asarray(group.column("k"), dtype=np.int64))
+        if len(ks) < 2:
+            return pa.table(
+                {
+                    "k_a": pa.array([], pa.int64()),
+                    "k_b": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        ia, ib = np.triu_indices(len(ks), 1)
+        return pa.table(
+            {
+                "k_a": pa.array(ks[ia], pa.int64()),
+                "k_b": pa.array(ks[ib], pa.int64()),
+                "n_users": pa.array(np.ones(len(ia), np.int64)),
+            }
+        )
+
+    def pair_combine(batch: pa.Table) -> pa.Table:
+        # combiner before the pair shuffle: many users' pair lists land
+        # in one block; collapsing them here bounds the shuffle at the
+        # distinct-pair domain per block instead of sum-of-baskets^2
+        if batch.num_rows == 0 or "k_a" not in batch.column_names:
+            return pa.table(
+                {
+                    "k_a": pa.array([], pa.int64()),
+                    "k_b": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        g = pa.TableGroupBy(batch, ["k_a", "k_b"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["k_a", "k_b", "n_users"])
+
+    agg = (
+        _events(sf_dir, ["user_id", "props"])
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user_pairs, batch_format="pyarrow")
+        .map_batches(pair_combine, batch_format="pyarrow")
+        .groupby(["k_a", "k_b"])
+        .sum("n_users")
+    )
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "k_a": pa.array([], pa.int64()),
+            "k_b": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+    if not tables:
+        return empty
+    tbl = pa.concat_tables(tables)
+    n = tbl.column("sum(n_users)").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = n >= min_support
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "k_a": pa.array(
+                tbl.column("k_a").to_numpy(zero_copy_only=False)[keep], pa.int64()
+            ),
+            "k_b": pa.array(
+                tbl.column("k_b").to_numpy(zero_copy_only=False)[keep], pa.int64()
+            ),
+            "n_users": pa.array(n[keep], pa.int64()),
+        }
+    ).sort_by([("k_a", "ascending"), ("k_b", "ascending")])

@@ -771,6 +771,8 @@ def queries() -> dict:
         "value_mode": lambda sf: windows.value_mode(sf),
         # semi-structured JSON field extraction + combiner aggregate
         "props_k_stats": lambda sf: windows.props_k_stats(sf),
+        # market-basket pair support over (user, props.k) baskets
+        "item_cooccurrence": lambda sf: windows.item_cooccurrence(sf),
         # ordered funnel conversion (view -> click -> purchase)
         "funnel_counts": lambda sf: windows.funnel_counts(sf),
         # sliding-window distinct count (rolling 7-day active users)
@@ -1435,6 +1437,18 @@ def oracle_sql() -> dict:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM events WHERE json_extract(props, '$.k') IS NOT NULL "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # market-basket pair support: distinct (user, k) baskets,
+        # unordered item pairs per user, HAVING support floor
+        "item_cooccurrence": (
+            "WITH e AS (SELECT DISTINCT user_id, "
+            "CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS k "
+            "FROM events "
+            "WHERE regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) <> ''), "
+            "p AS (SELECT a.k AS k_a, b.k AS k_b FROM e a JOIN e b "
+            "ON a.user_id = b.user_id AND a.k < b.k) "
+            "SELECT k_a, k_b, CAST(count(*) AS BIGINT) AS n_users FROM p "
+            "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY k_a, k_b"
         ),
         # mode with deterministic tie-break (count desc, value asc)
         "value_mode": (

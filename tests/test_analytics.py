@@ -140,7 +140,7 @@ class TestOracleEquivalence:
          "user_purchase_error_profile", "props_k_stats", "embedding_quantize",
          "funnel_counts", "retention_cohorts", "latest_doc_versions",
          "rolling_active_users", "top_values_with_ties",
-         "fuzzy_token_pairs"],
+         "fuzzy_token_pairs", "item_cooccurrence"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
