@@ -141,6 +141,8 @@ def run_queries(num_cpus: int) -> dict:
             "bigram_counts": lambda: text_analysis.bigram_counts(sf_dir()),
             "fuzzy_token_pairs": lambda: text_analysis.fuzzy_token_pairs(sf_dir()),
             "item_cooccurrence": lambda: windows.item_cooccurrence(sf_dir()),
+            "daily_counts_filled": lambda: windows.daily_counts_filled(sf_dir()),
+            "max_concurrency": lambda: windows.max_concurrency(sf_dir()),
             "long_tail_docs": lambda: relational.long_tail_docs(sf_dir()),
             "curation_status": lambda: curation.curation_status(sf_dir()),
             "cross_snapshot_dupes": lambda: dedup.cross_snapshot_dupes(sf_dir()),

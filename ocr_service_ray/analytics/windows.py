@@ -2349,3 +2349,128 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
             "n_users": pa.array(n[keep], pa.int64()),
         }
     ).sort_by([("k_a", "ascending"), ("k_b", "ascending")])
+
+
+def daily_counts_filled(sf_dir: str) -> pa.Table:
+    """Time-series resample with gap fill: per (day, event_type) event
+    counts over the FULL calendar span — days with no events of a type
+    emit an explicit 0 row (the regularization step before trend /
+    anomaly models that choke on missing buckets).
+
+    Distributed shape: the usual (day, type) count combiner reduces
+    the corpus to calendar-domain-sized partials, one tiny groupby;
+    the dense (day x type) grid is then constructed driver-side over
+    the REDUCED aggregate (days-by-types, metadata-sized — the
+    daily_new_users precedent), a vectorized np.repeat/np.tile cross
+    with a searchsorted fill. No corpus-sized step depends on the
+    calendar length.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("s")),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "day_s": day,
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["day_s", "event_type"]).aggregate([("n_events", "sum")])
+        return g.rename_columns(["day_s", "event_type", "n_events"])
+
+    agg = (
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day_s", "event_type"])
+        .sum("n_events")
+    )
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "day_s": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+    if not tables:
+        return empty
+    c = pa.concat_tables(tables)
+    days = c.column("day_s").to_numpy(zero_copy_only=False).astype(np.int64)
+    types = np.asarray(c.column("event_type").to_pylist(), dtype=object)
+    n = c.column("sum(n_events)").to_numpy(zero_copy_only=False).astype(np.int64)
+    grid_days = np.arange(days.min(), days.max() + 86400, 86400, dtype=np.int64)
+    uniq_types = np.unique(types.astype(str))
+    gd = np.repeat(grid_days, len(uniq_types))
+    gt = np.tile(uniq_types, len(grid_days))
+    # integer fill key: day-index * |types| + type-index (exact, no
+    # string-order assumptions); searchsorted over the sparse agg
+    ti = np.searchsorted(uniq_types, types.astype(str))
+    di = (days - days.min()) // 86400
+    skey = np.sort(di * len(uniq_types) + ti)
+    sn = n[np.argsort(di * len(uniq_types) + ti, kind="stable")]
+    gkey = np.arange(len(gd), dtype=np.int64)
+    pos = np.clip(np.searchsorted(skey, gkey), 0, len(skey) - 1)
+    hit = skey[pos] == gkey
+    out_n = np.zeros(len(gkey), dtype=np.int64)
+    out_n[hit] = sn[pos[hit]]
+    return pa.table(
+        {
+            "day_s": pa.array(gd, pa.int64()),
+            "event_type": pa.array(gt, pa.string()),
+            "n_events": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def max_concurrency(sf_dir: str) -> pa.Table:
+    """Sweep-line max-overlap per user: each event opens the same
+    [ts, ts + |value| sec) interval family as ``interval_coverage``;
+    report the maximum number of simultaneously open intervals and the
+    earliest microsecond it is first reached (capacity planning /
+    concurrent-session analytics).
+
+    Distributed shape: one user-keyed shuffle, then the classic
+    vectorized sweep inside the group — +1 at starts, -1 at ends,
+    lexicographic sort with ends-before-starts at equal timestamps
+    (half-open semantics), ``np.cumsum`` running occupancy, one argmax.
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        s = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = df["value"].to_numpy(dtype=np.float64)
+        dur = np.floor(np.abs(v) * 1_000_000 + 0.5).astype(np.int64)
+        e = s + dur
+        t = np.concatenate([s, e])
+        delta = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        order = np.lexsort((delta, t))  # ends (-1) before starts (+1) on ties
+        occ = np.cumsum(delta[order])
+        peak = int(occ.max())
+        at = int(t[order][int(np.argmax(occ))])
+        return pa.table(
+            {
+                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "max_concurrent": pa.array([peak], pa.int64()),
+                "first_at_us": pa.array([at], pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "max_concurrent": pa.array([], pa.int64()),
+                "first_at_us": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("user_id", "ascending")])

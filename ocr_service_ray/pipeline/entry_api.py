@@ -773,6 +773,10 @@ def queries() -> dict:
         "props_k_stats": lambda sf: windows.props_k_stats(sf),
         # market-basket pair support over (user, props.k) baskets
         "item_cooccurrence": lambda sf: windows.item_cooccurrence(sf),
+        # calendar gap-fill resample (explicit 0 rows on missing days)
+        "daily_counts_filled": lambda sf: windows.daily_counts_filled(sf),
+        # sweep-line max interval overlap per user (+1/-1 cumsum)
+        "max_concurrency": lambda sf: windows.max_concurrency(sf),
         # ordered funnel conversion (view -> click -> purchase)
         "funnel_counts": lambda sf: windows.funnel_counts(sf),
         # sliding-window distinct count (rolling 7-day active users)
@@ -1449,6 +1453,36 @@ def oracle_sql() -> dict:
             "ON a.user_id = b.user_id AND a.k < b.k) "
             "SELECT k_a, k_b, CAST(count(*) AS BIGINT) AS n_users FROM p "
             "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY k_a, k_b"
+        ),
+        # dense (day x type) grid via generate_series; COALESCE 0 fill
+        "daily_counts_filled": (
+            "WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) "
+            "AS day_s, event_type FROM events), "
+            "c AS (SELECT day_s, event_type, CAST(count(*) AS BIGINT) "
+            "AS n_events FROM d GROUP BY 1, 2), "
+            "b AS (SELECT unnest(generate_series((SELECT min(day_s) FROM c), "
+            "(SELECT max(day_s) FROM c), 86400)) AS day_s), "
+            "t AS (SELECT DISTINCT event_type FROM d) "
+            "SELECT b.day_s, t.event_type, "
+            "CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events "
+            "FROM b CROSS JOIN t LEFT JOIN c ON c.day_s = b.day_s "
+            "AND c.event_type = t.event_type ORDER BY 1, 2"
+        ),
+        # +1/-1 sweep with ends-before-starts tie order (half-open
+        # intervals); first_at_us = min t where occupancy hits the max
+        "max_concurrency": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + CAST(round(abs(value) * 1000000) AS BIGINT) AS e "
+            "FROM events), "
+            "ev AS (SELECT user_id, s AS t, 1 AS d FROM iv "
+            "UNION ALL SELECT user_id, e, -1 FROM iv), "
+            "o AS (SELECT user_id, t, d, sum(d) OVER (PARTITION BY user_id "
+            "ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS occ FROM ev), "
+            "m AS (SELECT user_id, max(occ) AS mx FROM o GROUP BY 1) "
+            "SELECT o.user_id, CAST(m.mx AS BIGINT) AS max_concurrent, "
+            "CAST(min(o.t) AS BIGINT) AS first_at_us "
+            "FROM o JOIN m ON o.user_id = m.user_id AND o.occ = m.mx "
+            "GROUP BY 1, 2 ORDER BY 1"
         ),
         # mode with deterministic tie-break (count desc, value asc)
         "value_mode": (

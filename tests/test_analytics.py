@@ -140,7 +140,8 @@ class TestOracleEquivalence:
          "user_purchase_error_profile", "props_k_stats", "embedding_quantize",
          "funnel_counts", "retention_cohorts", "latest_doc_versions",
          "rolling_active_users", "top_values_with_ties",
-         "fuzzy_token_pairs", "item_cooccurrence"],
+         "fuzzy_token_pairs", "item_cooccurrence",
+         "daily_counts_filled", "max_concurrency"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1490,3 +1491,68 @@ class TestFuzzyTokenPairs:
                         "SELECT levenshtein(?, ?) <= ?", [a, b, k]
                     ).fetchone()[0]
                     assert _lev_le_k(a, b, k) == want, (a, b, k)
+
+
+class TestGapFillAndSweepLine:
+    """The sf events table is calendar-dense (every type occurs every
+    day), so the oracle equality there never emits a 0 row; this
+    fixture has real holes. The sweep fixture pins the ends-before-
+    starts tie rule at exactly-touching intervals."""
+
+    def _events(self, tmp_path, rows):
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, d, h) for d, h, *_ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def _oracle(self, sf, name):
+        from ocr_service_ray.pipeline import entry_api
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        return con.execute(entry_api.oracle_sql()[name]).df()
+
+    def test_gap_fill_emits_zero_rows(self, tmp_path):
+        from ocr_service_ray.analytics.windows import daily_counts_filled
+
+        # days 1, 2, 5 only; type 'b' missing entirely on day 2
+        sf = self._events(tmp_path, [
+            (1, 0, 1, "a", 1.0), (1, 1, 1, "b", 1.0),
+            (2, 0, 2, "a", 1.0),
+            (5, 0, 3, "a", 1.0), (5, 1, 3, "b", 1.0),
+        ])
+        got = daily_counts_filled(sf).to_pandas()
+        want = self._oracle(sf, "daily_counts_filled")
+        pd.testing.assert_frame_equal(got, want)
+        # 5 calendar days x 2 types, and the holes really are zeros
+        assert len(got) == 10
+        assert (got["n_events"] == 0).sum() == 5
+
+    def test_sweep_line_touching_intervals(self, tmp_path):
+        from ocr_service_ray.analytics.windows import max_concurrency
+
+        # user 1: [0h, +3600s) then [1h, +3600s) touch exactly ->
+        # half-open semantics must NOT count them as overlapping;
+        # user 2: three genuinely nested intervals -> peak 3
+        sf = self._events(tmp_path, [
+            (1, 0, 1, "a", 3600.0), (1, 1, 1, "a", 3600.0),
+            (2, 0, 2, "a", 7200.0), (2, 1, 2, "a", 3600.0),
+            (2, 1, 2, "a", 1800.0),
+        ])
+        got = max_concurrency(sf).to_pandas()
+        want = self._oracle(sf, "max_concurrency")
+        pd.testing.assert_frame_equal(got, want)
+        assert got.set_index("user_id")["max_concurrent"].to_dict() == {1: 1, 2: 3}
