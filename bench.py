@@ -93,6 +93,7 @@ def run_queries(num_cpus: int) -> dict:
             "ann_topk_filtered": lambda: similarity.filtered_topk(sf_dir()),
             "ann_topk_quantized": lambda: similarity.quantized_topk(sf_dir()),
             "ann_ivf_topk": lambda: similarity.ivf_topk(sf_dir()),
+            "knn_join": lambda: similarity.knn_join(sf_dir()),
             "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),
             "lang_id": lambda: text_analysis.lang_id(sf_dir()).materialize(),
             "text_normalize": lambda: text_analysis.text_normalize(sf_dir()).materialize(),

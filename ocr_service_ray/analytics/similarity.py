@@ -671,3 +671,80 @@ def quantized_topk(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
             "rank": pa.array(rows["rank"], pa.int64()),
         }
     )
+
+
+@ray.remote
+def _knn_block(left: pa.Table, right_refs: list, k: int) -> pa.Table:
+    """Top-k neighbors for every row of ``left`` against the whole
+    table, streamed one right block at a time (memory = left block +
+    one right block + the (m, k) running winners — never the full
+    similarity matrix)."""
+    from ..analytics.dedup import _load_block
+
+    lids, lm = _load_block(left)
+    if len(lids) == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    m = len(lids)
+    best_s = np.full((m, 0), 0.0)
+    best_i = np.full((m, 0), 0, dtype=np.int64)
+    for ref in right_refs:
+        rids, rm = _load_block(ray.get(ref))
+        if len(rids) == 0:
+            continue
+        sims = lm @ rm.T  # rows are already L2-normalized
+        cand_s = np.concatenate([best_s, sims], axis=1)
+        cand_i = np.concatenate(
+            [best_i, np.broadcast_to(rids, (m, len(rids)))], axis=1
+        )
+        # self-exclusion: a vector is never its own neighbor
+        cand_s[cand_i == lids[:, None]] = -np.inf
+        # row-wise lexicographic (sim desc, id asc): stable argsort by
+        # the secondary key first, then by the primary
+        sec = np.argsort(cand_i, axis=1, kind="stable")
+        pri = np.argsort(
+            -np.take_along_axis(cand_s, sec, axis=1), axis=1, kind="stable"
+        )
+        order = np.take_along_axis(sec, pri, axis=1)[:, :k]
+        best_s = np.take_along_axis(cand_s, order, axis=1)
+        best_i = np.take_along_axis(cand_i, order, axis=1)
+    kk = best_s.shape[1]
+    valid = np.isfinite(best_s)
+    ranks = np.broadcast_to(np.arange(1, kk + 1, dtype=np.int64), (m, kk))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(lids, kk)[valid.ravel()], pa.int64()),
+            "neighbor_id": pa.array(best_i.ravel()[valid.ravel()], pa.int64()),
+            "rank": pa.array(ranks.ravel()[valid.ravel()], pa.int64()),
+        }
+    )
+
+
+def knn_join(sf_dir: str, k: int = 5) -> pa.Table:
+    """Exact k-NN graph build: for EVERY vector, its ``k`` nearest
+    neighbors by cosine (self excluded; ties -> ascending neighbor id)
+    — the all-rows twin of ``brute_topk`` and the input to graph-based
+    dedup/cluster steps (kNN-graph connected components, HNSW seeding).
+
+    Distributed shape: one task per LEFT block; each task streams the
+    full block-ref list one RIGHT block at a time, maintaining an
+    (m, k) running winner set via vectorized two-key argsorts — O(n^2)
+    total multiply (inherent to the exact contract; `ivf_topk` is the
+    approximate scale path) but O(block + k) memory, no shuffle at
+    all, and n/B-way parallelism. Normalization happens once per block
+    inside `_load_block`, not per pair.
+
+    Oracle: DuckDB `list_cosine_similarity` self-join + row_number
+    window — identical float64 expression and tie order.
+    """
+    refs = _emb(sf_dir).to_arrow_refs()
+    futs = [_knn_block.remote(r, refs, k) for r in refs]
+    tbl = pa.concat_tables(ray.get(futs))
+    if tbl.num_rows == 0:
+        return tbl
+    return tbl.sort_by([("vec_id", "ascending"), ("rank", "ascending")])

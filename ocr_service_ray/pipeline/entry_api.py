@@ -676,6 +676,8 @@ def queries() -> dict:
         # int8-quantized max-inner-product search: integer-exact scores
         "ann_topk_quantized": lambda sf: similarity.quantized_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+        # exact k-NN GRAPH build (top-k for every vector, self excluded)
+        "knn_join": lambda sf: similarity.knn_join(sf),
         # exhaustive probe (nprobe == n_clusters): must equal the brute
         # oracle EXACTLY — driver-verifies the full IVF machinery (index
         # build, hive-cell pruned read, per-cell masking, top-k merge);
@@ -915,6 +917,18 @@ def oracle_sql() -> dict:
             "ORDER BY vec_a, vec_b"
         ),
         "ann_topk": _BRUTE_TOPK_SQL,
+        # all-rows twin: identical float64 cosine + tie order, self
+        # pairs excluded by the <> join
+        "knn_join": (
+            "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) "
+            "SELECT vec_id, neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank "
+            "FROM s QUALIFY rank <= 5 ORDER BY vec_id, rank"
+        ),
         "ann_ivf_exhaustive": _BRUTE_TOPK_SQL,
         # the filtered variant: neighbors restricted to lang='en' docs
         "ann_topk_filtered": (
