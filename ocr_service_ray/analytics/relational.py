@@ -1006,3 +1006,83 @@ def shipping_priority(
             "revenue_c100": out.column("revenue_c100"),
         }
     )
+
+
+def priority_sample(sf_dir: str, k: int = 100) -> pa.Table:
+    """Weighted sample WITHOUT replacement, deterministic: the A-ES /
+    Efraimidis-Spirakis priority sample — each doc gets key
+    ``u^(1/w)`` (u = md5-derived uniform of doc_id, w = n_chars) and
+    the global top-``k`` keys win, so longer docs are proportionally
+    likelier but membership stays a pure function of the key set (the
+    hash_sample reproducibility contract, now with weights — the
+    standard trick for weighted corpus subsampling that must be stable
+    across cluster sizes, restarts and block layouts).
+
+    Distributed shape: per-block vectorized md5 (the in-repo
+    DuckDB-parity kernel) + key computation + LOCAL top-k; the driver
+    merges blocks x k candidate rows — no shuffle, no global sort.
+    Float parity with the oracle: u and the pow() are the identical
+    IEEE expression (`h / 2^64 + 0.5`, libm pow) on both sides.
+    """
+    from .hashing import md5_batch_int_ids
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.float64()),
+                }
+            )
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        w = np.maximum(
+            np.asarray(batch.column("n_chars"), dtype=np.int64), 1
+        ).astype(np.float64)
+        # DuckDB md5_number_lower is UNSIGNED; mirror with <u8
+        h = md5_batch_int_ids(ids)[:, 8:16].copy().view("<u8").ravel()
+        u = h.astype(np.float64) / 18446744073709551616.0
+        key = np.power(u, 1.0 / w)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(
+                    np.asarray(batch.column("n_chars"), dtype=np.int64)[order],
+                    pa.int64(),
+                ),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+            )
+            .map_batches(local_topk, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    cand = pa.concat_tables(parts)
+    ids = np.asarray(cand.column("doc_id"))
+    nch = np.asarray(cand.column("n_chars"))
+    key = np.asarray(cand.column("key"))
+    order = np.lexsort((ids, -key))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_chars": pa.array(nch[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+        }
+    )

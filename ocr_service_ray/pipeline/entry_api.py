@@ -710,6 +710,8 @@ def queries() -> dict:
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
         "rare_token_scores": lambda sf: relational.rare_token_scores(sf),
         "hash_sample": relational.hash_sample,
+        # Efraimidis-Spirakis weighted sample (u^(1/w) priority keys)
+        "priority_sample": lambda sf: relational.priority_sample(sf),
         # deterministic ~90/5/5 train/val/test split + per-source rollup
         "dataset_splits": lambda sf: relational.dataset_splits(sf),
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
@@ -1705,6 +1707,17 @@ def oracle_sql() -> dict:
         "hash_sample": (
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'"
+        ),
+        # A-ES priority keys: identical IEEE expression both sides
+        # (unsigned md5-lower64 / 2^64, libm pow)
+        "priority_sample": (
+            "WITH s AS (SELECT doc_id, n_chars, "
+            "pow(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) "
+            "/ 18446744073709551616.0, "
+            "1.0 / CAST(greatest(n_chars, 1) AS DOUBLE)) AS k FROM documents) "
+            "SELECT doc_id, n_chars, CAST(row_number() OVER "
+            "(ORDER BY k DESC, doc_id) AS BIGINT) AS rank "
+            "FROM s QUALIFY rank <= 100 ORDER BY rank"
         ),
         # hex prefix thresholds: 'e6' = 230/256 ~ 90% train, 'f3' = 243
         # -> ~5% val, rest test; 2-hex-char compare == digest byte 0

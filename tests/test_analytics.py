@@ -141,7 +141,8 @@ class TestOracleEquivalence:
          "funnel_counts", "retention_cohorts", "latest_doc_versions",
          "rolling_active_users", "top_values_with_ties",
          "fuzzy_token_pairs", "item_cooccurrence",
-         "daily_counts_filled", "max_concurrency", "knn_join"],
+         "daily_counts_filled", "max_concurrency", "knn_join",
+         "priority_sample"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
