@@ -1,0 +1,134 @@
+"""Iterative graph analytics over the derived kNN similarity graph.
+
+The reference has no graph capability at all (SURVEY.md §2.9); a
+training-data pipeline needs graph centrality for representative /
+diversity selection over similarity graphs (pick canonical docs by
+PageRank mass instead of raw quality), and the BSP shape here is the
+template any iterative Pregel-style op follows on Ray Data.
+
+Determinism discipline (the kmeans_fit precedent): ranks are FIXED-
+POINT int64 micro-units and every per-iteration reduction is an
+integer sum — order-free across block layouts — so results are
+bit-identical however Ray splits the edge set, and a pure-Python
+reference implementation pins the semantics exactly (no SQL oracle:
+iterative global state).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def pagerank_reference(
+    edges: list[tuple[int, int]], n_nodes: int, k: int, iters: int
+) -> np.ndarray:
+    """Pure-Python/numpy single-process reference: the exact integer
+    recurrence the distributed plan computes —
+    ``r'(v) = 150_000 + (85 * sum_{u->v} (r(u) // k)) // 100``
+    (d = 0.85 fixed-point, uniform out-degree k, start 1_000_000).
+    """
+    src = np.asarray([e[0] for e in edges], dtype=np.int64)
+    dst = np.asarray([e[1] for e in edges], dtype=np.int64)
+    r = np.full(n_nodes, 1_000_000, dtype=np.int64)
+    for _ in range(iters):
+        s = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(s, dst, r[src] // k)
+        r = 150_000 + (85 * s) // 100
+    return r
+
+
+def graph_pagerank(sf_dir: str, k: int = 5, iters: int = 8) -> pa.Table:
+    """PageRank over the exact kNN cosine graph of the embeddings
+    table (each vector -> its k nearest neighbors, the `knn_join`
+    edge set): centrality-based representative scoring.
+
+    Distributed shape:
+      - edge build: the `knn_join` block tasks, kept as OBJECT-STORE
+        refs (`from_arrow_refs`) — edges never gather on the driver;
+      - per iteration (BSP superstep): the rank vector is broadcast
+        once via ``ray.put`` (dense int64, the Pregel-aggregator
+        pattern — fine while node-count x 8B fits a worker; beyond
+        that the documented alternative is rank-as-Dataset with a
+        dst-keyed join), each edge block computes vectorized
+        ``rank[src] // k`` contributions reduced per-dst INSIDE the
+        block (TableGroupBy combiner), and one dst-keyed groupby
+        sums partials — the only shuffle, sized by distinct dst per
+        block, not edge count;
+      - the new rank vector applies the integer damping recurrence.
+
+    Every node has exactly ``k`` out-edges (kNN), so there is no
+    dangling mass and out-degree needs no join. Returns
+    (vec_id, score_micros, rank) with rank 1 = highest centrality
+    (ties -> ascending vec_id).
+    """
+    from .similarity import _emb, _knn_block
+
+    refs = _emb(sf_dir).to_arrow_refs()
+    edge_refs = [_knn_block.remote(r, refs, k) for r in refs]
+    # node ids are the contiguous 0..n-1 vec_id domain of the table;
+    # verified here rather than assumed
+    ids_tbl = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .groupby("vec_id")
+        .count()
+    )
+    parts = [
+        np.asarray(t.column("vec_id"))
+        for t in ray.get(ids_tbl.to_arrow_refs())
+        if t.num_rows
+    ]
+    ids = np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "score_micros": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    if not (ids[0] == 0 and ids[-1] == n - 1):
+        raise ValueError("graph_pagerank expects a contiguous vec_id domain")
+
+    edges_ds = ray.data.from_arrow_refs(edge_refs)
+    rank = np.full(n, 1_000_000, dtype=np.int64)
+    for _ in range(iters):
+        rank_ref = ray.put(rank)
+
+        def contrib(batch: pa.Table, _r=rank_ref) -> pa.Table:
+            if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+                return pa.table(
+                    {"dst": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+                )
+            r = ray.get(_r)
+            src = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            dst = np.asarray(batch.column("neighbor_id"), dtype=np.int64)
+            t = pa.table(
+                {"dst": pa.array(dst, pa.int64()), "c": pa.array(r[src] // k, pa.int64())}
+            )
+            g = pa.TableGroupBy(t, ["dst"]).aggregate([("c", "sum")])
+            return g.rename_columns(["dst", "c"])
+
+        agg = edges_ds.map_batches(contrib, batch_format="pyarrow").groupby("dst").sum("c")
+        s = np.zeros(n, dtype=np.int64)
+        for t in ray.get(agg.to_arrow_refs()):
+            if t.num_rows:
+                d = np.asarray(t.column("dst"), dtype=np.int64)
+                c = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+                s[d] = c
+        rank = 150_000 + (85 * s) // 100
+
+    order = np.lexsort((np.arange(n), -rank))
+    ordinal = np.empty(n, dtype=np.int64)
+    ordinal[order] = np.arange(1, n + 1)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "score_micros": pa.array(rank, pa.int64()),
+            "rank": pa.array(ordinal, pa.int64()),
+        }
+    )

@@ -643,6 +643,12 @@ def entry():
     return _flatten_docs(out)
 
 
+def _q_graph_pagerank(sf_dir: str):
+    from ..analytics.graph import graph_pagerank
+
+    return graph_pagerank(sf_dir)
+
+
 def queries() -> dict:
     from ..analytics import dedup, relational, similarity, text_analysis, windows
 
@@ -678,6 +684,9 @@ def queries() -> dict:
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         # exact k-NN GRAPH build (top-k for every vector, self excluded)
         "knn_join": lambda sf: similarity.knn_join(sf),
+        # iterative BSP PageRank over the kNN graph (fixed-point int64;
+        # no SQL oracle — pinned by the exact pure-Python reference)
+        "graph_pagerank": _q_graph_pagerank,
         # exhaustive probe (nprobe == n_clusters): must equal the brute
         # oracle EXACTLY — driver-verifies the full IVF machinery (index
         # build, hive-cell pruned read, per-cell masking, top-k merge);

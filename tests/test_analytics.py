@@ -1557,3 +1557,56 @@ class TestGapFillAndSweepLine:
         want = self._oracle(sf, "max_concurrency")
         pd.testing.assert_frame_equal(got, want)
         assert got.set_index("user_id")["max_concurrent"].to_dict() == {1: 1, 2: 3}
+
+
+class TestGraphPagerank:
+    """No SQL oracle (iterative global state) — pinned by the exact
+    pure-Python integer-recurrence reference (the kmeans/bpe
+    precedent) plus a hand-built hub graph."""
+
+    def test_matches_reference_sf(self):
+        import numpy as np
+
+        from ocr_service_ray.analytics.graph import (
+            graph_pagerank,
+            pagerank_reference,
+        )
+        from ocr_service_ray.analytics.similarity import knn_join
+
+        t = graph_pagerank(SF, k=5, iters=6)
+        e = knn_join(SF, k=5)
+        edges = list(zip(e.column("vec_id").to_pylist(),
+                         e.column("neighbor_id").to_pylist()))
+        n = t.num_rows
+        ref = pagerank_reference(edges, n, 5, 6)
+        assert np.array_equal(np.asarray(t.column("score_micros")), ref)
+        # non-degenerate: centrality actually varies
+        assert ref.min() < ref.max()
+
+    def test_hub_graph(self, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.graph import graph_pagerank
+
+        # node 0 is the near-duplicate hub: vectors 1..8 all point at
+        # it; 9..11 are an unrelated orthogonal clique
+        rng = np.random.default_rng(3)
+        hub = np.array([1.0] + [0.0] * 7)
+        vecs = [hub]
+        for _ in range(8):
+            vecs.append(hub + rng.normal(0, 0.01, 8))
+        base2 = np.array([0.0] * 7 + [1.0])
+        for _ in range(3):
+            vecs.append(base2 + rng.normal(0, 0.01, 8))
+        tbl = pa.table({
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+            "label": pa.array([0] * 12, pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        out = graph_pagerank(str(tmp_path), k=3, iters=8).to_pandas()
+        # vectors 1..8 all have node 0 as a nearest neighbor (8
+        # in-links vs <=4 for anyone else): the hub must rank first
+        assert int(out.loc[out["rank"] == 1, "vec_id"].iloc[0]) == 0
