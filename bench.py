@@ -94,6 +94,7 @@ def run_queries(num_cpus: int) -> dict:
             "ann_topk_quantized": lambda: similarity.quantized_topk(sf_dir()),
             "ann_ivf_topk": lambda: similarity.ivf_topk(sf_dir()),
             "knn_join": lambda: similarity.knn_join(sf_dir()),
+            "triangle_count": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["triangle_count"]).triangle_count(sf_dir()),
             "graph_pagerank": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_pagerank"]).graph_pagerank(sf_dir()),
             "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),
             "lang_id": lambda: text_analysis.lang_id(sf_dir()).materialize(),

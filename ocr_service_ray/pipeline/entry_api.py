@@ -649,6 +649,12 @@ def _q_graph_pagerank(sf_dir: str):
     return graph_pagerank(sf_dir)
 
 
+def _q_triangle_count(sf_dir: str):
+    from ..analytics.graph import triangle_count
+
+    return triangle_count(sf_dir)
+
+
 def queries() -> dict:
     from ..analytics import dedup, relational, similarity, text_analysis, windows
 
@@ -687,6 +693,9 @@ def queries() -> dict:
         # iterative BSP PageRank over the kNN graph (fixed-point int64;
         # no SQL oracle — pinned by the exact pure-Python reference)
         "graph_pagerank": _q_graph_pagerank,
+        # degree-oriented wedge triangle counting on the co-occurrence
+        # graph (broadcast closure check; corner combiner)
+        "triangle_count": _q_triangle_count,
         # exhaustive probe (nprobe == n_clusters): must equal the brute
         # oracle EXACTLY — driver-verifies the full IVF machinery (index
         # build, hive-cell pruned read, per-cell masking, top-k merge);
@@ -1466,6 +1475,24 @@ def oracle_sql() -> dict:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM events WHERE json_extract(props, '$.k') IS NOT NULL "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        # per-node triangle membership: 3-way self-join over the same
+        # support-filtered co-occurrence edges (x<y<z each once)
+        "triangle_count": (
+            "WITH e0 AS (SELECT DISTINCT user_id, "
+            "CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS k "
+            "FROM events "
+            "WHERE regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) <> ''), "
+            "c AS (SELECT a.k AS k_a, b.k AS k_b FROM e0 a JOIN e0 b "
+            "ON a.user_id = b.user_id AND a.k < b.k "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "tri AS (SELECT e1.k_a AS x, e1.k_b AS y, e2.k_b AS z "
+            "FROM c e1 JOIN c e2 ON e2.k_a = e1.k_b "
+            "JOIN c e3 ON e3.k_a = e1.k_a AND e3.k_b = e2.k_b), "
+            "corners AS (SELECT x AS k FROM tri UNION ALL "
+            "SELECT y FROM tri UNION ALL SELECT z FROM tri) "
+            "SELECT k, CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM corners GROUP BY 1 ORDER BY 1"
         ),
         # market-basket pair support: distinct (user, k) baskets,
         # unordered item pairs per user, HAVING support floor

@@ -142,7 +142,7 @@ class TestOracleEquivalence:
          "rolling_active_users", "top_values_with_ties",
          "fuzzy_token_pairs", "item_cooccurrence",
          "daily_counts_filled", "max_concurrency", "knn_join",
-         "priority_sample"],
+         "priority_sample", "triangle_count"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1610,3 +1610,50 @@ class TestGraphPagerank:
         # vectors 1..8 all have node 0 as a nearest neighbor (8
         # in-links vs <=4 for anyone else): the hub must rank first
         assert int(out.loc[out["rank"] == 1, "vec_id"].iloc[0]) == 0
+
+
+class TestTriangleCount:
+    """The sf co-occurrence graph is complete (every item pair meets
+    support) so every orientation path degenerates; this sparse
+    fixture pins the degree-orientation wedge plan on a graph with
+    known triangles and a support-filtered edge."""
+
+    def test_two_triangle_graph(self, tmp_path):
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.graph import triangle_count
+        from ocr_service_ray.pipeline import entry_api
+
+        rows = []
+        # two users each with basket {1,2,3}; two with {3,4,5};
+        # one lone user with {1,4} (support 1 -> edge dropped)
+        baskets = [(10, [1, 2, 3]), (11, [1, 2, 3]),
+                   (20, [3, 4, 5]), (21, [3, 4, 5]),
+                   (30, [1, 4])]
+        for uid, items in baskets:
+            for it in items:
+                rows.append((uid, it))
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, 0, i) for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([f'{{"k": {r[1]}}}' for r in rows], pa.string()),
+        })
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        got = triangle_count(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        want = con.execute(entry_api.oracle_sql()["triangle_count"]).df()
+        pd.testing.assert_frame_equal(got, want)
+        assert got.set_index("k")["n_triangles"].to_dict() == {
+            1: 1, 2: 1, 3: 2, 4: 1, 5: 1
+        }
