@@ -117,6 +117,7 @@ def run_queries(num_cpus: int) -> dict:
             "value_quantiles": lambda: windows.value_quantiles(sf_dir()),
             "hash_sample": lambda: relational.hash_sample(sf_dir()).materialize(),
             "priority_sample": lambda: relational.priority_sample(sf_dir()),
+            "profile_tables": lambda: relational.profile_tables(sf_dir()),
             "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir()),
             "customers_without_big_orders": lambda: relational.customers_without_big_orders(sf_dir()),
             "stratified_sample": lambda: relational.stratified_sample(sf_dir()),

@@ -730,6 +730,8 @@ def queries() -> dict:
         "hash_sample": relational.hash_sample,
         # Efraimidis-Spirakis weighted sample (u^(1/w) priority keys)
         "priority_sample": lambda sf: relational.priority_sample(sf),
+        # per-column rows/nulls/exact-distinct data-quality profile
+        "profile_tables": lambda sf: relational.profile_tables(sf),
         # deterministic ~90/5/5 train/val/test split + per-source rollup
         "dataset_splits": lambda sf: relational.dataset_splits(sf),
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
@@ -1743,6 +1745,10 @@ def oracle_sql() -> dict:
         "hash_sample": (
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'"
+        ),
+        # per-column profiler: UNION ALL of count/count(DISTINCT)
+        "profile_tables": (
+            "SELECT 'documents' AS tbl, 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'text' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_nulls, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'lang' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_nulls, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'source' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_nulls, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'n_chars' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'events' AS tbl, 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'ts' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(ts) AS BIGINT) AS n_nulls, CAST(count(DISTINCT ts) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'user_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'event_type' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'value' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(value) AS BIGINT) AS n_nulls, CAST(count(DISTINCT value) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'props' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(props) AS BIGINT) AS n_nulls, CAST(count(DISTINCT props) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'embeddings' AS tbl, 'vec_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(vec_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct FROM embeddings UNION ALL SELECT 'embeddings' AS tbl, 'label' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(label) AS BIGINT) AS n_nulls, CAST(count(DISTINCT label) AS BIGINT) AS n_distinct FROM embeddings ORDER BY tbl, col"
         ),
         # A-ES priority keys: identical IEEE expression both sides
         # (unsigned md5-lower64 / 2^64, libm pow)

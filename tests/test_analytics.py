@@ -142,7 +142,7 @@ class TestOracleEquivalence:
          "rolling_active_users", "top_values_with_ties",
          "fuzzy_token_pairs", "item_cooccurrence",
          "daily_counts_filled", "max_concurrency", "knn_join",
-         "priority_sample", "triangle_count"],
+         "priority_sample", "triangle_count", "profile_tables"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
