@@ -2482,3 +2482,118 @@ def max_concurrency(sf_dir: str) -> pa.Table:
             }
         )
     return pa.concat_tables(tables).sort_by([("user_id", "ascending")])
+
+
+def trimmed_mean(sf_dir: str, trim_frac: float = 0.1) -> pa.Table:
+    """Per-type 10%-trimmed mean (robust location): drop the lowest
+    and highest ``floor(n * trim_frac)`` values BY RANK and average the
+    rest — the outlier-robust aggregate monitoring pipelines use where
+    a plain mean is skew-dominated.
+
+    Distributed shape (no group ever materializes):
+      1. per-type counts -> trim bound; rank-pick the boundary values
+         ``lo`` (rank = trim) and ``hi`` (rank = n-1-trim) via the
+         shared ``_type_rank_pick`` (two range-partition sorts);
+      2. one broadcast-combiner pass computes, per type, the exact
+         integer-cents sums/counts of the strict tails (v < lo,
+         v > hi) plus the total — then the driver removes the
+         tail sums and the *partial* boundary-tie copies
+         (``trim - count(v < lo)`` copies of lo, symmetrically hi):
+         rank-trimming with duplicate boundary values is exact even
+         though tied rows are interchangeable, because ties share a
+         value and hence a cents contribution.
+    The final mean is ONE float division of exact integers (oracle
+    parity). Ties-straddling-the-boundary is pinned by a fixture.
+    """
+    ds = _events(sf_dir, ["event_type", "value"])
+    totals = {
+        r["event_type"]: r["count()"]
+        for r in ds.groupby("event_type").count().take_all()
+    }
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_kept": pa.array([], pa.int64()),
+            "sum_cents": pa.array([], pa.int64()),
+            "trimmed_mean_cents": pa.array([], pa.float64()),
+        }
+    )
+    if not totals:
+        return empty
+    trim = {t: int(np.floor(n * trim_frac)) for t, n in totals.items()}
+    ranks = {t: sorted({trim[t], totals[t] - 1 - trim[t]}) for t in totals}
+    picked = _type_rank_pick(ds, ranks)
+    types = sorted(totals)
+    types_arr = np.array(types)
+    lo_arr = np.array([picked[(t, trim[t])] for t in types], dtype=np.float64)
+    hi_arr = np.array(
+        [picked[(t, totals[t] - 1 - trim[t])] for t in types], dtype=np.float64
+    )
+
+    def tails(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "s_total": pa.array([], pa.int64()),
+                    "s_lt": pa.array([], pa.int64()),
+                    "c_lt": pa.array([], pa.int64()),
+                    "s_gt": pa.array([], pa.int64()),
+                    "c_gt": pa.array([], pa.int64()),
+                }
+            )
+        et = batch.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        idx = np.searchsorted(types_arr, et)
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        lt = v < lo_arr[idx]
+        gt = v > hi_arr[idx]
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "s_total": pa.array(c, pa.int64()),
+                "s_lt": pa.array(np.where(lt, c, 0), pa.int64()),
+                "c_lt": pa.array(lt.astype(np.int64), pa.int64()),
+                "s_gt": pa.array(np.where(gt, c, 0), pa.int64()),
+                "c_gt": pa.array(gt.astype(np.int64), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("s_total", "sum"), ("s_lt", "sum"), ("c_lt", "sum"),
+             ("s_gt", "sum"), ("c_gt", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "s_total", "s_lt", "c_lt", "s_gt", "c_gt"]
+        )
+
+    agg = (
+        ds.map_batches(tails, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["s_total", "s_lt", "c_lt", "s_gt", "c_gt"])
+        .to_pandas()
+    )
+    agg = agg.sort_values("event_type").reset_index(drop=True)
+    out_t, out_n, out_s, out_m = [], [], [], []
+    for _, row in agg.iterrows():
+        t = row["event_type"]
+        n = totals[t]
+        tr = trim[t]
+        i = int(np.searchsorted(types_arr, t))
+        lo_c = int(np.floor(abs(lo_arr[i]) * 100 + 0.5) * np.sign(lo_arr[i]))
+        hi_c = int(np.floor(abs(hi_arr[i]) * 100 + 0.5) * np.sign(hi_arr[i]))
+        s = int(row["sum(s_total)"])
+        s -= int(row["sum(s_lt)"]) + (tr - int(row["sum(c_lt)"])) * lo_c
+        s -= int(row["sum(s_gt)"]) + (tr - int(row["sum(c_gt)"])) * hi_c
+        kept = n - 2 * tr
+        out_t.append(t)
+        out_n.append(kept)
+        out_s.append(s)
+        out_m.append(float(s) / float(kept))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_kept": pa.array(out_n, pa.int64()),
+            "sum_cents": pa.array(out_s, pa.int64()),
+            "trimmed_mean_cents": pa.array(out_m, pa.float64()),
+        }
+    )

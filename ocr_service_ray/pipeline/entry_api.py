@@ -801,6 +801,8 @@ def queries() -> dict:
         "daily_counts_filled": lambda sf: windows.daily_counts_filled(sf),
         # sweep-line max interval overlap per user (+1/-1 cumsum)
         "max_concurrency": lambda sf: windows.max_concurrency(sf),
+        # robust location: rank-trimmed mean via composed rank-picks
+        "trimmed_mean": lambda sf: windows.trimmed_mean(sf),
         # ordered funnel conversion (view -> click -> purchase)
         "funnel_counts": lambda sf: windows.funnel_counts(sf),
         # sliding-window distinct count (rolling 7-day active users)
@@ -1537,6 +1539,22 @@ def oracle_sql() -> dict:
             "CAST(min(o.t) AS BIGINT) AS first_at_us "
             "FROM o JOIN m ON o.user_id = m.user_id AND o.occ = m.mx "
             "GROUP BY 1, 2 ORDER BY 1"
+        ),
+        # rank-based 10% trim; tie-interchangeability makes the kept
+        # sum deterministic (tied rows share a cents value)
+        "trimmed_mean": (
+            "WITH r AS (SELECT event_type, "
+            "CAST(round(value*100) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(cents) AS BIGINT) AS sum_cents, "
+            "CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+            "AS trimmed_mean_cents "
+            "FROM r WHERE rn > CAST(floor(n*0.1) AS BIGINT) "
+            "AND rn <= n - CAST(floor(n*0.1) AS BIGINT) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # mode with deterministic tie-break (count desc, value asc)
         "value_mode": (

@@ -142,7 +142,8 @@ class TestOracleEquivalence:
          "rolling_active_users", "top_values_with_ties",
          "fuzzy_token_pairs", "item_cooccurrence",
          "daily_counts_filled", "max_concurrency", "knn_join",
-         "priority_sample", "triangle_count", "profile_tables"],
+         "priority_sample", "triangle_count", "profile_tables",
+         "trimmed_mean"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1657,3 +1658,37 @@ class TestTriangleCount:
         assert got.set_index("k")["n_triangles"].to_dict() == {
             1: 1, 2: 1, 3: 2, 4: 1, 5: 1
         }
+
+
+class TestTrimmedMean:
+    def test_boundary_ties_straddle(self, tmp_path):
+        """10 values per type with the trim boundary INSIDE a tie run:
+        rank-trim must drop exactly (trim - count(v<lo)) copies of the
+        boundary value, not all or none of them."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import trimmed_mean
+        from ocr_service_ray.pipeline import entry_api
+
+        vals = [1.0, 1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 9.0, 9.0, 9.0]
+        tbl = pa.table({
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, 0, i) for i in range(len(vals))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(vals), pa.int64()),
+            "event_type": pa.array(["x"] * len(vals), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * len(vals), pa.string()),
+        })
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        got = trimmed_mean(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+        want = con.execute(entry_api.oracle_sql()["trimmed_mean"]).df()
+        pd.testing.assert_frame_equal(got, want)
+        # trim=1: drops one 1.0 and one 9.0; kept sum = 34.0 -> 3400c
+        assert got.loc[0, "n_kept"] == 8 and got.loc[0, "sum_cents"] == 3400
