@@ -141,6 +141,7 @@ def run_queries(num_cpus: int) -> dict:
             "value_quantiles_cont": lambda: windows.value_quantiles_cont(sf_dir()),
             "value_mad": lambda: windows.value_mad(sf_dir()),
             "trimmed_mean": lambda: windows.trimmed_mean(sf_dir()),
+            "decayed_user_scores": lambda: windows.decayed_user_scores(sf_dir()),
             "purchaser_clicks_bloom": lambda: windows.purchaser_clicks_bloom(sf_dir()),
             "heavy_tokens": lambda: text_analysis.heavy_hitter_tokens(sf_dir()),
             "repetition_scores": lambda: text_analysis.repetition_scores(sf_dir()),

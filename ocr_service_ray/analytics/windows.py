@@ -2597,3 +2597,47 @@ def trimmed_mean(sf_dir: str, trim_frac: float = 0.1) -> pa.Table:
             "trimmed_mean_cents": pa.array(out_m, pa.float64()),
         }
     )
+
+
+def decayed_user_scores(sf_dir: str, horizon: int = 16) -> pa.Table:
+    """Exponentially-decayed recency engagement score per user: the
+    newest event weighs 2^15, each older event half that, over the
+    last ``horizon`` (16) events — the recommender/engagement-ranking
+    primitive, made ORDER-EXACT by dyadic weights: every term is
+    ``cents << (15 - age)``, an int64, so the sum is bit-identical in
+    any engine (no float pow drift) and fully SQL-oracle-able.
+
+    Distributed shape: one user-keyed shuffle (the session-family
+    bound), per-group vectorized tail-select (lexsort desc by
+    (ts, event_id), top-16) + integer dot with the shift weights.
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy()
+        v = df["value"].to_numpy(dtype=np.float64)
+        cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        order = np.lexsort((-eid, -ts_us))[:horizon]
+        w = np.int64(1) << (15 - np.arange(len(order), dtype=np.int64))
+        score = int((cents[order] * w).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "n_scored": pa.array([len(order)], pa.int64()),
+                "score_2p15": pa.array([score], pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_scored": pa.array([], pa.int64()),
+                "score_2p15": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("user_id", "ascending")])

@@ -803,6 +803,8 @@ def queries() -> dict:
         "max_concurrency": lambda sf: windows.max_concurrency(sf),
         # robust location: rank-trimmed mean via composed rank-picks
         "trimmed_mean": lambda sf: windows.trimmed_mean(sf),
+        # dyadic-weight exponential recency score (integer-exact EWMA)
+        "decayed_user_scores": lambda sf: windows.decayed_user_scores(sf),
         # ordered funnel conversion (view -> click -> purchase)
         "funnel_counts": lambda sf: windows.funnel_counts(sf),
         # sliding-window distinct count (rolling 7-day active users)
@@ -1539,6 +1541,18 @@ def oracle_sql() -> dict:
             "CAST(min(o.t) AS BIGINT) AS first_at_us "
             "FROM o JOIN m ON o.user_id = m.user_id AND o.occ = m.mx "
             "GROUP BY 1, 2 ORDER BY 1"
+        ),
+        # newest-first row_number; weight = 1 << (15 - age) so every
+        # term and the sum are exact int64 (no float pow)
+        "decayed_user_scores": (
+            "WITH o AS (SELECT user_id, "
+            "CAST(round(value*100) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_scored, "
+            "CAST(sum(cents * (CAST(1 AS BIGINT) << (15 - (rn - 1)))) "
+            "AS BIGINT) AS score_2p15 "
+            "FROM o WHERE rn <= 16 GROUP BY 1 ORDER BY 1"
         ),
         # rank-based 10% trim; tie-interchangeability makes the kept
         # sum deterministic (tied rows share a cents value)
