@@ -1,0 +1,209 @@
+"""Inverted text index: build-once bucket-partitioned posting lists +
+pruned conjunctive term search.
+
+The IVF precedent (similarity.ivf_build_index) applied to text: the
+expensive artifact (term -> doc postings) is built ONCE as
+hive-partitioned Parquet keyed by a term-hash bucket, and every search
+afterwards is a PRUNED READ of only the queried terms' bucket dirs —
+IO proportional to #query-buckets / n_buckets, never a corpus scan.
+This is the retrieval layout a 100 TB corpus needs: the bucket id is a
+pure function of the term, so the same partitioning key serves every
+query, and index parts can be rebuilt per corpus shard independently.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+TEXT_INDEX_VERSION = 1
+
+
+def _index_root(sf_dir: str, n_buckets: int) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/graft_textidx/v{TEXT_INDEX_VERSION}/{tag}-b{n_buckets}"
+
+
+def build_text_index(sf_dir: str, n_buckets: int = 16) -> str:
+    """Build (once, cached in /tmp) the bucket-partitioned inverted
+    index: distinct (term, doc_id) postings, hive-partitioned by
+    ``bucket = md5-lower64(term) % n_buckets``.
+
+    Distributed shape: stateless per-batch tokenize + in-batch
+    distinct (the combiner that bounds output at distinct-pairs-per-
+    block), then a streaming ``write_parquet`` with ``partition_cols``
+    — no shuffle at all; duplicate postings across blocks are
+    impossible (a (term, doc_id) pair lives in exactly one block
+    because a doc lives in one block).
+    """
+    from .hashing import md5_hash_tokens
+    from .text_analysis import _TERM
+
+    root = _index_root(sf_dir, n_buckets)
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        docs: list[int] = []
+        ids = batch.column("doc_id").to_pylist()
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            for t in set(_TERM.findall((text or "").lower())):
+                terms.append(t)
+                docs.append(did)
+        if not terms:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        b = (md5_hash_tokens(terms) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(postings, batch_format="pyarrow").write_parquet(
+        root, partition_cols=["bucket"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _top_query_terms(sf_dir: str, n_terms: int, min_count: int) -> list[str]:
+    """Data-derived query: the ``n_terms`` RAREST corpus terms with at
+    least ``min_count`` occurrences (ties -> term asc) — selective by
+    construction on any corpus, derived by the usual count combiner."""
+    from .text_analysis import _TERM, _docs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words.extend(_TERM.findall((text or "").lower()))
+        if not words:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(list(u), pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+    )
+    rows = []
+    for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows:
+            rows.append(t)
+    if not rows:
+        return []
+    tbl = pa.concat_tables(rows)
+    terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+    n = tbl.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = n >= min_count
+    terms, n = terms[keep], n[keep]
+    order = np.lexsort((terms.astype(str), n))[:n_terms]
+    return sorted(terms[order].astype(str).tolist())
+
+
+def text_search(
+    sf_dir: str,
+    terms: list[str] | None = None,
+    n_buckets: int = 16,
+    min_count: int = 5,
+) -> pa.Table:
+    """Conjunctive (AND) term search over the inverted index: doc_ids
+    containing EVERY query term. With ``terms=None`` the query is the
+    data-derived "two rarest terms with >= min_count occurrences"
+    (deterministic on any corpus; the oracle derives the same pair in
+    SQL).
+
+    The search is a PRUNED READ: only the query terms' hash-bucket
+    partition dirs are opened (asserted by a filesystem-level test),
+    postings are filtered to the exact terms per batch, reduced to
+    per-block (doc_id, n_matched) partials, and one doc-keyed groupby
+    applies the ``n_matched == len(terms)`` intersection.
+    """
+    from .hashing import md5_hash_tokens
+
+    if terms is None:
+        terms = _top_query_terms(sf_dir, 2, min_count)
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if not terms:
+        return empty
+    root = build_text_index(sf_dir, n_buckets)
+    need = sorted(
+        {int(h % np.uint64(n_buckets)) for h in md5_hash_tokens(list(terms))}
+    )
+    paths = [
+        f
+        for b in need
+        for f in sorted(glob.glob(os.path.join(root, f"bucket={b}", "*.parquet")))
+    ]
+    if not paths:
+        return empty
+    term_set = set(terms)
+    k = len(term_set)
+
+    def match(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        mask = pa.array([t in term_set for t in batch.column("term").to_pylist()])
+        hit = batch.filter(mask)
+        if hit.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        t = pa.table(
+            {
+                "doc_id": hit.column("doc_id"),
+                "n": pa.array(np.ones(hit.num_rows, np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["doc_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["doc_id", "n"])
+
+    agg = (
+        ray.data.read_parquet(paths, columns=["term", "doc_id"])
+        .map_batches(match, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("n")
+    )
+    out = []
+    for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows:
+            n = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = np.asarray(t.column("doc_id"), dtype=np.int64)[n == k]
+            if len(ids):
+                out.append(ids)
+    if not out:
+        return empty
+    return pa.table(
+        {"doc_id": pa.array(np.sort(np.concatenate(out)), pa.int64())}
+    )

@@ -655,6 +655,12 @@ def _q_triangle_count(sf_dir: str):
     return triangle_count(sf_dir)
 
 
+def _q_text_search(sf_dir: str):
+    from ..analytics.text_index import text_search
+
+    return text_search(sf_dir)
+
+
 def queries() -> dict:
     from ..analytics import dedup, relational, similarity, text_analysis, windows
 
@@ -732,6 +738,9 @@ def queries() -> dict:
         "priority_sample": lambda sf: relational.priority_sample(sf),
         # per-column rows/nulls/exact-distinct data-quality profile
         "profile_tables": lambda sf: relational.profile_tables(sf),
+        # inverted-index build (once, /tmp hive buckets) + PRUNED
+        # conjunctive search for the two rarest >=5-count terms
+        "text_search": _q_text_search,
         # deterministic ~90/5/5 train/val/test split + per-source rollup
         "dataset_splits": lambda sf: relational.dataset_splits(sf),
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
@@ -1777,6 +1786,19 @@ def oracle_sql() -> dict:
         "hash_sample": (
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'"
+        ),
+        # AND-search for the data-derived two rarest >=5-count terms;
+        # same [a-z0-9]+ tokenization as the index build
+        "text_search": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok "
+            "GROUP BY 1 HAVING count(*) >= 5), "
+            "top2 AS (SELECT term FROM cnt ORDER BY n ASC, term ASC LIMIT 2), "
+            "d AS (SELECT DISTINCT doc_id, term FROM tok JOIN top2 USING (term)) "
+            "SELECT doc_id FROM d GROUP BY doc_id "
+            "HAVING count(*) = (SELECT count(*) FROM top2) ORDER BY doc_id"
         ),
         # per-column profiler: UNION ALL of count/count(DISTINCT)
         "profile_tables": (

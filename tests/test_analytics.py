@@ -143,7 +143,7 @@ class TestOracleEquivalence:
          "fuzzy_token_pairs", "item_cooccurrence",
          "daily_counts_filled", "max_concurrency", "knn_join",
          "priority_sample", "triangle_count", "profile_tables",
-         "trimmed_mean", "decayed_user_scores"],
+         "trimmed_mean", "decayed_user_scores", "text_search"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1692,3 +1692,68 @@ class TestTrimmedMean:
         pd.testing.assert_frame_equal(got, want)
         # trim=1: drops one 1.0 and one 9.0; kept sum = 34.0 -> 3400c
         assert got.loc[0, "n_kept"] == 8 and got.loc[0, "sum_cents"] == 3400
+
+
+class TestTextIndex:
+    def test_index_partitions_cover_corpus(self):
+        """Every posting sits in exactly the bucket dir its term
+        hashes to (the property pruning relies on), and the union of
+        buckets is the full distinct (term, doc) posting set."""
+        import glob
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.hashing import md5_hash_tokens
+        from ocr_service_ray.analytics.text_index import build_text_index
+
+        root = build_text_index(SF, n_buckets=16)
+        files = glob.glob(os.path.join(root, "bucket=*", "*.parquet"))
+        assert files
+        total = 0
+        for f in files:
+            b = int(f.split("bucket=")[1].split("/")[0])
+            t = pq.read_table(f, columns=["term"])
+            terms = t.column("term").to_pylist()
+            total += len(terms)
+            hb = md5_hash_tokens(terms) % np.uint64(16)
+            assert (hb == b).all()
+        # distinct postings == sum over docs of distinct terms per doc
+        import duckdb as dk
+
+        want = dk.connect().execute(
+            f"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(
+            lower(text), '[a-z0-9]+')) AS term FROM '{SF}/documents.parquet')
+            SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok)"""
+        ).fetchone()[0]
+        assert total == want
+
+    def test_search_reads_only_query_buckets(self, monkeypatch):
+        """The search must open ONLY the query terms' bucket dirs."""
+        import ray.data as rd
+
+        from ocr_service_ray.analytics import text_index as ti
+
+        seen = {}
+        orig = rd.read_parquet
+
+        def spy(paths, **kw):
+            if isinstance(paths, list):
+                seen["paths"] = paths
+            return orig(paths, **kw)
+
+        monkeypatch.setattr(rd, "read_parquet", spy)
+        got = ti.text_search(SF, terms=["the"])
+        assert "paths" in seen
+        buckets = {p.split("bucket=")[1].split("/")[0] for p in seen["paths"]}
+        assert len(buckets) == 1  # one term -> one bucket dir
+        # and the result is the brute truth
+        import duckdb as dk
+
+        want = dk.connect().execute(
+            f"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(
+            lower(text), '[a-z0-9]+')) AS term FROM '{SF}/documents.parquet')
+            SELECT DISTINCT doc_id FROM tok WHERE term = 'the' ORDER BY doc_id"""
+        ).fetch_arrow_table()
+        assert got.to_pylist() == want.to_pylist()
