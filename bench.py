@@ -119,6 +119,7 @@ def run_queries(num_cpus: int) -> dict:
             "priority_sample": lambda: relational.priority_sample(sf_dir()),
             "profile_tables": lambda: relational.profile_tables(sf_dir()),
             "text_search": lambda: __import__("ocr_service_ray.analytics.text_index", fromlist=["text_search"]).text_search(sf_dir()),
+            "ranked_text_search": lambda: __import__("ocr_service_ray.analytics.text_index", fromlist=["ranked_text_search"]).ranked_text_search(sf_dir()),
             "revenue_by_nation": lambda: relational.revenue_by_nation(sf_dir()),
             "customers_without_big_orders": lambda: relational.customers_without_big_orders(sf_dir()),
             "stratified_sample": lambda: relational.stratified_sample(sf_dir()),

@@ -207,3 +207,131 @@ def text_search(
     return pa.table(
         {"doc_id": pa.array(np.sort(np.concatenate(out)), pa.int64())}
     )
+
+
+def ranked_text_search(
+    sf_dir: str,
+    terms: list[str] | None = None,
+    n_buckets: int = 16,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> pa.Table:
+    """Ranked (OR-semantics) retrieval over the inverted index: docs
+    containing ANY query term, ranked by total term-frequency of the
+    query terms (desc, ties -> doc_id asc), top ``top_k`` — the
+    integer-exact core of tf ranking (BM25's float idf/length terms
+    deliberately left off so the ranking is bit-reproducible and
+    SQL-oracle-able; they apply as a monotone per-term reweight in the
+    same plan).
+
+    Same pruned-read shape as `text_search`, but postings carry the
+    per-doc term FREQUENCY, so the index serves both boolean and
+    ranked queries. Merge is a (doc, tf)-sum groupby followed by the
+    distributed-top-k tail (per-block local top-k + driver merge).
+    """
+    from .hashing import md5_hash_tokens
+    from .text_analysis import _TERM
+
+    if terms is None:
+        terms = _top_query_terms(sf_dir, 2, min_count)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "total_tf": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if not terms:
+        return empty
+    # tf postings live beside the boolean index: rebuild-once per corpus
+    root = _index_root(sf_dir, n_buckets) + "-tf"
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+
+        def postings(batch: pa.Table) -> pa.Table:
+            ts: list[str] = []
+            ds_: list[int] = []
+            tf: list[int] = []
+            for did, text in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                words = _TERM.findall((text or "").lower())
+                if not words:
+                    continue
+                u, c = np.unique(np.asarray(words, dtype=object), return_counts=True)
+                ts.extend(u.tolist())
+                ds_.extend([did] * len(u))
+                tf.extend(c.astype(np.int64).tolist())
+            if not ts:
+                return pa.table(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "tf": pa.array([], pa.int64()),
+                        "bucket": pa.array([], pa.int32()),
+                    }
+                )
+            b = (md5_hash_tokens(ts) % np.uint64(n_buckets)).astype(np.int32)
+            return pa.table(
+                {
+                    "term": pa.array(ts, pa.string()),
+                    "doc_id": pa.array(ds_, pa.int64()),
+                    "tf": pa.array(tf, pa.int64()),
+                    "bucket": pa.array(b, pa.int32()),
+                }
+            )
+
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(postings, batch_format="pyarrow").write_parquet(
+            root, partition_cols=["bucket"]
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    need = sorted(
+        {int(h % np.uint64(n_buckets)) for h in md5_hash_tokens(list(terms))}
+    )
+    paths = [
+        f
+        for b in need
+        for f in sorted(glob.glob(os.path.join(root, f"bucket={b}", "*.parquet")))
+    ]
+    if not paths:
+        return empty
+    term_set = set(terms)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "tf": pa.array([], pa.int64())}
+            )
+        mask = pa.array([t in term_set for t in batch.column("term").to_pylist()])
+        hit = batch.filter(mask)
+        g = pa.TableGroupBy(
+            pa.table({"doc_id": hit.column("doc_id"), "tf": hit.column("tf")}),
+            ["doc_id"],
+        ).aggregate([("tf", "sum")])
+        return g.rename_columns(["doc_id", "tf"])
+
+    agg = (
+        ray.data.read_parquet(paths, columns=["term", "doc_id", "tf"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("tf")
+    )
+    rows = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not rows:
+        return empty
+    tbl = pa.concat_tables(rows)
+    ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+    tf = tbl.column("sum(tf)").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, -tf))[:top_k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "total_tf": pa.array(tf[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+        }
+    )

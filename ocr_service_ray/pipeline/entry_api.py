@@ -661,6 +661,12 @@ def _q_text_search(sf_dir: str):
     return text_search(sf_dir)
 
 
+def _q_ranked_text_search(sf_dir: str):
+    from ..analytics.text_index import ranked_text_search
+
+    return ranked_text_search(sf_dir)
+
+
 def queries() -> dict:
     from ..analytics import dedup, relational, similarity, text_analysis, windows
 
@@ -741,6 +747,8 @@ def queries() -> dict:
         # inverted-index build (once, /tmp hive buckets) + PRUNED
         # conjunctive search for the two rarest >=5-count terms
         "text_search": _q_text_search,
+        # ranked OR retrieval (total-tf desc) over the tf posting index
+        "ranked_text_search": _q_ranked_text_search,
         # deterministic ~90/5/5 train/val/test split + per-source rollup
         "dataset_splits": lambda sf: relational.dataset_splits(sf),
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
@@ -1799,6 +1807,20 @@ def oracle_sql() -> dict:
             "d AS (SELECT DISTINCT doc_id, term FROM tok JOIN top2 USING (term)) "
             "SELECT doc_id FROM d GROUP BY doc_id "
             "HAVING count(*) = (SELECT count(*) FROM top2) ORDER BY doc_id"
+        ),
+        # OR-retrieval ranked by total tf of the derived query terms
+        "ranked_text_search": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok "
+            "GROUP BY 1 HAVING count(*) >= 5), "
+            "top2 AS (SELECT term FROM cnt ORDER BY n ASC, term ASC LIMIT 2), "
+            "tf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_tf "
+            "FROM tok JOIN top2 USING (term) GROUP BY doc_id) "
+            "SELECT doc_id, total_tf, CAST(row_number() OVER "
+            "(ORDER BY total_tf DESC, doc_id) AS BIGINT) AS rank "
+            "FROM tf QUALIFY rank <= 20 ORDER BY rank"
         ),
         # per-column profiler: UNION ALL of count/count(DISTINCT)
         "profile_tables": (
