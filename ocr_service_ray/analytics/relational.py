@@ -1198,3 +1198,82 @@ def profile_tables(sf_dir: str) -> pa.Table:
             "n_distinct": pa.array([distinct.get(k, 0) for k in rows], pa.int64()),
         }
     )
+
+
+def customer_order_histogram(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape — the distribution of per-customer order counts
+    INCLUDING zero-order customers (the left-join-then-re-aggregate
+    pattern: a histogram of group sizes).
+
+    Distributed shape: per-batch o_custkey count partials -> one
+    custkey-keyed groupby (the only data-sized shuffle) -> per-block
+    histogram partials over the per-customer counts -> a tiny
+    count-keyed combiner. The zero bucket needs no join at all:
+    ``#customers - #distinct purchasers`` — customer existence is a
+    COUNT, so the customer table contributes one number (computed with
+    a pruned single-column read), not a join side.
+    """
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "c": batch.column("o_custkey"),
+                    "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                }
+            ),
+            ["c"],
+        ).aggregate([("n", "sum")])
+        return g.rename_columns(["c", "n"])
+
+    per_cust = orders.map_batches(partial, batch_format="pyarrow").groupby("c").sum("n")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum(n)" not in batch.column_names:
+            return pa.table(
+                {"n_orders": pa.array([], pa.int64()),
+                 "n_customers": pa.array([], pa.int64())}
+            )
+        cnts = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(cnts, return_counts=True)
+        return pa.table(
+            {
+                "n_orders": pa.array(u, pa.int64()),
+                "n_customers": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_orders")
+        .sum("n_customers")
+    )
+    rows = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    n_customers_total = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    if rows:
+        tbl = pa.concat_tables(rows)
+        n_ord = np.asarray(tbl.column("n_orders"), dtype=np.int64)
+        n_cust = (
+            tbl.column("sum(n_customers)").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    else:
+        n_ord = np.array([], dtype=np.int64)
+        n_cust = np.array([], dtype=np.int64)
+    zero = n_customers_total - int(n_cust.sum())
+    if zero > 0:
+        n_ord = np.concatenate([n_ord, [0]])
+        n_cust = np.concatenate([n_cust, [zero]])
+    order = np.argsort(n_ord)
+    return pa.table(
+        {
+            "n_orders": pa.array(n_ord[order], pa.int64()),
+            "n_customers": pa.array(n_cust[order], pa.int64()),
+        }
+    )

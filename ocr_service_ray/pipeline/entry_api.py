@@ -735,6 +735,8 @@ def queries() -> dict:
         "shipping_priority": lambda sf: relational.shipping_priority(sf),
         # big-big anti-join (native left_anti)
         "customers_without_big_orders": lambda sf: relational.customers_without_big_orders(sf),
+        # TPC-H Q13: histogram of per-customer order counts incl. zero
+        "customer_order_histogram": lambda sf: relational.customer_order_histogram(sf),
         "stratified_sample": lambda sf: relational.stratified_sample(sf),
         "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
@@ -1825,6 +1827,16 @@ def oracle_sql() -> dict:
         # per-column profiler: UNION ALL of count/count(DISTINCT)
         "profile_tables": (
             "SELECT 'documents' AS tbl, 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'text' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_nulls, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'lang' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_nulls, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'source' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_nulls, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'n_chars' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'events' AS tbl, 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'ts' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(ts) AS BIGINT) AS n_nulls, CAST(count(DISTINCT ts) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'user_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'event_type' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'value' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(value) AS BIGINT) AS n_nulls, CAST(count(DISTINCT value) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'props' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(props) AS BIGINT) AS n_nulls, CAST(count(DISTINCT props) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'embeddings' AS tbl, 'vec_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(vec_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct FROM embeddings UNION ALL SELECT 'embeddings' AS tbl, 'label' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(label) AS BIGINT) AS n_nulls, CAST(count(DISTINCT label) AS BIGINT) AS n_distinct FROM embeddings ORDER BY tbl, col"
+        ),
+        # Q13: LEFT JOIN + double aggregation; count(o_orderkey) is 0
+        # for order-less customers
+        "customer_order_histogram": (
+            "WITH pc AS (SELECT c.c_custkey, "
+            "CAST(count(o.o_orderkey) AS BIGINT) AS n "
+            "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1) "
+            "SELECT n AS n_orders, CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM pc GROUP BY 1 ORDER BY 1"
         ),
         # A-ES priority keys: identical IEEE expression both sides
         # (unsigned md5-lower64 / 2^64, libm pow)
