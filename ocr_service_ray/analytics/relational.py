@@ -1248,21 +1248,27 @@ def customer_order_histogram(sf_dir: str) -> pa.Table:
             }
         )
 
-    agg = (
-        per_cust.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("n_orders")
-        .sum("n_customers")
-    )
-    rows = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    # final histogram merge happens on the DRIVER: the per-block
+    # partials are already count-domain-sized (distinct order-counts
+    # per block), so a second Ray aggregate would pay the fixed
+    # shuffle overhead to move a few dozen rows
+    rows = [
+        t
+        for t in ray.get(
+            per_cust.map_batches(hist_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
     n_customers_total = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).count()
     if rows:
         tbl = pa.concat_tables(rows)
-        n_ord = np.asarray(tbl.column("n_orders"), dtype=np.int64)
-        n_cust = (
-            tbl.column("sum(n_customers)").to_numpy(zero_copy_only=False).astype(np.int64)
-        )
+        ks = np.asarray(tbl.column("n_orders"), dtype=np.int64)
+        vs = np.asarray(tbl.column("n_customers"), dtype=np.int64)
+        n_ord = np.unique(ks)
+        n_cust = np.zeros(len(n_ord), dtype=np.int64)
+        np.add.at(n_cust, np.searchsorted(n_ord, ks), vs)
     else:
         n_ord = np.array([], dtype=np.int64)
         n_cust = np.array([], dtype=np.int64)
