@@ -135,6 +135,7 @@ def run_queries(num_cpus: int) -> dict:
             "value_histogram": lambda: windows.value_histogram(sf_dir()),
             "source_lang_rollup": lambda: relational.source_lang_rollup(sf_dir()),
             "embedding_clusters": lambda: similarity.embedding_clusters(sf_dir()),
+            "dbscan_clusters": lambda: similarity.dbscan_clusters(sf_dir()),
             "redact_pii": lambda: text_analysis.redact_pii(sf_dir()).materialize(),
             "chunk_documents": lambda: text_analysis.chunk_documents(sf_dir()),
             "benchmark_contamination": lambda: text_analysis.benchmark_contamination(sf_dir()),

@@ -748,3 +748,89 @@ def knn_join(sf_dir: str, k: int = 5) -> pa.Table:
     if tbl.num_rows == 0:
         return tbl
     return tbl.sort_by([("vec_id", "ascending"), ("rank", "ascending")])
+
+
+def dbscan_clusters(
+    sf_dir: str, eps_sim: float = 0.35, min_pts: int = 3
+) -> pa.Table:
+    """Exact DBSCAN over the embedding table (density clustering): a
+    point is CORE if it has >= ``min_pts`` neighbors with cosine
+    similarity > ``eps_sim``; clusters are connected components of
+    core-core edges; non-core points with a core neighbor join their
+    minimum-labeled core cluster (the deterministic pin of DBSCAN's
+    arbitrary border assignment); everything else is noise (-1).
+
+    Composition of verified machinery, not a new engine path:
+      - the eps-graph is the exact block-pair cosine join
+        (`dedup.embedding_neardup_pairs` — object-store refs, no
+        driver matrix);
+      - degrees/core flags are a vectorized pass over the PAIR table
+        (O(eps-graph), the near-dup-rate bound, never corpus-sized);
+      - components run on the BSP min-label propagation
+        (`dedup.neardup_clusters` with the core-core pair list
+        injected), isolated cores self-label;
+      - the final corpus-wide assignment is one broadcast-map over
+        the embeddings read (labels dict is O(points-in-pairs)).
+
+    Oracle: recursive-CTE closure + border min-attach in SQL — exact.
+    """
+    from .dedup import embedding_neardup_pairs, neardup_clusters
+
+    pairs = embedding_neardup_pairs(sf_dir, threshold=eps_sim)
+    a = np.asarray(pairs.column("vec_a"), dtype=np.int64)
+    b = np.asarray(pairs.column("vec_b"), dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes, inv = np.unique(src, return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes))
+    core_nodes = set(nodes[deg >= min_pts].tolist())
+
+    labels: dict[int, int] = {v: v for v in core_nodes}  # isolated cores
+    cc_mask = np.array(
+        [s in core_nodes and d in core_nodes for s, d in zip(a, b)], dtype=bool
+    )
+    if cc_mask.any():
+        comp = neardup_clusters(
+            sf_dir,
+            pairs=pa.table(
+                {
+                    "doc_a": pa.array(a[cc_mask], pa.int64()),
+                    "doc_b": pa.array(b[cc_mask], pa.int64()),
+                }
+            ),
+        )
+        for v, lbl in zip(
+            comp.column("doc_id").to_pylist(), comp.column("cluster_rep").to_pylist()
+        ):
+            labels[int(v)] = int(lbl)
+    # border attach: min over core neighbors' component labels
+    border: dict[int, int] = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s not in core_nodes and d in core_nodes:
+            cand = labels[d]
+            if s not in border or cand < border[s]:
+                border[s] = cand
+    labels.update(border)
+
+    lbl_ref = ray.put(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lb = ray.get(lbl_ref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        out = np.fromiter(
+            (lb.get(int(i), -1) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(out, pa.int64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .map_batches(assign, batch_format="pyarrow")
+    )
+    return pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    ).sort_by([("vec_id", "ascending")])

@@ -716,6 +716,9 @@ def queries() -> dict:
         # iterative BSP over the full table; no SQL oracle (iterative
         # float) — determinism across block layouts pinned by tests
         "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
+        # exact DBSCAN: eps-graph block-pair join + core/border/noise
+        # ladder + BSP components; border assignment pinned to min
+        "dbscan_clusters": lambda sf: similarity.dbscan_clusters(sf),
         "token_counts": text_analysis.token_counts,
         # LLM sequence packing (concat-and-chunk): global token prefix
         # sums via sort + metadata-only block offsets
@@ -962,6 +965,29 @@ def oracle_sql() -> dict:
             "ORDER BY vec_a, vec_b"
         ),
         "ann_topk": _BRUTE_TOPK_SQL,
+        # DBSCAN: closure over core-core edges (+ core self-edges so
+        # isolated cores self-label) + border min-attach + noise -1
+        "dbscan_clusters": (
+            "WITH RECURSIVE p AS (SELECT a.vec_id AS va, b.vec_id AS vb "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) > 0.35), "
+            "e AS (SELECT va AS v, vb AS w FROM p UNION SELECT vb, va FROM p), "
+            "deg AS (SELECT v, count(*) AS c FROM e GROUP BY 1), "
+            "core AS (SELECT v FROM deg WHERE c >= 3), "
+            "ce AS (SELECT v AS a, w AS b FROM e WHERE v IN (SELECT v FROM core) "
+            "AND w IN (SELECT v FROM core) UNION SELECT v, v FROM core), "
+            "reach AS (SELECT a, b FROM ce UNION "
+            "SELECT r.a, c2.b FROM reach r JOIN ce c2 ON r.b = c2.a), "
+            "comp AS (SELECT a AS v, min(b) AS lbl FROM reach GROUP BY 1), "
+            "border AS (SELECT e.v AS v, min(comp.lbl) AS lbl FROM e "
+            "JOIN comp ON e.w = comp.v "
+            "WHERE e.v NOT IN (SELECT v FROM core) GROUP BY 1) "
+            "SELECT emb.vec_id, CAST(COALESCE(comp.lbl, border.lbl, -1) "
+            "AS BIGINT) AS cluster FROM embeddings emb "
+            "LEFT JOIN comp ON comp.v = emb.vec_id "
+            "LEFT JOIN border ON border.v = emb.vec_id ORDER BY emb.vec_id"
+        ),
         # all-rows twin: identical float64 cosine + tie order, self
         # pairs excluded by the <> join
         "knn_join": (

@@ -144,7 +144,8 @@ class TestOracleEquivalence:
          "daily_counts_filled", "max_concurrency", "knn_join",
          "priority_sample", "triangle_count", "profile_tables",
          "trimmed_mean", "decayed_user_scores", "text_search",
-         "ranked_text_search", "customer_order_histogram"],
+         "ranked_text_search", "customer_order_histogram",
+         "dbscan_clusters"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
