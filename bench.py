@@ -109,6 +109,7 @@ def run_queries(num_cpus: int) -> dict:
             "tumbling_counts": lambda: windows.tumbling_counts(sf_dir()),
             "hopping_counts": lambda: windows.hopping_counts(sf_dir()),
             "sessionize": lambda: windows.sessionize(sf_dir()),
+            "event_session_ids": lambda: windows.event_session_ids(sf_dir()),
             "sessionize_scan": lambda: windows.sessionize_segmented(sf_dir()),
             "asof_join": lambda: windows.asof_last_purchase(sf_dir()),
             "range_join": lambda: windows.range_join_error_clicks(sf_dir()),

@@ -2641,3 +2641,52 @@ def decayed_user_scores(sf_dir: str, horizon: int = 16) -> pa.Table:
             }
         )
     return pa.concat_tables(tables).sort_by([("user_id", "ascending")])
+
+
+def event_session_ids(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Per-EVENT session assignment: every event tagged with its
+    (user's) 1-based session index and ordinal within the session —
+    the scatter-back grain `sessionize` aggregates away, needed when
+    downstream features join back onto raw events (same 30-min gap
+    rule, same (ts, event_id) total order).
+
+    Distributed shape: one user-keyed shuffle, vectorized in-group
+    gap-indicator cumsum (no Python per row); output is event-grain so
+    nothing aggregates — the shuffle is the whole cost, as for any
+    event-enrichment pass.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            new[1:] = (ts_us[1:] - ts_us[:-1] > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        # ordinal within session: position - start offset of the session
+        starts = np.flatnonzero(new == 1)
+        offs = np.repeat(starts, np.diff(np.append(starts, len(df))))
+        ordinal = np.arange(len(df), dtype=np.int64) - offs + 1
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "session_idx": pa.array(sid, pa.int64()),
+                "ordinal": pa.array(ordinal, pa.int64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "ordinal": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("event_id", "ascending")])

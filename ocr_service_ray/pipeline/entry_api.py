@@ -761,6 +761,8 @@ def queries() -> dict:
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
         "hopping_counts": lambda sf: windows.hopping_counts(sf),
         "sessionize": lambda sf: windows.sessionize(sf),
+        # event-grain session assignment (scatter-back of sessionize)
+        "event_session_ids": lambda sf: windows.event_session_ids(sf),
         "asof_join": lambda sf: windows.asof_last_purchase(sf),
         "range_join": lambda sf: windows.range_join_error_clicks(sf),
         "sessionize_scan": lambda sf: windows.sessionize_segmented(sf),
@@ -1586,6 +1588,21 @@ def oracle_sql() -> dict:
             "CAST(min(o.t) AS BIGINT) AS first_at_us "
             "FROM o JOIN m ON o.user_id = m.user_id AND o.occ = m.mx "
             "GROUP BY 1, 2 ORDER BY 1"
+        ),
+        # same 30-min gap rule as sessionize, emitted per event
+        "event_session_ids": (
+            "WITH o AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+            "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT event_id, user_id, "
+            "CAST(sum(new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx, ts FROM o) "
+            "SELECT event_id, user_id, session_idx, "
+            "CAST(row_number() OVER (PARTITION BY user_id, session_idx "
+            "ORDER BY ts, event_id) AS BIGINT) AS ordinal "
+            "FROM s ORDER BY event_id"
         ),
         # newest-first row_number; weight = 1 << (15 - age) so every
         # term and the sum are exact int64 (no float pow)
