@@ -1081,3 +1081,97 @@ def fuzzy_token_pairs(sf_dir: str, min_len: int = 3, max_dist: int = 2) -> pa.Ta
     return pa.concat_tables(tables).sort_by(
         [("word_a", "ascending"), ("word_b", "ascending")]
     )
+
+
+def cms_token_counts(
+    sf_dir: str, depth: int = 4, width: int = 1024, top_k: int = 20
+) -> pa.Table:
+    """Count-Min sketch over corpus token occurrences, with the sketch
+    ESTIMATES themselves oracled (the HLL precedent): row ``j`` hashes
+    tokens with ``md5-lower64(word + '#j') % width``, cells sum
+    occurrence counts, and a point query is the min over rows — DuckDB
+    reproduces every cell load and the min bit-for-bit, so the
+    "approximate" operator still gets a hash-exact driver row.
+
+    Distributed shape: per-block (depth x width) int64 cell partials
+    (vectorized bincount over the md5 kernel's hashes) — Count-Min is
+    MERGEABLE BY ADDITION, so partials sum in any order (here a
+    driver-side elementwise sum of 32 KiB matrices; an AggregateFn
+    tree at fleet scale). The report joins the estimates against the
+    exact counts of the top-``top_k`` tokens (combiner + driver top-k)
+    so over-estimation bias is visible in the output.
+    """
+    from .hashing import md5_hash_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words.extend(_TERM.findall((text or "").lower()))
+        cells = np.zeros((depth, width), dtype=np.int64)
+        exact: dict = {}
+        if words:
+            arr = np.asarray(words, dtype=object)
+            u, c = np.unique(arr, return_counts=True)
+            for j in range(depth):
+                h = (
+                    md5_hash_tokens([f"{w}#{j}" for w in u.tolist()])
+                    % np.uint64(width)
+                ).astype(np.int64)
+                np.add.at(cells[j], h, c)
+            exact = dict(zip(u.tolist(), c.astype(np.int64).tolist()))
+        # one row per block: the sketch plus the block's exact partials
+        return pa.table(
+            {
+                "cells": pa.array([cells.ravel().tolist()], pa.list_(pa.int64())),
+                "words": pa.array([list(exact.keys())], pa.list_(pa.string())),
+                "counts": pa.array([list(exact.values())], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = [
+        t
+        for t in ray.get(
+            _docs(sf_dir).map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "word": pa.array([], pa.string()),
+            "n_exact": pa.array([], pa.int64()),
+            "n_est": pa.array([], pa.int64()),
+        }
+    )
+    if not rows:
+        return empty
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    totals: dict = {}
+    for t in rows:
+        for cells, ws, cs in zip(
+            t.column("cells").to_pylist(),
+            t.column("words").to_pylist(),
+            t.column("counts").to_pylist(),
+        ):
+            sketch += np.asarray(cells, dtype=np.int64).reshape(depth, width)
+            for w, c in zip(ws, cs):
+                totals[w] = totals.get(w, 0) + c
+    if not totals:
+        return empty
+    terms = np.asarray(list(totals.keys()), dtype=object)
+    n = np.asarray(list(totals.values()), dtype=np.int64)
+    order = np.lexsort((terms.astype(str), -n))[:top_k]
+    sel = sorted(terms[order].astype(str).tolist())
+    est = []
+    for w in sel:
+        hs = [
+            int(md5_hash_tokens([f"{w}#{j}"])[0] % np.uint64(width))
+            for j in range(depth)
+        ]
+        est.append(int(min(sketch[j][h] for j, h in enumerate(hs))))
+    return pa.table(
+        {
+            "word": pa.array(sel, pa.string()),
+            "n_exact": pa.array([int(totals[w]) for w in sel], pa.int64()),
+            "n_est": pa.array(est, pa.int64()),
+        }
+    )

@@ -790,6 +790,9 @@ def queries() -> dict:
         # FastSS fuzzy-join: word-type pairs within edit distance 2 via
         # deletion-neighborhood blocking + exact banded-DP verify
         "fuzzy_token_pairs": lambda sf: text_analysis.fuzzy_token_pairs(sf),
+        # Count-Min sketch with ORACLED estimates (HLL precedent):
+        # per-block cell partials merge by addition
+        "cms_token_counts": lambda sf: text_analysis.cms_token_counts(sf),
         # global-quantile + pushdown-filtered re-read composition
         "long_tail_docs": lambda sf: relational.long_tail_docs(sf),
         # capstone curation ladder (length -> exact-dup -> near-dup)
@@ -1802,6 +1805,23 @@ def oracle_sql() -> dict:
             "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), g AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2 AND words[1] <> ''), b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g) "
             "SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS n FROM b "
             "GROUP BY bg HAVING count(*) >= 5 ORDER BY bigram"
+        ),
+        # DuckDB replicates every CM cell load and the row-min exactly
+        # (md5_number_lower(word#j) % 1024 both sides)
+        "cms_token_counts": (
+            "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS word FROM documents), "
+            "cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1), "
+            "top20 AS (SELECT word, n FROM cnt ORDER BY n DESC, word LIMIT 20), "
+            "js AS (SELECT unnest(generate_series(0, 3)) AS j), "
+            "loads AS (SELECT j, md5_number_lower(word || '#' || "
+            "CAST(j AS VARCHAR)) % 1024 AS b, CAST(sum(n) AS BIGINT) AS load "
+            "FROM cnt CROSS JOIN js GROUP BY 1, 2), "
+            "q AS (SELECT t.word, t.n, js.j, md5_number_lower(t.word || '#' || "
+            "CAST(js.j AS VARCHAR)) % 1024 AS b FROM top20 t CROSS JOIN js) "
+            "SELECT q.word, q.n AS n_exact, CAST(min(l.load) AS BIGINT) AS n_est "
+            "FROM q JOIN loads l ON l.j = q.j AND l.b = q.b "
+            "GROUP BY 1, 2 ORDER BY word"
         ),
         # FastSS candidates + banded-DP verify == brute levenshtein
         # all-pairs oracle (same [a-z0-9]+ tokenization both sides)
