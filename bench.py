@@ -107,6 +107,7 @@ def run_queries(num_cpus: int) -> dict:
             "top_docs_by_words": lambda: relational.top_docs_by_words(sf_dir()),
             "source_stats": lambda: relational.source_stats(sf_dir()),
             "tumbling_counts": lambda: windows.tumbling_counts(sf_dir()),
+            "incremental_tumbling_counts": lambda: windows.incremental_tumbling_counts(sf_dir()),
             "hopping_counts": lambda: windows.hopping_counts(sf_dir()),
             "sessionize": lambda: windows.sessionize(sf_dir()),
             "event_session_ids": lambda: windows.event_session_ids(sf_dir()),

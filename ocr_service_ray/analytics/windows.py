@@ -2690,3 +2690,83 @@ def event_session_ids(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
             }
         )
     return pa.concat_tables(tables).sort_by([("event_id", "ascending")])
+
+
+def incremental_tumbling_counts(sf_dir: str, window: str = "h") -> pa.Table:
+    """Incremental materialized-view maintenance for the tumbling
+    aggregate: the corpus is split into a BASE snapshot (event_id % 10
+    != 0) whose per-window partials play the stored state, and a DELTA
+    batch (the rest) whose partials are merged INTO that state with
+    one key-aligned sum — the IVM contract that the merged state is
+    indistinguishable from a full recompute (the oracle runs the plain
+    aggregate over everything, so the driver hash-checks exactly
+    that).
+
+    Distributed shape: both legs are the usual window combiner with a
+    PUSHED-DOWN split predicate at the read (neither leg scans the
+    other's rows twice); the merge is a groupby over two
+    window-domain-sized partial tables — the cost of maintaining a
+    streaming aggregate is the delta's size, never the history's.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit=_ARROW_UNIT[window]),
+                    pa.timestamp("s")),
+            pa.int64(),
+        )
+        v = batch.column("value").to_numpy() * 100
+        cents = np.floor(np.abs(v) + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+        t = pa.table(
+            {
+                "window_start_s": win,
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(np.ones(len(batch), np.int64)),
+                "sum_value_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["window_start_s", "event_type"]).aggregate(
+            [("n_events", "sum"), ("sum_value_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["window_start_s", "event_type", "n_events", "sum_value_cents"]
+        )
+
+    def leg(pred):
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _pd
+
+        return (
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "event_type", "value"],
+                filter=pred,
+            )
+            .map_batches(partial, batch_format="pyarrow")
+        )
+
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pds
+
+    # Expression lacks %: use (id - (id/10)*10) == 0 via divide+multiply
+    idf = pds.field("event_id")
+    rem = _pc.subtract(idf, _pc.multiply(_pc.divide(idf, 10), 10))
+    base = leg(_pc.not_equal(rem, 0))
+    delta = leg(_pc.equal(rem, 0))
+    merged = (
+        base.union(delta)
+        .groupby(["window_start_s", "event_type"])
+        .sum(["n_events", "sum_value_cents"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(n_events)": "n_events",
+                "sum(sum_value_cents)": "sum_value_cents",
+            }
+        )
+    )
+    merged["n_events"] = merged["n_events"].astype(np.int64)
+    merged["sum_value_cents"] = merged["sum_value_cents"].astype(np.int64)
+    merged = merged.sort_values(["window_start_s", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(merged, preserve_index=False)

@@ -759,6 +759,9 @@ def queries() -> dict:
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
         "source_stats": relational.source_stats,
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
+        # IVM merge: base-state partials + delta partials must equal
+        # the full recompute (oracle = the plain aggregate)
+        "incremental_tumbling_counts": lambda sf: windows.incremental_tumbling_counts(sf),
         "hopping_counts": lambda sf: windows.hopping_counts(sf),
         "sessionize": lambda sf: windows.sessionize(sf),
         # event-grain session assignment (scatter-back of sessionize)
@@ -1190,6 +1193,14 @@ def oracle_sql() -> dict:
             "FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id ORDER BY d.doc_id"
         ),
         "tumbling_counts": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # the IVM contract: merged base+delta state == full recompute,
+        # so the oracle IS the plain tumbling aggregate
+        "incremental_tumbling_counts": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, "
             "event_type, count(*) AS n_events, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "

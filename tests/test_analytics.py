@@ -145,7 +145,8 @@ class TestOracleEquivalence:
          "priority_sample", "triangle_count", "profile_tables",
          "trimmed_mean", "decayed_user_scores", "text_search",
          "ranked_text_search", "customer_order_histogram",
-         "dbscan_clusters", "event_session_ids", "cms_token_counts"],
+         "dbscan_clusters", "event_session_ids", "cms_token_counts",
+         "incremental_tumbling_counts"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
