@@ -1283,3 +1283,138 @@ def customer_order_histogram(sf_dir: str) -> pa.Table:
             "n_customers": pa.array(n_cust[order], pa.int64()),
         }
     )
+
+
+def local_supplier_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q5 shape — revenue by nation from lineitems whose CUSTOMER
+    and SUPPLIER share a nation, restricted to the region of the
+    lexicographically-first region name (data-derived so any corpus
+    exercises the filter) — the canonical multi-join: one BIG-BIG join
+    plus every dimension broadcast.
+
+    Distributed shape:
+      - region -> nation -> {custkey: nation, suppkey: nation} lookup
+        maps built once from the pruned dimension reads and
+        ``ray.put`` ONCE (region/nation/customer/supplier are the
+        textbook small sides);
+      - the one data-sized join, orders ⋈ lineitem on orderkey, runs
+        as a native hash join of the two pruned big reads (orders is
+        pre-filtered to the region's customers with a vectorized
+        broadcast semi before the shuffle — the Q3 discipline);
+      - per-batch vectorized same-nation check + integer-cents
+        revenue combiner -> tiny nation-keyed groupby.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rname = min(region.column("r_name").to_pylist())
+    rkey = region.column("r_regionkey").to_pylist()[
+        region.column("r_name").to_pylist().index(rname)
+    ]
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
+    nrk = np.asarray(nation.column("n_regionkey"), dtype=np.int64)
+    region_nations = set(nk[nrk == rkey].tolist())
+    names = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ck = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+    cn = np.asarray(cust.column("c_nationkey"), dtype=np.int64)
+    o = np.argsort(ck)
+    cust_ref = ray.put((ck[o], cn[o]))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(supp.column("s_suppkey"), dtype=np.int64)
+    sn = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+    o = np.argsort(sk)
+    supp_ref = ray.put((sk[o], sn[o]))
+    rn_ref = ray.put(np.asarray(sorted(region_nations), dtype=np.int64))
+
+    def orders_semi(batch: pa.Table) -> pa.Table:
+        ks, ns = ray.get(cust_ref)
+        rn = ray.get(rn_ref)
+        ock = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        pos = np.clip(np.searchsorted(ks, ock), 0, len(ks) - 1)
+        ok = ks[pos] == ock
+        nat = np.where(ok, ns[pos], -1)
+        keep = np.isin(nat, rn)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.asarray(batch.column("o_orderkey"), dtype=np.int64)[keep],
+                    pa.int64(),
+                ),
+                "c_nation": pa.array(nat[keep], pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_semi, batch_format="pyarrow")
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_suppkey" not in batch.column_names:
+            return pa.table(
+                {
+                    "n_nationkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        ks, ns = ray.get(supp_ref)
+        lsk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        pos = np.clip(np.searchsorted(ks, lsk), 0, len(ks) - 1)
+        ok = ks[pos] == lsk
+        s_nat = np.where(ok, ns[pos], -2)
+        keep = s_nat == np.asarray(batch.column("c_nation"), dtype=np.int64)
+        if not keep.any():
+            return pa.table(
+                {
+                    "n_nationkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        ep = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)[keep]
+        dc = np.asarray(batch.column("l_discount"), dtype=np.float64)[keep]
+        v = ep * (1.0 - dc) * 100
+        cents = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+        t = pa.table(
+            {
+                "n_nationkey": pa.array(s_nat[keep], pa.int64()),
+                "revenue_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["n_nationkey"]).aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["n_nationkey", "revenue_cents"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .sum("revenue_cents")
+        .to_pandas()
+    )
+    if len(agg) == 0:
+        return pa.table(
+            {"n_name": pa.array([], pa.string()),
+             "revenue_cents": pa.array([], pa.int64())}
+        )
+    agg = agg.rename(columns={"sum(revenue_cents)": "revenue_cents"})
+    agg["n_name"] = agg["n_nationkey"].map(names)
+    agg["revenue_cents"] = agg["revenue_cents"].astype(np.int64)
+    agg = agg.sort_values(
+        ["revenue_cents", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(agg[["n_name", "revenue_cents"]], preserve_index=False)

@@ -740,6 +740,9 @@ def queries() -> dict:
         "customers_without_big_orders": lambda sf: relational.customers_without_big_orders(sf),
         # TPC-H Q13: histogram of per-customer order counts incl. zero
         "customer_order_histogram": lambda sf: relational.customer_order_histogram(sf),
+        # TPC-H Q5: same-nation customer+supplier revenue by nation,
+        # region-filtered; one big-big join, all dimensions broadcast
+        "local_supplier_volume": lambda sf: relational.local_supplier_volume(sf),
         "stratified_sample": lambda sf: relational.stratified_sample(sf),
         "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
@@ -1901,6 +1904,23 @@ def oracle_sql() -> dict:
         # per-column profiler: UNION ALL of count/count(DISTINCT)
         "profile_tables": (
             "SELECT 'documents' AS tbl, 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'text' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_nulls, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'lang' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_nulls, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'source' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_nulls, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'n_chars' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'events' AS tbl, 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'ts' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(ts) AS BIGINT) AS n_nulls, CAST(count(DISTINCT ts) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'user_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'event_type' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'value' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(value) AS BIGINT) AS n_nulls, CAST(count(DISTINCT value) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'props' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(props) AS BIGINT) AS n_nulls, CAST(count(DISTINCT props) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'embeddings' AS tbl, 'vec_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(vec_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct FROM embeddings UNION ALL SELECT 'embeddings' AS tbl, 'label' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(label) AS BIGINT) AS n_nulls, CAST(count(DISTINCT label) AS BIGINT) AS n_distinct FROM embeddings ORDER BY tbl, col"
+        ),
+        # Q5: data-derived region filter (min r_name); revenue in
+        # exact integer cents; ORDER BY revenue desc, name
+        "local_supplier_volume": (
+            "WITH r AS (SELECT r_regionkey FROM region "
+            "WHERE r_name = (SELECT min(r_name) FROM region)), "
+            "rev AS (SELECT n.n_name, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE s.s_nationkey = c.c_nationkey "
+            "AND n.n_regionkey IN (SELECT r_regionkey FROM r) GROUP BY 1) "
+            "SELECT n_name, revenue_cents FROM rev "
+            "ORDER BY revenue_cents DESC, n_name"
         ),
         # Q13: LEFT JOIN + double aggregation; count(o_orderkey) is 0
         # for order-less customers

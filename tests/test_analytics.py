@@ -109,7 +109,7 @@ class TestOracleEquivalence:
     def con(self):
         con = duckdb.connect()
         for t in ("documents", "embeddings", "lineitem", "events", "orders",
-                  "customer", "nation"):
+                  "customer", "nation", "supplier", "region", "part"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
         return con
 
@@ -146,7 +146,7 @@ class TestOracleEquivalence:
          "trimmed_mean", "decayed_user_scores", "text_search",
          "ranked_text_search", "customer_order_histogram",
          "dbscan_clusters", "event_session_ids", "cms_token_counts",
-         "incremental_tumbling_counts"],
+         "incremental_tumbling_counts", "local_supplier_volume"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
