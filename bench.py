@@ -126,6 +126,7 @@ def run_queries(num_cpus: int) -> dict:
             "customers_without_big_orders": lambda: relational.customers_without_big_orders(sf_dir()),
             "customer_order_histogram": lambda: relational.customer_order_histogram(sf_dir()),
             "local_supplier_volume": lambda: relational.local_supplier_volume(sf_dir()),
+            "brand_volume": lambda: relational.brand_volume(sf_dir()),
             "stratified_sample": lambda: relational.stratified_sample(sf_dir()),
             "running_totals": lambda: windows.running_totals(sf_dir()),
             "neardup_clusters": lambda: dedup.neardup_clusters(sf_dir()),

@@ -1418,3 +1418,74 @@ def local_supplier_volume(sf_dir: str) -> pa.Table:
         ["revenue_cents", "n_name"], ascending=[False, True]
     ).reset_index(drop=True)
     return pa.Table.from_pandas(agg[["n_name", "revenue_cents"]], preserve_index=False)
+
+
+def brand_volume(sf_dir: str) -> pa.Table:
+    """Per-brand shipped volume: lineitem ⋈ part (the last dimension
+    table) -> per p_brand quantity and discounted revenue in exact
+    cents. Part is the canonical broadcast side (one ``ray.put`` of
+    two sorted arrays); lineitem streams through a vectorized
+    searchsorted lookup + combiner — no shuffle beyond the tiny
+    brand-keyed final groupby.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    o = np.argsort(pk)
+    uniq_brands = np.unique(brands.astype(str))
+    bidx = np.searchsorted(uniq_brands, brands[o].astype(str))
+    look_ref = ray.put((pk[o], bidx))
+    brands_ref = ray.put(uniq_brands)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, bi = ray.get(look_ref)
+        ub = ray.get(brands_ref)
+        lpk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        pos = np.clip(np.searchsorted(ks, lpk), 0, len(ks) - 1)
+        if (ks[pos] != lpk).any():
+            raise ValueError("brand_volume: l_partkey missing from part")
+        ep = np.asarray(batch.column("l_extendedprice"), dtype=np.float64)
+        dc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        v = ep * (1.0 - dc) * 100
+        cents = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+        t = pa.table(
+            {
+                "p_brand": pa.array(ub[bi[pos]].tolist(), pa.string()),
+                "sum_qty": batch.column("l_quantity"),
+                "revenue_cents": pa.array(cents, pa.int64()),
+                "n_items": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["p_brand"]).aggregate(
+            [("sum_qty", "sum"), ("revenue_cents", "sum"), ("n_items", "sum")]
+        )
+        return g.rename_columns(["p_brand", "sum_qty", "revenue_cents", "n_items"])
+
+    final = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .sum(["sum_qty", "revenue_cents", "n_items"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(sum_qty)": "sum_qty",
+                "sum(revenue_cents)": "revenue_cents",
+                "sum(n_items)": "n_items",
+            }
+        )
+    )
+    final["sum_qty"] = final["sum_qty"].astype(np.int64)
+    final["revenue_cents"] = final["revenue_cents"].astype(np.int64)
+    final["n_items"] = final["n_items"].astype(np.int64)
+    final = final.sort_values("p_brand").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        final[["p_brand", "n_items", "sum_qty", "revenue_cents"]], preserve_index=False
+    )

@@ -743,6 +743,8 @@ def queries() -> dict:
         # TPC-H Q5: same-nation customer+supplier revenue by nation,
         # region-filtered; one big-big join, all dimensions broadcast
         "local_supplier_volume": lambda sf: relational.local_supplier_volume(sf),
+        # per-brand volume: part broadcast + lineitem combiner
+        "brand_volume": lambda sf: relational.brand_volume(sf),
         "stratified_sample": lambda sf: relational.stratified_sample(sf),
         "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
@@ -1904,6 +1906,15 @@ def oracle_sql() -> dict:
         # per-column profiler: UNION ALL of count/count(DISTINCT)
         "profile_tables": (
             "SELECT 'documents' AS tbl, 'doc_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'text' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_nulls, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'lang' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_nulls, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'source' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_nulls, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'documents' AS tbl, 'n_chars' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct FROM documents UNION ALL SELECT 'events' AS tbl, 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'ts' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(ts) AS BIGINT) AS n_nulls, CAST(count(DISTINCT ts) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'user_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'event_type' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls, CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'value' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(value) AS BIGINT) AS n_nulls, CAST(count(DISTINCT value) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'events' AS tbl, 'props' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(props) AS BIGINT) AS n_nulls, CAST(count(DISTINCT props) AS BIGINT) AS n_distinct FROM events UNION ALL SELECT 'embeddings' AS tbl, 'vec_id' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(vec_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct FROM embeddings UNION ALL SELECT 'embeddings' AS tbl, 'label' AS col, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(label) AS BIGINT) AS n_nulls, CAST(count(DISTINCT label) AS BIGINT) AS n_distinct FROM embeddings ORDER BY tbl, col"
+        ),
+        # part is the broadcast side; exact int cents
+        "brand_volume": (
+            "SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # Q5: data-derived region filter (min r_name); revenue in
         # exact integer cents; ORDER BY revenue desc, name

@@ -146,7 +146,8 @@ class TestOracleEquivalence:
          "trimmed_mean", "decayed_user_scores", "text_search",
          "ranked_text_search", "customer_order_histogram",
          "dbscan_clusters", "event_session_ids", "cms_token_counts",
-         "incremental_tumbling_counts", "local_supplier_volume"],
+         "incremental_tumbling_counts", "local_supplier_volume",
+         "brand_volume"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
