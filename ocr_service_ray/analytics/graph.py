@@ -178,8 +178,13 @@ def triangle_count(sf_dir: str, min_support: int = 2) -> pa.Table:
     lower_first = (da < db) | ((da == db) & (a < b))
     src = np.where(lower_first, a, b)
     dst = np.where(lower_first, b, a)
-    shift = int(nodes.max()) + 1
-    edge_keys = np.sort(src * shift + dst)
+    # packed closure key must be INJECTIVE over the full id range —
+    # with negative ids (props.k can be negative) max+1 is NOT a valid
+    # base (range straddles zero -> collisions; caught by the oracle
+    # fuzz overcounting triangles). Rebase to [0, width) first.
+    base = int(nodes.min())
+    shift = int(nodes.max()) - base + 1
+    edge_keys = np.sort((src - base) * shift + (dst - base))
     keys_ref = ray.put(edge_keys)
 
     oriented = ray.data.from_arrow(
@@ -188,7 +193,7 @@ def triangle_count(sf_dir: str, min_support: int = 2) -> pa.Table:
 
     rank_key = {int(n): (int(d), int(n)) for n, d in zip(nodes, deg)}
 
-    def wedges(group: pa.Table, _keys=keys_ref, _shift=shift) -> pa.Table:
+    def wedges(group: pa.Table, _keys=keys_ref, _shift=shift, _base=base) -> pa.Table:
         s = int(group.column("src")[0].as_py())
         outs = np.asarray(group.column("dst"), dtype=np.int64)
         if len(outs) < 2:
@@ -204,9 +209,9 @@ def triangle_count(sf_dir: str, min_support: int = 2) -> pa.Table:
         ia, ib = _np.triu_indices(len(outs), 1)
         w_lo, w_hi = outs[ia], outs[ib]
         keys = ray.get(_keys)
-        hit = _np.searchsorted(keys, w_lo * _shift + w_hi)
-        hit = _np.clip(hit, 0, len(keys) - 1)
-        closed = keys[hit] == (w_lo * _shift + w_hi)
+        want = (w_lo - _base) * _shift + (w_hi - _base)
+        hit = _np.clip(_np.searchsorted(keys, want), 0, len(keys) - 1)
+        closed = keys[hit] == want
         if not closed.any():
             return pa.table(
                 {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}

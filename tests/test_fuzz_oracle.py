@@ -126,7 +126,10 @@ EVENT_QUERIES = [
     "approx_distinct_users", "approx_quantiles_kmv",
     "user_purchase_error_profile", "rolling_active_users",
     "top_values_with_ties", "throttled_events", "event_transitions",
-    "debounced_events", "interval_coverage",
+    "debounced_events", "interval_coverage", "item_cooccurrence",
+    "triangle_count", "daily_counts_filled", "max_concurrency",
+    "trimmed_mean", "decayed_user_scores", "event_session_ids",
+    "incremental_tumbling_counts",
 ]
 
 DOC_QUERIES = [
@@ -140,12 +143,14 @@ DOC_QUERIES = [
     "packed_sequences",
     "neardup_clusters", "curation_status", "canonical_docs", "heavy_tokens",
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
-    "benchmark_contamination",
+    "benchmark_contamination", "fuzzy_token_pairs", "cms_token_counts",
+    "priority_sample", "text_search", "ranked_text_search",
 ]
 
 TPCH_QUERIES = [
     "pricing_summary", "orders_by_nation", "revenue_by_nation",
     "customers_without_big_orders", "shipping_priority",
+    "customer_order_histogram", "local_supplier_volume", "brand_volume",
 ]
 
 
@@ -214,13 +219,41 @@ def _gen_tpch(rng: np.random.Generator, d: str) -> None:
             ),
         }
     )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(3, dtype=np.int32)),
+            "r_name": pa.array([f"REGION_{i}" for i in range(3)], pa.string()),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(1, 11, dtype=np.int64)),
+            "s_name": pa.array([f"Supplier#{i:03d}" for i in range(1, 11)]),
+            "s_nationkey": pa.array(rng.integers(0, n_nat, 10).astype(np.int32)),
+            "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, 10), 2)),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(1, 51, dtype=np.int64)),
+            "p_name": pa.array([f"part {i}" for i in range(1, 51)]),
+            "p_brand": pa.array(
+                list(rng.choice(["Brand#1", "Brand#2", "Brand#3"], 50)), pa.string()
+            ),
+            "p_type": pa.array(list(rng.choice(["STD", "ECO"], 50)), pa.string()),
+            "p_size": pa.array(rng.integers(1, 50, 50).astype(np.int32)),
+            "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, 50), 2)),
+        }
+    )
     for name, tbl in [("nation", nation), ("customer", cust),
-                      ("orders", orders), ("lineitem", lineitem)]:
+                      ("orders", orders), ("lineitem", lineitem),
+                      ("region", region), ("supplier", supplier),
+                      ("part", part)]:
         pq.write_table(tbl, f"{d}/{name}.parquet")
 
 
 EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
-               "ann_topk_quantized"]
+               "ann_topk_quantized", "knn_join", "dbscan_clusters"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -235,7 +268,8 @@ class TestFuzzOracle:
         import os
 
         for t in ("events", "documents", "embeddings", "nation",
-                  "customer", "orders", "lineitem"):
+                  "customer", "orders", "lineitem", "region", "supplier",
+                  "part"):
             if os.path.exists(f"{sf_dir}/{t}.parquet"):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
