@@ -324,3 +324,18 @@ class TestFuzzOracle:
         d = tempfile.mkdtemp(prefix=f"fuzz_emb_{seed}_")
         pq.write_table(_gen_embeddings(rng), f"{d}/embeddings.parquet")
         self._run(d, EMB_QUERIES)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFuzzProfile:
+    @pytest.mark.parametrize("seed", [23])
+    def test_profile_tables_fuzz(self, seed):
+        """profile_tables needs documents+events+embeddings in ONE dir;
+        nulls in props and duplicate/near-zero vectors exercise the
+        null-count and float-surrogate paths."""
+        rng = np.random.default_rng(seed)
+        d = tempfile.mkdtemp(prefix="fuzz_prof_")
+        pq.write_table(_gen_events(rng), f"{d}/events.parquet")
+        pq.write_table(_gen_documents(rng), f"{d}/documents.parquet")
+        pq.write_table(_gen_embeddings(rng), f"{d}/embeddings.parquet")
+        TestFuzzOracle._run(d, ["profile_tables"])
