@@ -156,6 +156,7 @@ def run_queries(num_cpus: int) -> dict:
             "bigram_counts": lambda: text_analysis.bigram_counts(sf_dir()),
             "fuzzy_token_pairs": lambda: text_analysis.fuzzy_token_pairs(sf_dir()),
             "cms_token_counts": lambda: text_analysis.cms_token_counts(sf_dir()),
+            "token_canonical_map": lambda: text_analysis.token_canonical_map(sf_dir()),
             "item_cooccurrence": lambda: windows.item_cooccurrence(sf_dir()),
             "daily_counts_filled": lambda: windows.daily_counts_filled(sf_dir()),
             "max_concurrency": lambda: windows.max_concurrency(sf_dir()),

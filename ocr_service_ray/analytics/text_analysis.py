@@ -1175,3 +1175,109 @@ def cms_token_counts(
             "n_est": pa.array(est, pa.int64()),
         }
     )
+
+
+def token_canonical_map(sf_dir: str, min_len: int = 3, max_dist: int = 2) -> pa.Table:
+    """Entity-resolution / spelling-normalization map: every word type
+    (len >= ``min_len``) mapped to its cluster's CANONICAL spelling —
+    clusters are connected components of the FastSS edit-distance
+    graph (`fuzzy_token_pairs`), the canonical member is the most
+    frequent type (ties -> lexicographically smallest). Singletons map
+    to themselves, so the output is the complete normalization
+    dictionary OCR/typo cleanup applies as a broadcast map.
+
+    Distributed shape: the corpus pass is the usual word-count
+    combiner; the variant graph and its components live on the
+    CANDIDATE-PAIR table (O(spelling-variant rate) — the dbscan
+    precedent for pair-table-sized driver state; the BSP propagation
+    is the swap-in if a vocabulary's variant graph ever outgrows
+    that), and the final assignment is one broadcast-map over the
+    type table.
+
+    Oracle: recursive-CTE closure over the same levenshtein pairs +
+    window election.
+    """
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words.extend(
+                w for w in _TERM.findall((text or "").lower()) if len(w) >= min_len
+            )
+        if not words:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(list(u), pa.string()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts_ds = (
+        _docs(sf_dir)
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("n")
+    )
+    rows = [t for t in ray.get(counts_ds.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {"word": pa.array([], pa.string()), "canonical": pa.array([], pa.string())}
+    )
+    if not rows:
+        return empty
+    cnt_tbl = pa.concat_tables(rows)
+    words = np.asarray(cnt_tbl.column("word").to_pylist(), dtype=object).astype(str)
+    freq = cnt_tbl.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(words)
+    words, freq = words[order], freq[order]
+
+    pairs = fuzzy_token_pairs(sf_dir, min_len=min_len, max_dist=max_dist)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(
+        pairs.column("word_a").to_pylist(), pairs.column("word_b").to_pylist()
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by lexicographic root (deterministic)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    comp: dict[str, str] = {w: find(w) for w in set(parent) | set(
+        pairs.column("word_a").to_pylist()) | set(pairs.column("word_b").to_pylist())}
+    # election per component: max freq, tie -> smallest word
+    fmap = dict(zip(words.tolist(), freq.tolist()))
+    best: dict[str, tuple] = {}
+    for w, r in comp.items():
+        key = (-fmap.get(w, 0), w)
+        if r not in best or key < best[r]:
+            best[r] = key
+    canon = {w: best[r][1] for w, r in comp.items()}
+    canon_ref = ray.put(canon)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.column_names:
+            return empty
+        cm = ray.get(canon_ref)
+        ws = batch.column("word").to_pylist()
+        return pa.table(
+            {
+                "word": pa.array(ws, pa.string()),
+                "canonical": pa.array([cm.get(w, w) for w in ws], pa.string()),
+            }
+        )
+
+    out = counts_ds.map_batches(assign, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables).sort_by([("word", "ascending")])

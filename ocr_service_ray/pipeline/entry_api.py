@@ -801,6 +801,8 @@ def queries() -> dict:
         # Count-Min sketch with ORACLED estimates (HLL precedent):
         # per-block cell partials merge by addition
         "cms_token_counts": lambda sf: text_analysis.cms_token_counts(sf),
+        # entity resolution: fuzzy components + frequency election
+        "token_canonical_map": lambda sf: text_analysis.token_canonical_map(sf),
         # global-quantile + pushdown-filtered re-read composition
         "long_tail_docs": lambda sf: relational.long_tail_docs(sf),
         # capstone curation ladder (length -> exact-dup -> near-dup)
@@ -1838,6 +1840,29 @@ def oracle_sql() -> dict:
             "SELECT q.word, q.n AS n_exact, CAST(min(l.load) AS BIGINT) AS n_est "
             "FROM q JOIN loads l ON l.j = q.j AND l.b = q.b "
             "GROUP BY 1, 2 ORDER BY word"
+        ),
+        # closure over the levenshtein pairs (string nodes) + window
+        # election (freq desc, word asc); singletons map to themselves
+        "token_canonical_map": (
+            "WITH RECURSIVE tok AS (SELECT unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS w FROM documents), "
+            "cnt AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS n "
+            "FROM tok WHERE len(w) >= 3 GROUP BY 1), "
+            "p AS (SELECT a.word AS wa, b.word AS wb FROM cnt a JOIN cnt b "
+            "ON a.word < b.word AND abs(len(a.word) - len(b.word)) <= 2 "
+            "AND levenshtein(a.word, b.word) <= 2), "
+            "e AS (SELECT wa AS a, wb AS b FROM p UNION SELECT wb, wa FROM p "
+            "UNION SELECT wa, wa FROM p UNION SELECT wb, wb FROM p), "
+            "reach AS (SELECT a, b FROM e UNION "
+            "SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), "
+            "comp AS (SELECT a AS word, min(b) AS rep FROM reach GROUP BY 1), "
+            "ranked AS (SELECT comp.rep, comp.word, row_number() OVER "
+            "(PARTITION BY comp.rep ORDER BY cnt.n DESC, comp.word) AS rn "
+            "FROM comp JOIN cnt ON cnt.word = comp.word), "
+            "can AS (SELECT rep, word AS canonical FROM ranked WHERE rn = 1) "
+            "SELECT c2.word, COALESCE(can.canonical, c2.word) AS canonical "
+            "FROM cnt c2 LEFT JOIN comp ON comp.word = c2.word "
+            "LEFT JOIN can ON can.rep = comp.rep ORDER BY c2.word"
         ),
         # FastSS candidates + banded-DP verify == brute levenshtein
         # all-pairs oracle (same [a-z0-9]+ tokenization both sides)

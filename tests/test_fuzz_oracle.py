@@ -145,6 +145,7 @@ DOC_QUERIES = [
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
     "benchmark_contamination", "fuzzy_token_pairs", "cms_token_counts",
     "priority_sample", "text_search", "ranked_text_search",
+    "token_canonical_map",
 ]
 
 TPCH_QUERIES = [
