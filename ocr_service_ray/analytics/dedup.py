@@ -567,7 +567,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45) -> pa.Table:
 # Near-dup clusters (connected components over verified pairs)
 
 
-def neardup_clusters(sf_dir: str, **lsh_kwargs) -> pa.Table:
+def neardup_clusters(sf_dir: str, stats: dict | None = None, **lsh_kwargs) -> pa.Table:
     """Connected components over the verified near-dup pairs:
     (doc_id, cluster_rep) where cluster_rep = min doc_id of the
     component — the assignment step that turns a pair list into the
@@ -618,7 +618,9 @@ def neardup_clusters(sf_dir: str, **lsh_kwargs) -> pa.Table:
         pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
     ).materialize()
     prev_sum = None
+    rounds = 0
     for _ in range(64):
+        rounds += 1
 
         def send(group: pa.Table) -> pa.Table:
             lbl_np = group.column("label").to_numpy(zero_copy_only=False)
@@ -665,6 +667,8 @@ def neardup_clusters(sf_dir: str, **lsh_kwargs) -> pa.Table:
         prev_sum = s
     else:
         raise RuntimeError("neardup_clusters: no convergence in 64 rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     tbl = _collect(labels, pa.schema([("node", pa.int64()), ("label", pa.int64())]))
     return pa.table(
         {"doc_id": tbl.column("node"), "cluster_rep": tbl.column("label")}
@@ -1067,3 +1071,160 @@ def latest_doc_versions(sf_dir: str) -> pa.Table:
         ),
     )
     return out.sort_by([("doc_id", "ascending")])
+
+
+def neardup_clusters_doubling(
+    sf_dir: str, stats: dict | None = None, **lsh_kwargs
+) -> pa.Table:
+    """Connected components with POINTER DOUBLING — the O(log n)-round
+    upgrade the plain ``neardup_clusters`` docstring names: each BSP
+    round does (1) the neighbor-min propagation superstep and (2) a
+    SHORTCUT superstep ``label(v) <- label(label(v))`` (each node asks
+    its current representative for ITS representative), so label paths
+    halve every round and deep-chain components converge in
+    O(log diameter) rounds instead of O(diameter).
+
+    Same output contract as `neardup_clusters` (plan-equality pinned by
+    a 17-node chain fixture that also asserts the round counts: ~6 vs
+    ~17). Two shuffles per round instead of one — the classic
+    rounds-vs-bandwidth trade; both plans are exposed, the sessionize /
+    sessionize_scan precedent.
+    """
+    pairs = lsh_kwargs.pop("pairs", None)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(sf_dir, **lsh_kwargs)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "cluster_rep": pa.array([], pa.int64())}
+    )
+    if len(pairs) == 0:
+        return empty
+    a = np.asarray(pairs.column("doc_a"), dtype=np.int64)
+    b = np.asarray(pairs.column("doc_b"), dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(src),
+                "cand": pa.array(dst),
+                "label": pa.array([None] * len(src), pa.int64()),
+            }
+        )
+    ).materialize()
+    labels = ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+    ).materialize()
+
+    def as_tagged(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "cand": pa.array([None] * len(t), pa.int64()),
+                "label": t.column("label"),
+            }
+        )
+
+    def send(group: pa.Table) -> pa.Table:
+        lbl_np = group.column("label").to_numpy(zero_copy_only=False)
+        is_label = ~np.isnan(lbl_np.astype(np.float64))
+        lbl = int(lbl_np[is_label][0])
+        cand_np = group.column("cand").to_numpy(zero_copy_only=False)
+        out_nodes = cand_np[~is_label].astype(np.int64)
+        node = int(group.column("node")[0].as_py())
+        return pa.table(
+            {
+                "node": pa.array(np.append(out_nodes, node), pa.int64()),
+                "cand": pa.array(np.full(len(out_nodes) + 1, lbl, np.int64)),
+            }
+        )
+
+    def answer(group: pa.Table) -> pa.Table:
+        # rows: one label row (ret null) + query rows (ret = asker)
+        lbl_np = group.column("label").to_numpy(zero_copy_only=False)
+        is_label = ~np.isnan(lbl_np.astype(np.float64))
+        lbl = int(lbl_np[is_label][0])
+        ret = group.column("ret").to_numpy(zero_copy_only=False)
+        askers = ret[~is_label].astype(np.int64)
+        if len(askers) == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "node": pa.array(askers, pa.int64()),
+                "cand": pa.array(np.full(len(askers), lbl, np.int64)),
+            }
+        )
+
+    prev_sum = None
+    rounds = 0
+    for _ in range(16):
+        rounds += 1
+        # superstep 1: neighbor-min (identical to the plain plan)
+        tagged = edges.union(labels.map_batches(as_tagged, batch_format="pyarrow"))
+        labels = (
+            tagged.groupby("node")
+            .map_groups(send, batch_format="pyarrow")
+            .groupby("node")
+            .min("cand")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # superstep 2: shortcut — ask label(v) for label(label(v))
+        queries = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("label"),
+                    "ret": t.column("node"),
+                    "label": pa.array([None] * len(t), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        lab_tagged = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "ret": pa.array([None] * len(t), pa.int64()),
+                    "label": t.column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        shortcut = (
+            queries.union(lab_tagged)
+            .groupby("node")
+            .map_groups(answer, batch_format="pyarrow")
+        )
+        labels = (
+            labels.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "cand": t.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
+            .union(shortcut)
+            .groupby("node")
+            .min("cand")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError("neardup_clusters_doubling: no convergence in 16 rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+    tbl = _collect(labels, pa.schema([("node", pa.int64()), ("label", pa.int64())]))
+    return pa.table(
+        {"doc_id": tbl.column("node"), "cluster_rep": tbl.column("label")}
+    ).sort_by([("doc_id", "ascending")])

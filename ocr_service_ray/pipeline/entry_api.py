@@ -689,6 +689,8 @@ def queries() -> dict:
         "exact_dedup": dedup.exact_dedup,
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
         "neardup_clusters": lambda sf: dedup.neardup_clusters(sf),
+        # same contract via pointer doubling (O(log d) BSP rounds)
+        "neardup_clusters_fast": lambda sf: dedup.neardup_clusters_doubling(sf),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf),
         "simhash": dedup.simhash_fingerprints,
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
@@ -906,6 +908,24 @@ _SHINGLE_JACCARD_SQL = (
 
 # exact cosine top-k — the oracle for BOTH the brute plan and the
 # exhaustive-probe IVF plan (nprobe == n_clusters covers every cell).
+# recursive transitive closure over the verified near-dup pairs —
+# shared oracle for both connected-components plans (plain min-label
+# propagation and pointer doubling).
+_NEARDUP_CLOSURE_SQL = (
+    "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+    + _SHINGLE_JACCARD_SQL
+    + ")), edges AS ("
+    "SELECT doc_a AS a, doc_b AS b FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs "
+    "UNION SELECT doc_a, doc_a FROM pairs "
+    "UNION SELECT doc_b, doc_b FROM pairs), "
+    "reach AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+    "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep "
+    "FROM reach GROUP BY a ORDER BY doc_id"
+)
+
+
 _BRUTE_TOPK_SQL = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8), "
     "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
@@ -933,19 +953,10 @@ def oracle_sql() -> dict:
         # transitive closure; components are small, so the closure is
         # cheap for the oracle — the Ray side uses distributed min-label
         # propagation instead).
-        "neardup_clusters": (
-            "WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
-            + _SHINGLE_JACCARD_SQL
-            + ")), edges AS ("
-            "SELECT doc_a AS a, doc_b AS b FROM pairs "
-            "UNION SELECT doc_b, doc_a FROM pairs "
-            "UNION SELECT doc_a, doc_a FROM pairs "
-            "UNION SELECT doc_b, doc_b FROM pairs), "
-            "reach AS (SELECT a, b FROM edges "
-            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
-            "SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep "
-            "FROM reach GROUP BY a ORDER BY doc_id"
-        ),
+        "neardup_clusters": _NEARDUP_CLOSURE_SQL,
+        # identical contract, pointer-doubling plan (O(log d) rounds) —
+        # the same oracle pins plan-equality at driver level too.
+        "neardup_clusters_fast": _NEARDUP_CLOSURE_SQL,
         # same recursive closure as neardup_clusters, plus the
         # quality-aware election: max n_chars then min doc_id
         "canonical_docs": (

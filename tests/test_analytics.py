@@ -147,7 +147,7 @@ class TestOracleEquivalence:
          "ranked_text_search", "customer_order_histogram",
          "dbscan_clusters", "event_session_ids", "cms_token_counts",
          "incremental_tumbling_counts", "local_supplier_volume",
-         "brand_volume", "token_canonical_map"],
+         "brand_volume", "token_canonical_map", "neardup_clusters_fast"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -288,6 +288,59 @@ class TestOracleEquivalence:
         out = neardup_clusters("", pairs=pairs).to_pandas()
         assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
         assert out["cluster_rep"].tolist() == [1] * 5
+
+    def test_neardup_clusters_doubling_plan_equality_and_rounds(self):
+        """Pointer doubling must (a) produce the exact same labels as
+        plain min-label propagation and (b) converge in O(log d) BSP
+        rounds: on a 17-node chain the plain plan needs ~17 rounds
+        (one hop per round) while shortcutting halves the path each
+        round (reach 2r+1 per round -> <= 7 incl. convergence check)."""
+        from ocr_service_ray.analytics.dedup import (
+            neardup_clusters,
+            neardup_clusters_doubling,
+        )
+
+        n = 17
+        pairs = pa.table({
+            "doc_a": pa.array(list(range(1, n)), pa.int64()),
+            "doc_b": pa.array(list(range(2, n + 1)), pa.int64()),
+            "jaccard": pa.array([1.0] * (n - 1), pa.float64()),
+        })
+        s_plain: dict = {}
+        s_dbl: dict = {}
+        out_plain = neardup_clusters("", pairs=pairs, stats=s_plain).to_pandas()
+        out_dbl = neardup_clusters_doubling(
+            "", pairs=pairs, stats=s_dbl
+        ).to_pandas()
+        assert out_dbl["doc_id"].tolist() == out_plain["doc_id"].tolist()
+        assert (
+            out_dbl["cluster_rep"].tolist()
+            == out_plain["cluster_rep"].tolist()
+            == [1] * n
+        )
+        assert s_plain["rounds"] >= n - 3, s_plain
+        assert s_dbl["rounds"] <= 7, s_dbl
+
+    def test_neardup_clusters_doubling_empty_and_two_components(self):
+        """Degenerate inputs: no pairs -> empty table; two disjoint
+        components keep distinct reps (no cross-component bleed)."""
+        from ocr_service_ray.analytics.dedup import neardup_clusters_doubling
+
+        empty = pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        })
+        out = neardup_clusters_doubling("", pairs=empty)
+        assert len(out) == 0
+        pairs = pa.table({
+            "doc_a": pa.array([10, 11, 30], pa.int64()),
+            "doc_b": pa.array([11, 12, 31], pa.int64()),
+            "jaccard": pa.array([1.0] * 3, pa.float64()),
+        })
+        out = neardup_clusters_doubling("", pairs=pairs).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_rep"]))
+        assert got == {10: 10, 11: 10, 12: 10, 30: 30, 31: 30}
 
     def test_block_pair_sims_tolerates_empty_block(self):
         """A degenerate zero-row block must yield an empty pair table,

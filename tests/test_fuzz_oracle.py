@@ -141,7 +141,8 @@ DOC_QUERIES = [
     "minhash_pairs", "ngram_jaccard", "rare_token_scores",
     "repetition_scores", "bigram_counts", "singleton_docs", "dataset_splits",
     "packed_sequences",
-    "neardup_clusters", "curation_status", "canonical_docs", "heavy_tokens",
+    "neardup_clusters", "neardup_clusters_fast",
+    "curation_status", "canonical_docs", "heavy_tokens",
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
     "benchmark_contamination", "fuzzy_token_pairs", "cms_token_counts",
     "priority_sample", "text_search", "ranked_text_search",
