@@ -1228,3 +1228,109 @@ def neardup_clusters_doubling(
     return pa.table(
         {"doc_id": tbl.column("node"), "cluster_rep": tbl.column("label")}
     ).sort_by([("doc_id", "ascending")])
+
+
+def semantic_dedup(
+    sf_dir: str,
+    n_clusters: int = 8,
+    threshold: float = 0.45,
+    kmeans_iters: int = 8,
+) -> pa.Table:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then run
+    the exact pairwise-cosine dedup only WITHIN each cluster — the
+    sub-quadratic route to embedding near-dup removal that
+    ``embedding_neardup_pairs`` (exact all-pairs) cannot take at 100 TB.
+
+    Output: one row per vector — (vec_id, cluster, keep, dup_of).
+    Within a cluster, ids are scanned ascending; a vector is DROPPED
+    (keep=false) iff some already-KEPT lower id in the same cluster has
+    cosine similarity > ``threshold`` (dup_of = that kept id with max
+    similarity, ties -> min id; null for keeps). Greedy-by-min-id makes
+    the decision deterministic and order-free.
+
+    Ray shape:
+      1. ``kmeans_fit`` (fixed-point distributed k-means — bit-identical
+         across block layouts) fits centroids; one stateless map assigns
+         (vec_id, cluster, embedding).
+      2. ``groupby("cluster").map_groups``: ONE shuffle keyed by cluster;
+         each group sorts by vec_id (canonical matrix -> deterministic
+         BLAS result), computes its own sim matrix, and runs the greedy
+         scan. Task memory is O(cluster_size^2) floats — the documented
+         SemDeDup cost profile: n_clusters is the knob that bounds it
+         (paper uses ~100k clusters at web scale; oversized clusters
+         would be re-split by a second kmeans level, not materialized).
+    Compute is O(sum cluster_size^2) ~= n^2/k vs the exact join's n^2.
+
+    No SQL oracle (kmeans assignment is not SQL-expressible); pinned by
+    an exact same-algorithm numpy reference (whole-corpus, driver-side)
+    plus a drop<->true-near-dup consistency check in tests.
+    """
+    from .similarity import _norm_rows, kmeans_fit
+
+    cent = kmeans_fit(sf_dir, n_clusters=n_clusters, iters=kmeans_iters)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float32()))}
+            )
+        c = ray.get(cent_ref)
+        m = _norm_rows(
+            np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array((m @ c.T).argmax(axis=1).astype(np.int64)),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("vec_id", "ascending")])
+        ids = np.asarray(group.column("vec_id"), dtype=np.int64)
+        m = _norm_rows(
+            np.vstack(group.column("embedding").to_pylist()).astype(np.float64)
+        )
+        sims = m @ m.T
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            s = sims[i, :i].copy()
+            s[~keep[:i]] = -np.inf
+            j = int(np.argmax(s))  # argmax returns the FIRST max -> min id
+            if s[j] > threshold:
+                keep[i] = False
+                dup_of[i] = ids[j]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": group.column("cluster"),
+                "keep": pa.array(keep),
+                "dup_of": pa.array(
+                    np.where(keep, None, dup_of), pa.int64(), from_pandas=True
+                ),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )
+    tbl = _collect(
+        out,
+        pa.schema(
+            [("vec_id", pa.int64()), ("cluster", pa.int64()),
+             ("keep", pa.bool_()), ("dup_of", pa.int64())]
+        ),
+    )
+    return tbl.sort_by([("vec_id", "ascending")])

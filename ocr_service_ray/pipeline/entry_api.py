@@ -694,6 +694,10 @@ def queries() -> dict:
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf),
         "simhash": dedup.simhash_fingerprints,
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
+        # SemDeDup: kmeans-bucketed within-cluster cosine dedup — the
+        # sub-quadratic semantic route (no SQL oracle: kmeans
+        # assignment; pinned by a same-algorithm numpy reference test)
+        "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
         "ann_topk": lambda sf: similarity.brute_topk(sf),
         # metadata-filtered exact vector search: pushdown-pruned
         # predicate side, native left_semi join (vector payload packed

@@ -1814,3 +1814,81 @@ class TestTextIndex:
             SELECT DISTINCT doc_id FROM tok WHERE term = 'the' ORDER BY doc_id"""
         ).fetch_arrow_table()
         assert got.to_pylist() == want.to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemanticDedup:
+    """SemDeDup (kmeans-bucketed within-cluster cosine dedup) — no SQL
+    oracle (kmeans assignment isn't SQL-expressible), so it is pinned by
+    a whole-corpus same-algorithm numpy reference plus structural
+    consistency checks."""
+
+    def _reference(self, sf, n_clusters=8, threshold=0.45):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.similarity import _norm_rows, kmeans_fit
+
+        cent = kmeans_fit(sf, n_clusters=n_clusters)
+        tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_by([("vec_id", "ascending")])
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        m = _norm_rows(np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64))
+        clusters = (m @ cent.T).argmax(axis=1)
+        keep = {}
+        dup_of = {}
+        for c in np.unique(clusters):
+            mask = clusters == c
+            cids = ids[mask]
+            cm = m[mask]
+            sims = cm @ cm.T  # same canonical (vec_id-sorted) matrix as the op
+            kept_idx: list[int] = []
+            for i in range(len(cids)):
+                best_j, best_s = -1, -np.inf
+                for j in kept_idx:
+                    if sims[i, j] > best_s:
+                        best_j, best_s = j, sims[i, j]
+                if best_s > threshold:
+                    keep[int(cids[i])] = False
+                    dup_of[int(cids[i])] = int(cids[best_j])
+                else:
+                    keep[int(cids[i])] = True
+                    kept_idx.append(i)
+        return clusters, ids, keep, dup_of
+
+    def test_matches_reference_and_consistency(self):
+        import numpy as np
+
+        from ocr_service_ray.analytics.dedup import semantic_dedup
+        from ocr_service_ray.analytics.similarity import _norm_rows
+
+        out = semantic_dedup(SF).to_pandas()
+        clusters, ids, keep, dup_of = self._reference(SF)
+        assert len(out) == len(ids)
+        got = out.set_index("vec_id")
+        # exact parity with the same-algorithm driver reference
+        for i, vid in enumerate(ids):
+            assert got.loc[vid, "cluster"] == clusters[i]
+            assert bool(got.loc[vid, "keep"]) == keep[int(vid)]
+            if not keep[int(vid)]:
+                assert int(got.loc[vid, "dup_of"]) == dup_of[int(vid)]
+        # structural consistency: every drop names a kept, lower-id,
+        # same-cluster vector whose TRUE cosine similarity > threshold
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_by([("vec_id", "ascending")])
+        m = _norm_rows(np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64))
+        pos = {int(v): i for i, v in enumerate(np.asarray(tbl.column("vec_id")))}
+        dropped = out[~out["keep"]]
+        assert len(dropped) > 0  # the sf corpora contain planted near-dups
+        for _, r in dropped.iterrows():
+            ref = got.loc[r["dup_of"]]
+            assert bool(ref["keep"]) and r["dup_of"] < r["vec_id"]
+            assert ref["cluster"] == r["cluster"]
+            sim = float(m[pos[int(r["vec_id"])]] @ m[pos[int(r["dup_of"])]])
+            assert sim > 0.45
+        # keeps never carry a dup_of
+        assert out[out["keep"]]["dup_of"].isna().all()
