@@ -834,3 +834,127 @@ def dbscan_clusters(
     return pa.concat_tables(
         [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     ).sort_by([("vec_id", "ascending")])
+
+
+# ----------------------------------------------------------------------
+# Distributed PCA (exact covariance combiner)
+
+_PCA_SCALE = 1 << 20  # fixed-point scale for exact moment partials
+
+
+def pca_fit(sf_dir: str, n_components: int = 4, ds=None):
+    """Distributed PCA fit over the raw (un-normalized) embedding table.
+
+    Pass 1 is a pure combiner: each block emits (n, Σfx, fxᵀfx) where
+    fx = rint(x·2^20) int64 — one row of d + d² integers per block,
+    reduced driver-side in arbitrary-precision Python ints, so the
+    moment totals are EXACT and order-free (the kmeans_fit fixed-point
+    discipline; float partial sums would drift with reduction order).
+    The d×d Gram entries stay inside int64 per block because map_batches
+    caps rows at 4096 (4096·2^40·max|x|² ≈ 2^56 for |x| ≤ 4).
+
+    The d×d covariance, eigendecomposition (np.linalg.eigh) and the
+    component sign convention (largest-|entry| coordinate positive,
+    ties -> lowest index) all happen ONCE on the driver from the exact
+    integer totals — bit-identical for any block layout.
+
+    Returns (mean, components[p×d], explained_var[p]).
+    """
+    if ds is None:
+        ds = _emb(sf_dir)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {"n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.list_(pa.int64())),
+                 "g": pa.array([], pa.list_(pa.int64()))}
+            )
+        m = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+        fx = np.rint(m * _PCA_SCALE).astype(np.int64)
+        g = fx.T @ fx  # exact int64 matmul (numpy integer path, no BLAS)
+        return pa.table(
+            {
+                "n": pa.array([len(m)], pa.int64()),
+                "s": pa.array([fx.sum(axis=0)], pa.list_(pa.int64())),
+                "g": pa.array([g.ravel()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                moments, batch_format="pyarrow", batch_size=4096
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        raise ValueError("pca_fit: empty embeddings table")
+    n_tot = 0
+    s_tot = None
+    g_tot = None
+    for t in parts:
+        for i in range(t.num_rows):
+            n_tot += t.column("n")[i].as_py()
+            s = np.array(t.column("s")[i].as_py(), dtype=object)
+            g = np.array(t.column("g")[i].as_py(), dtype=object)
+            s_tot = s if s_tot is None else s_tot + s
+            g_tot = g if g_tot is None else g_tot + g
+    d = len(s_tot)
+    mean = s_tot.astype(np.float64) / (_PCA_SCALE * n_tot)
+    ex2 = g_tot.astype(np.float64).reshape(d, d) / (
+        float(_PCA_SCALE) ** 2 * n_tot
+    )
+    cov = ex2 - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:n_components]
+    comps = evecs[:, order].T.copy()  # (p, d)
+    for r in range(comps.shape[0]):
+        # sign convention: the largest-|entry| coordinate is positive
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    return mean, comps, evals[order]
+
+
+def embedding_pca(sf_dir: str, n_components: int = 4) -> pa.Table:
+    """Per-vector PCA projections (vec_id, pc1..pcP) — the
+    dimensionality-reduction pass feeding visualization / cheap-filter
+    stages in an embedding curation pipeline.
+
+    The fitted (mean, components) are broadcast once via ``ray.put``;
+    the projection y = (x - mean) @ Wᵀ is evaluated as an explicit
+    fixed-order accumulation over dimensions (j = 0..d-1) so every
+    row's float64 result is bit-identical regardless of block layout
+    or BLAS blocking — the blocking-invariance guarantee the rest of
+    the engine keeps. No SQL oracle (eigendecomposition); pinned by a
+    same-algorithm driver reference, an eigenstructure cross-check
+    against np.cov, and a blocking-invariance test.
+    """
+    mean, comps, _ = pca_fit(sf_dir, n_components=n_components)
+    state = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        names = [f"pc{i + 1}" for i in range(n_components)]
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 **{nm: pa.array([], pa.float64()) for nm in names}}
+            )
+        mu, w = ray.get(state)
+        m = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+        y = np.zeros((len(m), w.shape[0]), np.float64)
+        for j in range(w.shape[1]):  # fixed dimension order -> bit-stable
+            y += np.outer(m[:, j] - mu[j], w[:, j])
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                **{nm: pa.array(y[:, i], pa.float64()) for i, nm in enumerate(names)},
+            }
+        )
+
+    out = _emb(sf_dir).map_batches(project, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables).sort_by([("vec_id", "ascending")])

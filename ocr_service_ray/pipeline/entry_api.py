@@ -722,6 +722,10 @@ def queries() -> dict:
         # iterative BSP over the full table; no SQL oracle (iterative
         # float) — determinism across block layouts pinned by tests
         "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
+        # distributed PCA: exact integer moment combiner -> driver
+        # eigh -> bit-stable fixed-order projection (no SQL oracle:
+        # eigendecomposition; reference-parity + invariance tests)
+        "embedding_pca": lambda sf: similarity.embedding_pca(sf),
         # exact DBSCAN: eps-graph block-pair join + core/border/noise
         # ladder + BSP components; border assignment pinned to min
         "dbscan_clusters": lambda sf: similarity.dbscan_clusters(sf),

@@ -1892,3 +1892,49 @@ class TestSemanticDedup:
             assert sim > 0.45
         # keeps never carry a dup_of
         assert out[out["keep"]]["dup_of"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingPca:
+    """Distributed PCA — no SQL oracle (eigendecomposition); pinned by
+    exact blocking invariance, a same-algorithm driver reference for the
+    projections, and an eigenstructure cross-check against np.cov."""
+
+    def test_fit_blocking_invariance(self):
+        import ray.data
+
+        from ocr_service_ray.analytics.similarity import _emb, pca_fit
+
+        m1, c1, e1 = pca_fit(SF)
+        m2, c2, e2 = pca_fit(SF, ds=_emb(SF).repartition(7))
+        assert (m1 == m2).all() and (c1 == c2).all() and (e1 == e2).all()
+
+    def test_projection_reference_and_eigenstructure(self):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.similarity import embedding_pca, pca_fit
+
+        out = embedding_pca(SF).to_pandas().set_index("vec_id").sort_index()
+        mean, comps, evals = pca_fit(SF)
+        tbl = pq.read_table(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).sort_by([("vec_id", "ascending")])
+        ids = np.asarray(tbl.column("vec_id"))
+        m = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
+        # same fixed-dimension-order accumulation as the operator ->
+        # bit-identical projections
+        y = np.zeros((len(m), comps.shape[0]))
+        for j in range(comps.shape[1]):
+            y += np.outer(m[:, j] - mean[j], comps[:, j])
+        assert (out.index.to_numpy() == ids).all()  # both vec_id-sorted
+        got = out[[f"pc{i+1}" for i in range(comps.shape[0])]].to_numpy()
+        assert (got == y).all()
+        # eigenstructure: fixed-point totals reproduce np.cov's spectrum
+        cov = np.cov(m, rowvar=False, bias=True)
+        ref = np.sort(np.linalg.eigvalsh(cov))[::-1][: len(evals)]
+        assert np.allclose(evals, ref, atol=1e-5)
+        # components orthonormal; projection variances == eigenvalues
+        assert np.allclose(comps @ comps.T, np.eye(len(evals)), atol=1e-9)
+        assert np.allclose(got.var(axis=0), evals, atol=1e-5)
+        assert (np.diff(evals) <= 1e-12).all()  # descending
