@@ -852,6 +852,95 @@ def bpe_vocab(sf_dir: str, n_merges: int = 10) -> pa.Table:
     )
 
 
+class _BpeEncoder:
+    """Actor-pool encode stage: holds the trained merge table (applied
+    in training order, greedy left-to-right — the exact inverse-of-
+    training contract) plus a word-type memo dict, so each distinct
+    word is encoded ONCE per actor lifetime (words follow a Zipf law;
+    the memo hit rate is the whole point of warm actors here)."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self._merges = [(l, r, l + r) for l, r in merges]
+        self._memo: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        hit = self._memo.get(word)
+        if hit is not None:
+            return hit
+        p = list(word)
+        for left, right, merged in self._merges:
+            if left not in p or right not in p:
+                continue
+            res = []
+            i = 0
+            while i < len(p):
+                if i < len(p) - 1 and p[i] == left and p[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(p[i])
+                    i += 1
+            p = res
+        n = len(p)
+        self._memo[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_words": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        n_words = np.zeros(batch.num_rows, np.int64)
+        n_tokens = np.zeros(batch.num_rows, np.int64)
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            words = _TERM.findall((text or "").lower())
+            n_words[i] = len(words)
+            n_tokens[i] = sum(self._encode_len(w) for w in words)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+            }
+        )
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 10) -> pa.Table:
+    """Apply the ``bpe_vocab``-trained tokenizer to the corpus — the
+    other half of the tokenizer story (train on the word-type table,
+    ENCODE the corpus): per document (doc_id, n_words, n_tokens) where
+    n_tokens is the BPE token count under the learned merge table.
+
+    Ray shape: the merge table is tiny (the model), trained once and
+    shipped to a ``map_batches`` ACTOR POOL via constructor kwargs —
+    state (merge ranks + a word-type encode memo) built once per actor
+    in ``__init__``, reused across batches; the corpus streams through
+    in one pass with no shuffle at all. No SQL oracle (the merge table
+    is iterative); pinned by an exact pure-Python reference encode in
+    tests plus compression-bound invariants (chars >= tokens >= words).
+    """
+    vocab = bpe_vocab(sf_dir, n_merges=n_merges)
+    merges = list(
+        zip(vocab.column("left").to_pylist(), vocab.column("right").to_pylist())
+    )
+    out = _docs(sf_dir).map_batches(
+        _BpeEncoder,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"merges": merges},
+    )
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_words": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
 def packed_sequences(sf_dir: str, seq_len: int = 2048) -> pa.Table:
     """Sequence packing for LLM pretraining, concat-and-chunk style:
     the corpus token stream (docs concatenated in doc_id order, tokens

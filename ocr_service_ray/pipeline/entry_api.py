@@ -876,6 +876,9 @@ def queries() -> dict:
         # distributed BPE tokenizer training (iterative merge table;
         # no SQL oracle — pinned by an exact pure-Python reference)
         "bpe_vocab": lambda sf: text_analysis.bpe_vocab(sf),
+        # encode side of the tokenizer (actor pool holding the merge
+        # table + word-type memo; no oracle: iterative merge table)
+        "bpe_encode": lambda sf: text_analysis.bpe_encode(sf),
         # int8-style scalar quantization of the embedding column
         "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
         # growth accounting: daily active / new / cumulative users

@@ -1938,3 +1938,63 @@ class TestEmbeddingPca:
         assert np.allclose(comps @ comps.T, np.eye(len(evals)), atol=1e-9)
         assert np.allclose(got.var(axis=0), evals, atol=1e-5)
         assert (np.diff(evals) <= 1e-12).all()  # descending
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeEncode:
+    """Encode side of the tokenizer story — pinned by a pure-Python
+    reference encode using the bpe_vocab merge table, plus the
+    compression-bound invariants."""
+
+    def test_matches_reference_encode(self):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import bpe_encode, bpe_vocab
+
+        got = bpe_encode(SF, n_merges=10).to_pandas().set_index("doc_id")
+        vocab = bpe_vocab(SF, n_merges=10)
+        merges = list(zip(vocab.column("left").to_pylist(),
+                          vocab.column("right").to_pylist()))
+
+        def encode_len(word: str) -> int:
+            p = list(word)
+            for l, r in merges:
+                res, i = [], 0
+                while i < len(p):
+                    if i < len(p) - 1 and p[i] == l and p[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(p[i])
+                        i += 1
+                p = res
+            return len(p)
+
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        memo: dict = {}
+        for did, text in zip(docs.column("doc_id").to_pylist(),
+                             docs.column("text").to_pylist()):
+            words = re.findall(r"[a-z0-9]+", (text or "").lower())
+            want_tokens = 0
+            for w in words:
+                if w not in memo:
+                    memo[w] = encode_len(w)
+                want_tokens += memo[w]
+            assert int(got.loc[did, "n_words"]) == len(words)
+            assert int(got.loc[did, "n_tokens"]) == want_tokens, did
+        # compression bounds: chars >= tokens >= words (merges only
+        # shrink; every word is at least one token)
+        n_chars = {
+            did: sum(len(w) for w in re.findall(r"[a-z0-9]+", (t or "").lower()))
+            for did, t in zip(docs.column("doc_id").to_pylist(),
+                              docs.column("text").to_pylist())
+        }
+        assert (got["n_tokens"] >= got["n_words"]).all()
+        assert all(int(got.loc[d, "n_tokens"]) <= c for d, c in n_chars.items())
+        # more merges never increase the token count
+        from ocr_service_ray.analytics.text_analysis import bpe_encode as be
+
+        fewer = be(SF, n_merges=3).to_pandas().set_index("doc_id")
+        assert (got["n_tokens"] <= fewer["n_tokens"]).all()
