@@ -1489,3 +1489,245 @@ def brand_volume(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         final[["p_brand", "n_items", "sum_qty", "revenue_cents"]], preserve_index=False
     )
+
+
+def returned_item_customers(
+    sf_dir: str, window_days: int = 90, k: int = 20
+) -> pa.Table:
+    """TPC-H Q10 shape — top-k customers by revenue lost to RETURNED
+    items in one quarter: lineitem(returnflag='R') ⋈ orders(date in
+    [min, min+window)) ⋈ customer ⋈ nation, grouped by customer,
+    top-k by revenue. The window start is DATA-DERIVED (min order
+    date), the flag is max(l_returnflag) (-> 'R' on the sf corpora,
+    still well-defined on any fuzz corpus).
+
+    Ray shape — the dimension join happens AFTER the top-k, so no
+    customer-sized broadcast exists anywhere:
+      1. lineitem pruned at the read (columns + returnflag predicate),
+         reduced per batch to (l_orderkey, int-cents revenue) partials;
+      2. orders pruned at the read (date predicates) -> (l_orderkey,
+         o_custkey) map; one native big-big inner join on the order
+         key; per-batch custkey partials + one custkey groupby;
+      3. distributed sort + limit -> k rows on the driver;
+      4. ONLY those k custkeys are enriched: customer read with an
+         isin predicate (row-group pruned, k rows returned), nation
+         read outright (25 rows) — a point lookup, not a join stage.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    flag = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"]
+    ).max("l_returnflag")
+    lo = np.datetime64(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+        ).min("o_orderdate"),
+        "us",
+    )
+    hi = lo + np.timedelta64(window_days * 86400_000_000, "us")
+
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "revenue_c100": pa.array([], pa.int64()),
+            "c_acctbal": pa.array([], pa.float64()),
+            "n_name": pa.array([], pa.string()),
+        }
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_extendedprice" not in batch.column_names:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.int64())}
+            )
+        ep_c = np.floor(
+            np.asarray(batch.column("l_extendedprice"), np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dc_c = np.floor(
+            np.asarray(batch.column("l_discount"), np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev": pa.array(ep_c * (100 - dc_c), pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(t, ["l_orderkey"]).aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["l_orderkey", "rev"])
+
+    li = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=pc.field("l_returnflag") == flag,
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .materialize()
+    )
+    orders = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+            filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b.column("o_orderkey"),
+                    "o_custkey": b.column("o_custkey"),
+                }
+            )
+            if b.num_rows and "o_orderkey" in b.column_names
+            else pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "o_custkey": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_left, n_right = li.count(), orders.count()
+    if n_left == 0 or n_right == 0:
+        return empty
+    nparts = max(1, min(16, min(n_left, n_right) // 16))
+    joined = li.join(orders, "inner", nparts, on=("l_orderkey",))
+
+    empty_ck = pa.table(
+        {"o_custkey": pa.array([], pa.int64()),
+         "revenue_c100": pa.array([], pa.int64())}
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "rev" not in batch.column_names:
+            return empty_ck
+        return pa.TableGroupBy(batch, ["o_custkey"]).aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["o_custkey", "revenue_c100"])
+
+    from ray.data.aggregate import Sum
+
+    top = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_c100"))
+        .map_batches(
+            lambda b: b.rename_columns(["o_custkey", "revenue_c100"])
+            if b.num_rows
+            else empty_ck,
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_c100", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    tables = [t for t in ray.get(top.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return empty
+    tk = pa.concat_tables(tables)
+    cks = np.asarray(tk.column("o_custkey"), dtype=np.int64)
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+            filter=pc.field("c_custkey").isin(cks.tolist()),
+        )
+        .to_pandas()
+        .set_index("c_custkey")
+    )
+    nat = (
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+        .to_pandas()
+        .set_index("n_nationkey")["n_name"]
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(cks, pa.int64()),
+            "c_name": pa.array(
+                [cust.loc[c, "c_name"] for c in cks], pa.string()
+            ),
+            "revenue_c100": tk.column("revenue_c100"),
+            "c_acctbal": pa.array(
+                [float(cust.loc[c, "c_acctbal"]) for c in cks], pa.float64()
+            ),
+            "n_name": pa.array(
+                [nat[cust.loc[c, "c_nationkey"]] for c in cks], pa.string()
+            ),
+        }
+    )
+
+
+def forecast_revenue(sf_dir: str, window_days: int = 365) -> pa.Table:
+    """TPC-H Q6 shape — the what-if revenue delta from discounts in a
+    band: one filtered scan of lineitem, revenue = Σ extendedprice ×
+    discount over (shipdate in [min, min+window), discount-cents in
+    [dmin+1, dmin+3], quantity < 25). Every parameter is data-derived.
+
+    The simplest possible distributed plan, shown because the READ does
+    all the work: column projection + row-group predicates prune at the
+    source, each batch reduces to ONE (revenue, count) integer partial
+    (cents × cents -> c10000 units, order-free), and the driver sums
+    O(blocks) scalars. No shuffle, no groupby, nothing corpus-sized.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    lo = np.datetime64(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"]
+        ).min("l_shipdate"),
+        "us",
+    )
+    hi = lo + np.timedelta64(window_days * 86400_000_000, "us")
+    dmin = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount"]
+    ).min("l_discount")
+    dmin_c = int(np.floor(dmin * 100 + 0.5))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_extendedprice" not in batch.column_names:
+            return pa.table(
+                {"rev": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        ep_c = np.floor(
+            np.asarray(batch.column("l_extendedprice"), np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dc_c = np.floor(
+            np.asarray(batch.column("l_discount"), np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        qty = np.asarray(batch.column("l_quantity"), np.float64)
+        m = (dc_c >= dmin_c + 1) & (dc_c <= dmin_c + 3) & (qty < 25)
+        return pa.table(
+            {
+                "rev": pa.array([int((ep_c[m] * dc_c[m]).sum())], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_extendedprice", "l_discount", "l_quantity"],
+                filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    rev = sum(t.column("rev").to_pylist()[0] for t in parts) if parts else 0
+    n = sum(t.column("n").to_pylist()[0] for t in parts) if parts else 0
+    return pa.table(
+        {
+            "revenue_c10000": pa.array([rev], pa.int64()),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )

@@ -746,6 +746,11 @@ def queries() -> dict:
         # TPC-H Q3: segment filter -> broadcast semi -> big-big join ->
         # revenue combiner -> distributed top-k (data-derived params)
         "shipping_priority": lambda sf: relational.shipping_priority(sf),
+        # TPC-H Q10: top returned-item customers; dimension lookup
+        # happens AFTER the top-k (no customer broadcast anywhere)
+        "returned_item_customers": lambda sf: relational.returned_item_customers(sf),
+        # TPC-H Q6: pure pruned-scan filter aggregate (no shuffle)
+        "forecast_revenue": lambda sf: relational.forecast_revenue(sf),
         # big-big anti-join (native left_anti)
         "customers_without_big_orders": lambda sf: relational.customers_without_big_orders(sf),
         # TPC-H Q13: histogram of per-customer order counts incl. zero
@@ -2109,6 +2114,41 @@ def oracle_sql() -> dict:
             "COALESCE(CAST(epoch_us(a.ts) - epoch_us(j.bts) AS DOUBLE) / 1000000.0, -1.0) AS gap_s "
             "FROM a LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id) "
             "ORDER BY a.event_id"
+        ),
+        # Q10 with data-derived params (max returnflag; min order date
+        # + 90 days); same exact-cents revenue units as Q3
+        "returned_item_customers": (
+            "WITH params AS (SELECT "
+            "(SELECT max(l_returnflag) FROM lineitem) AS flag, "
+            "(SELECT min(o_orderdate) FROM orders) AS lo, "
+            "(SELECT min(o_orderdate) + INTERVAL 90 DAY FROM orders) AS hi) "
+            "SELECT c_custkey, c_name, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_c100, c_acctbal, n_name "
+            "FROM customer, orders, lineitem, nation, params "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate >= params.lo AND o_orderdate < params.hi "
+            "AND l_returnflag = params.flag AND c_nationkey = n_nationkey "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue_c100 DESC, c_custkey LIMIT 20"
+        ),
+        # Q6 with data-derived params (min shipdate + 365 days;
+        # discount-cents band [dmin+1, dmin+3]; qty < 25)
+        "forecast_revenue": (
+            "WITH params AS (SELECT "
+            "(SELECT min(l_shipdate) FROM lineitem) AS lo, "
+            "(SELECT min(l_shipdate) + INTERVAL 365 DAY FROM lineitem) AS hi, "
+            "(SELECT CAST(round(min(l_discount) * 100) AS BIGINT) "
+            "FROM lineitem) AS dmin) "
+            "SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) "
+            "AS revenue_c10000, count(*) AS n_items "
+            "FROM lineitem, params "
+            "WHERE l_shipdate >= params.lo AND l_shipdate < params.hi "
+            "AND CAST(round(l_discount * 100) AS BIGINT) "
+            "BETWEEN params.dmin + 1 AND params.dmin + 3 "
+            "AND l_quantity < 25"
         ),
         # Q3 with data-derived params (min segment; min order date + 45
         # days); revenue in exact cents x (100 - discount%) int units

@@ -147,7 +147,8 @@ class TestOracleEquivalence:
          "ranked_text_search", "customer_order_histogram",
          "dbscan_clusters", "event_session_ids", "cms_token_counts",
          "incremental_tumbling_counts", "local_supplier_volume",
-         "brand_volume", "token_canonical_map", "neardup_clusters_fast"],
+         "brand_volume", "token_canonical_map", "neardup_clusters_fast",
+         "returned_item_customers", "forecast_revenue"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api

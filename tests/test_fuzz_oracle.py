@@ -153,6 +153,7 @@ TPCH_QUERIES = [
     "pricing_summary", "orders_by_nation", "revenue_by_nation",
     "customers_without_big_orders", "shipping_priority",
     "customer_order_histogram", "local_supplier_volume", "brand_volume",
+    "returned_item_customers", "forecast_revenue",
 ]
 
 
