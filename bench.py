@@ -191,6 +191,12 @@ def run_queries(num_cpus: int) -> dict:
             "shipping_priority": lambda: relational.shipping_priority(sf_dir()),
             "packed_sequences": lambda: text_analysis.packed_sequences(sf_dir()),
             "canonical_docs": lambda: curation.canonical_docs(sf_dir()),
+            "neardup_clusters_fast": lambda: dedup.neardup_clusters_doubling(sf_dir()),
+            "semantic_dedup": lambda: dedup.semantic_dedup(sf_dir()),
+            "embedding_pca": lambda: similarity.embedding_pca(sf_dir()),
+            "bpe_encode": lambda: text_analysis.bpe_encode(sf_dir()),
+            "returned_item_customers": lambda: relational.returned_item_customers(sf_dir()),
+            "forecast_revenue": lambda: relational.forecast_revenue(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -342,3 +342,60 @@ class TestFuzzProfile:
         pq.write_table(_gen_documents(rng), f"{d}/documents.parquet")
         pq.write_table(_gen_embeddings(rng), f"{d}/embeddings.parquet")
         TestFuzzOracle._run(d, ["profile_tables"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFuzzNoOracleOps:
+    """Adversarial robustness for the no_oracle operators (their
+    correctness is reference-pinned in test_analytics; here we assert
+    structural invariants survive the hostile generators: constant
+    dims, duplicate and near-zero vectors, degenerate texts)."""
+
+    @pytest.mark.parametrize("seed", [11])
+    def test_semantic_dedup_and_pca_on_adversarial_embeddings(self, seed):
+        from ocr_service_ray.analytics.dedup import semantic_dedup
+        from ocr_service_ray.analytics.similarity import embedding_pca, pca_fit
+
+        rng = np.random.default_rng(seed)
+        d = tempfile.mkdtemp(prefix=f"fuzz_noq_{seed}_")
+        pq.write_table(_gen_embeddings(rng), f"{d}/embeddings.parquet")
+
+        out = semantic_dedup(d).to_pandas()
+        assert len(out) == 40 and out["vec_id"].is_monotonic_increasing
+        # the planted exact duplicate (4 == 3) lands in the same
+        # cluster and must be dropped in favor of the lower id
+        dup = out.set_index("vec_id").loc[4]
+        assert not dup["keep"] and int(dup["dup_of"]) == 3
+        assert out[out["keep"]]["dup_of"].isna().all()
+
+        proj = embedding_pca(d).to_pandas()
+        assert len(proj) == 40 and proj.notna().all().all()
+        _, comps, evals = pca_fit(d)
+        assert (evals >= -1e-12).all()  # covariance PSD despite const dim
+        assert np.isfinite(comps).all()
+        # duplicate vectors project identically
+        p3 = proj.set_index("vec_id").loc[3].to_numpy()
+        p4 = proj.set_index("vec_id").loc[4].to_numpy()
+        assert (p3 == p4).all()
+
+    @pytest.mark.parametrize("seed", [7])
+    def test_bpe_encode_on_adversarial_documents(self, seed):
+        import re
+
+        from ocr_service_ray.analytics.text_analysis import bpe_encode
+
+        rng = np.random.default_rng(seed)
+        d = tempfile.mkdtemp(prefix=f"fuzz_bpe_{seed}_")
+        docs = _gen_documents(rng)
+        pq.write_table(docs, f"{d}/documents.parquet")
+        out = bpe_encode(d).to_pandas().set_index("doc_id")
+        assert len(out) == docs.num_rows
+        for did, text in zip(docs.column("doc_id").to_pylist(),
+                             docs.column("text").to_pylist()):
+            words = re.findall(r"[a-z0-9]+", (text or "").lower())
+            chars = sum(len(w) for w in words)
+            r = out.loc[did]
+            assert int(r["n_words"]) == len(words)
+            assert len(words) <= int(r["n_tokens"]) <= chars or (
+                not words and int(r["n_tokens"]) == 0
+            )
