@@ -2770,3 +2770,199 @@ def incremental_tumbling_counts(sf_dir: str, window: str = "h") -> pa.Table:
     merged["sum_value_cents"] = merged["sum_value_cents"].astype(np.int64)
     merged = merged.sort_values(["window_start_s", "event_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def purchaser_clicks_salted(
+    sf_dir: str,
+    n_salts: int = 8,
+    hot_candidates: int = 4,
+    stats: dict | None = None,
+) -> pa.Table:
+    """``purchaser_clicks`` by the SALTED big-big shuffle-join plan —
+    the third plan for the same contract (broadcast / bloom / salted)
+    and the engine's explicit demonstration of HOT-KEY SALTING: when a
+    handful of keys carry most of the probe side, a plain hash join
+    sends every hot-key row to one partition; salting splits each hot
+    key across ``n_salts`` partitions and re-merges after the join.
+
+      1. HOT-KEY DETECTION without corpus-sized driver state: each
+         click block emits its local top-``hot_candidates`` user
+         counts; the driver sums the O(candidates x blocks) partials
+         and marks as hot every key whose observed count exceeds
+         total/16 (any agreed-on set is CORRECT — salting only needs
+         both sides to agree; the threshold only tunes balance).
+      2. BUILD side: the distinct-purchaser table maps to (user_id,
+         salt) rows — one row (salt 0) for cold keys, ``n_salts``
+         REPLICATED rows for hot keys (the classic replicate-the-
+         small-side-of-the-hot-key trick).
+      3. PROBE side: clicks partial-count per (user_id, salt) with
+         salt = event_id mod n_salts for hot keys, 0 otherwise — so a
+         hot key's rows spread across n_salts join partitions.
+      4. ONE native inner join on the composite (user_id, salt) key,
+         then a tiny groupby(user_id).sum de-salts.
+
+    Result is EXACT (same oracle as ``purchaser_clicks``; plan
+    equality pinned by tests, plus a mega-hot-key fixture asserting
+    the hot key really fans out across salts). ``stats`` (out-param)
+    records the detected hot keys and the salt fan-out for that test.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {"user_id": pa.array([], pa.int64()), "n_clicks": pa.array([], pa.int64())}
+    )
+
+    # --- pass 1: approximate hot-key candidates from per-block partials
+    def top_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "tot": pa.array([], pa.int64())}
+            )
+        ids, counts = np.unique(np.asarray(b.column("user_id"), np.int64),
+                                return_counts=True)
+        order = np.lexsort((ids, -counts))[:hot_candidates]
+        return pa.table(
+            {
+                "user_id": pa.array(ids[order], pa.int64()),
+                "n": pa.array(counts[order].astype(np.int64), pa.int64()),
+                "tot": pa.array(
+                    np.full(len(order), int(counts.sum()), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _events(sf_dir, ["user_id", "event_type"])
+            .map_batches(top_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return empty
+    cand = pa.concat_tables(parts)
+    ids = np.asarray(cand.column("user_id"), np.int64)
+    ns = np.asarray(cand.column("n"), np.int64)
+    # total clicks = sum of each block's tot (tot is per-block constant,
+    # counted once per block via the first row trick: every row of a
+    # block carries it, but np.unique over (block) isn't available —
+    # instead sum n over ALL rows underestimates; so recompute exactly:
+    total_clicks = int(
+        sum(t.column("tot").to_pylist()[0] for t in parts)
+    )
+    uniq = np.unique(ids)
+    approx = {int(u): int(ns[ids == u].sum()) for u in uniq}
+    hot = sorted(u for u, c in approx.items() if c > max(1, total_clicks // 16))
+    hot_set = frozenset(hot)
+    hot_ref = ray.put(hot_set)
+    if stats is not None:
+        stats["hot_keys"] = hot
+        stats["n_salts"] = n_salts
+
+    # --- build side: distinct purchasers -> (user_id, salt) rows
+    purchasers = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+            filter=pc.field("event_type") == "purchase",
+        )
+        .groupby("user_id")
+        .count()
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "salt": pa.array([], pa.int64())}
+            )
+        hs = ray.get(hot_ref)
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        is_hot = np.fromiter((int(u) in hs for u in uid), bool, count=len(uid))
+        reps = np.where(is_hot, n_salts, 1)
+        out_uid = np.repeat(uid, reps)
+        salts = np.concatenate(
+            [np.arange(r, dtype=np.int64) for r in reps]
+        ) if len(reps) else np.array([], np.int64)
+        return pa.table(
+            {"user_id": pa.array(out_uid, pa.int64()),
+             "salt": pa.array(salts, pa.int64())}
+        )
+
+    build = purchasers.map_batches(replicate, batch_format="pyarrow").materialize()
+
+    # --- probe side: per-(user, salt) click partials
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "click"))
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "salt": pa.array([], pa.int64()),
+                 "n_clicks": pa.array([], pa.int64())}
+            )
+        hs = ray.get(hot_ref)
+        uid = np.asarray(b.column("user_id"), np.int64)
+        eid = np.asarray(b.column("event_id"), np.int64)
+        is_hot = np.fromiter((int(u) in hs for u in uid), bool, count=len(uid))
+        salt = np.where(is_hot, eid % n_salts, 0).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "salt": pa.array(salt, pa.int64()),
+                "n_clicks": pa.array(np.ones(len(uid), np.int64)),
+            }
+        )
+        return pa.TableGroupBy(t, ["user_id", "salt"]).aggregate(
+            [("n_clicks", "sum")]
+        ).rename_columns(["user_id", "salt", "n_clicks"])
+
+    probe = (
+        _events(sf_dir, ["event_id", "user_id", "event_type"])
+        .map_batches(probe_partial, batch_format="pyarrow")
+        .materialize()
+    )
+    n_b, n_p = build.count(), probe.count()
+    if n_b == 0 or n_p == 0:
+        return empty
+    nparts = max(1, min(16, min(n_b, n_p) // 16))
+    joined = probe.join(build, "inner", nparts, on=("user_id", "salt"))
+
+    if stats is not None:
+        # salt fan-out actually exercised for the hot keys (test hook)
+        fan = {}
+        for t in ray.get(probe.to_arrow_refs()):
+            if not t.num_rows or "user_id" not in t.column_names:
+                continue
+            for u, s in zip(t.column("user_id").to_pylist(),
+                            t.column("salt").to_pylist()):
+                if int(u) in hot_set:
+                    fan.setdefault(int(u), set()).add(int(s))
+        stats["hot_fanout"] = {u: len(s) for u, s in fan.items()}
+
+    def desalt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_clicks" not in batch.column_names:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_clicks": pa.array([], pa.int64())}
+            )
+        return pa.TableGroupBy(batch, ["user_id"]).aggregate(
+            [("n_clicks", "sum")]
+        ).rename_columns(["user_id", "n_clicks"])
+
+    final = (
+        joined.map_batches(desalt, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_clicks"))
+    )
+    tables = [t for t in ray.get(final.to_arrow_refs())
+              if t.num_rows and "user_id" in t.column_names]
+    if not tables:
+        return empty
+    out = pa.concat_tables(tables).rename_columns(["user_id", "n_clicks"])
+    return out.sort_by([("user_id", "ascending")])

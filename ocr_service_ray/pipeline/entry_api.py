@@ -804,6 +804,9 @@ def queries() -> dict:
         # exact check); same oracle as purchaser_clicks, plan equality
         # pinned in tests
         "purchaser_clicks_bloom": lambda sf: windows.purchaser_clicks_bloom(sf),
+        # third plan for the same contract: hot keys SALTED across
+        # n_salts join partitions (explicit skew handling)
+        "purchaser_clicks_salted": lambda sf: windows.purchaser_clicks_salted(sf),
         # Misra-Gries sketch-then-verify frequent items (exact result)
         "heavy_tokens": lambda sf: text_analysis.heavy_hitter_tokens(sf),
         # per-doc inner-repetition signal (Gopher-rule family)
@@ -1759,6 +1762,13 @@ def oracle_sql() -> dict:
         # same semantics as purchaser_clicks (bloom prefilter is exact
         # after the residual co-partitioned check)
         "purchaser_clicks_bloom": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks FROM events "
+            "WHERE event_type = 'click' AND user_id IN "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        # same semantics again, by the hot-key-salted shuffle-join plan
+        "purchaser_clicks_salted": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks FROM events "
             "WHERE event_type = 'click' AND user_id IN "
             "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "

@@ -148,7 +148,8 @@ class TestOracleEquivalence:
          "dbscan_clusters", "event_session_ids", "cms_token_counts",
          "incremental_tumbling_counts", "local_supplier_volume",
          "brand_volume", "token_canonical_map", "neardup_clusters_fast",
-         "returned_item_customers", "forecast_revenue"],
+         "returned_item_customers", "forecast_revenue",
+         "purchaser_clicks_salted"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -1999,3 +2000,56 @@ class TestBpeEncode:
 
         fewer = be(SF, n_merges=3).to_pandas().set_index("doc_id")
         assert (got["n_tokens"] <= fewer["n_tokens"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedJoin:
+    """purchaser_clicks_salted: the hot-key-salting plan must equal the
+    broadcast plan, and a mega-hot key must actually fan out across
+    multiple salted join partitions."""
+
+    def test_plan_equality_at_sf(self):
+        from ocr_service_ray.analytics.windows import (
+            purchaser_clicks,
+            purchaser_clicks_salted,
+        )
+
+        a = purchaser_clicks(SF).to_pandas()
+        b = purchaser_clicks_salted(SF).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_mega_hot_key_fans_out(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import purchaser_clicks_salted
+
+        # user 7: 5000 clicks + 1 purchase (the hot key); users 1..5:
+        # 3 clicks each, users 1,2 purchase; user 9 clicks, no purchase
+        rows = []
+        eid = 0
+        for _ in range(5000):
+            rows.append((eid, 7, "click")); eid += 1
+        rows.append((eid, 7, "purchase")); eid += 1
+        for u in range(1, 6):
+            for _ in range(3):
+                rows.append((eid, u, "click")); eid += 1
+        for u in (1, 2):
+            rows.append((eid, u, "purchase")); eid += 1
+        for _ in range(4):
+            rows.append((eid, 9, "click")); eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, tmp_path / "events.parquet", row_group_size=512)
+        st: dict = {}
+        out = purchaser_clicks_salted(str(tmp_path), stats=st).to_pandas()
+        got = dict(zip(out["user_id"], out["n_clicks"]))
+        assert got == {1: 3, 2: 3, 7: 5000}
+        assert 7 in st["hot_keys"]
+        # the hot key's probe rows really spread across several salts
+        assert st["hot_fanout"][7] >= 4
