@@ -685,6 +685,8 @@ def queries() -> dict:
         "skew_metrics": q_skew_profile,
         # zone-map-pruned range read (clustered-by-n_chars layout)
         "docs_in_char_range": _zone_range_query,
+        # z-order (Morton) clustered layout; both dims prune the read
+        "docs_in_char_lang_box": _zorder_box_query,
         # training-data analytics (SQL-oracled where expressible)
         "exact_dedup": dedup.exact_dedup,
         "minhash_pairs": lambda sf: dedup.minhash_lsh_pairs(sf),
@@ -1109,6 +1111,13 @@ def oracle_sql() -> dict:
         "docs_in_char_range": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE n_chars BETWEEN 400 AND 700 ORDER BY doc_id"
+        ),
+        # z-order box read: BOTH predicates prune partitions (IO
+        # property); the result is exact WHERE semantics
+        "docs_in_char_lang_box": (
+            "SELECT doc_id, n_chars, lang FROM documents "
+            "WHERE lang = (SELECT min(lang) FROM documents) "
+            "AND n_chars BETWEEN 400 AND 700 ORDER BY doc_id"
         ),
         # exclusive prefix sum of \S+ token counts in doc_id order,
         # then pure integer division/modulo — same stream cut both sides
@@ -2193,6 +2202,12 @@ def _zone_range_query(sf_dir: str) -> pa.Table:
     from .cluster import docs_in_char_range
 
     return docs_in_char_range(sf_dir)
+
+
+def _zorder_box_query(sf_dir: str) -> pa.Table:
+    from .cluster import docs_in_char_lang_box
+
+    return docs_in_char_lang_box(sf_dir)
 
 
 def _q_curation_status(sf_dir: str) -> pa.Table:

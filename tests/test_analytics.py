@@ -149,7 +149,7 @@ class TestOracleEquivalence:
          "incremental_tumbling_counts", "local_supplier_volume",
          "brand_volume", "token_canonical_map", "neardup_clusters_fast",
          "returned_item_customers", "forecast_revenue",
-         "purchaser_clicks_salted"],
+         "purchaser_clicks_salted", "docs_in_char_lang_box"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -2053,3 +2053,56 @@ class TestSaltedJoin:
         assert 7 in st["hot_keys"]
         # the hot key's probe rows really spread across several salts
         assert st["hot_fanout"][7] >= 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZorderLayout:
+    """Z-order clustering: the result is oracle-exact (parametrized
+    list above); here we pin the IO property — predicates on EITHER
+    dimension must prune partitions, which only holds when both lanes
+    are normalized to the full bit width before the Morton interleave
+    (the raw-value layout measurably failed the lang-only case)."""
+
+    def test_both_dimensions_prune(self):
+        from ocr_service_ray.pipeline.cluster import (
+            _ZORDER_CACHE,
+            docs_in_char_lang_box,
+            pruned_parts_box,
+        )
+
+        st: dict = {}
+        out = docs_in_char_lang_box(SF, stats=st).to_pandas()
+        assert st["parts_total"] >= 4, st
+        assert st["parts_opened"] < st["parts_total"], st
+        root = _ZORDER_CACHE[SF]
+        import pyarrow.parquet as pq
+
+        langs = sorted(set(
+            pq.read_table(f"{SF}/documents.parquet", columns=["lang"])
+            .column("lang").to_pylist()
+        ))
+        lang_only, total = pruned_parts_box(root, {"lang": (langs[0], langs[0])})
+        chars_only, _ = pruned_parts_box(root, {"n_chars": (400, 700)})
+        assert len(lang_only) < total, (len(lang_only), total)
+        assert len(chars_only) < total, (len(chars_only), total)
+        # the 2-D box is at least as selective as either 1-D box
+        assert st["parts_opened"] <= min(len(lang_only), len(chars_only))
+        # residual filter exactness survives part boundaries
+        assert (out["lang"] == langs[0]).all()
+        assert out["n_chars"].between(400, 700).all()
+
+    def test_zorder_value_morton_property(self):
+        """The Morton code must interleave: z(a, b) with single-bit
+        inputs lands each lane at alternating positions."""
+        import numpy as np
+
+        from ocr_service_ray.pipeline.cluster import zorder_value
+
+        a = np.array([1, 0, 3], np.int64)
+        b = np.array([0, 1, 3], np.int64)
+        z = zorder_value(a, b)
+        assert z.tolist() == [1, 2, 15]
+        # monotone in each lane when the other is fixed
+        xs = np.arange(100, dtype=np.int64)
+        assert (np.diff(zorder_value(xs, np.zeros(100, np.int64))) > 0).all()
+        assert (np.diff(zorder_value(np.zeros(100, np.int64), xs)) > 0).all()
