@@ -1370,3 +1370,101 @@ def token_canonical_map(sf_dir: str, min_len: int = 3, max_dist: int = 2) -> pa.
     if not tables:
         return empty
     return pa.concat_tables(tables).sort_by([("word", "ascending")])
+
+
+def _skyline_2d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D maxima (Pareto frontier) under dominance
+    q ≻ p iff q.a >= p.a, q.b >= p.b and strict in one coordinate.
+    EXACT-duplicate points are all kept (neither strictly dominates).
+    Vectorized per unique a-value, scanning a descending: a point
+    survives iff its b equals its a-group's max AND strictly exceeds
+    the best b among strictly-greater a."""
+    keep = np.zeros(len(a), dtype=bool)
+    order = np.argsort(-a, kind="stable")
+    ua = a[order]
+    best_b = -np.inf  # max b among points with strictly greater a
+    i = 0
+    while i < len(ua):
+        j = i
+        while j < len(ua) and ua[j] == ua[i]:
+            j += 1
+        grp = order[i:j]
+        gmax = b[grp].max()
+        if gmax > best_b:
+            keep[grp[b[grp] == gmax]] = True
+        best_b = max(best_b, gmax)
+        i = j
+    return keep
+
+
+def skyline_docs(sf_dir: str) -> pa.Table:
+    """Pareto-frontier curation filter: documents MAXIMAL in
+    (n_chars, n_tokens) — no other doc is >= in both and strictly
+    better in one. The multi-objective selection verb (keep documents
+    not dominated on every quality axis) that single-score ranking
+    can't express.
+
+    Distributed shape (the skyline-merge theorem does the work): each
+    block computes its LOCAL skyline vectorized — the union of local
+    skylines provably contains the global frontier, because a point's
+    dominator is either in its own block's skyline or dominated by a
+    point that is — so the driver merges only O(skyline x blocks) rows
+    and re-runs the same kernel once. No shuffle at all.
+
+    Oracle: the NOT EXISTS dominance anti-join in SQL — exact,
+    including duplicate-point and tie semantics.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_chars": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        nc = np.asarray(batch.column("n_chars"), dtype=np.int64)
+        nt = np.array(
+            [len(_TOKEN.findall(t or "")) for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        m = _skyline_2d(nc, nt)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(batch.column("doc_id"), np.int64)[m], pa.int64()
+                ),
+                "n_chars": pa.array(nc[m], pa.int64()),
+                "n_tokens": pa.array(nt[m], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "n_chars"],
+            )
+            .map_batches(local, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_chars": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64())}
+        )
+    cand = pa.concat_tables(parts)
+    a = np.asarray(cand.column("n_chars"), np.int64)
+    b = np.asarray(cand.column("n_tokens"), np.int64)
+    m = _skyline_2d(a, b)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(cand.column("doc_id"), np.int64)[m]),
+            "n_chars": pa.array(a[m], pa.int64()),
+            "n_tokens": pa.array(b[m], pa.int64()),
+        }
+    ).sort_by([("doc_id", "ascending")])

@@ -732,6 +732,8 @@ def queries() -> dict:
         # ladder + BSP components; border assignment pinned to min
         "dbscan_clusters": lambda sf: similarity.dbscan_clusters(sf),
         "token_counts": text_analysis.token_counts,
+        # Pareto-frontier curation filter (local skylines -> merge)
+        "skyline_docs": lambda sf: text_analysis.skyline_docs(sf),
         # LLM sequence packing (concat-and-chunk): global token prefix
         # sums via sort + metadata-only block offsets
         "packed_sequences": lambda sf: text_analysis.packed_sequences(sf),
@@ -1132,6 +1134,18 @@ def oracle_sql() -> dict:
             "CAST(CASE WHEN n_tokens = 0 THEN start // 2048 "
             "ELSE (start + n_tokens - 1) // 2048 END AS BIGINT) AS last_seq, "
             "CAST(start % 2048 AS BIGINT) AS offset_in_seq FROM c ORDER BY doc_id"
+        ),
+        # 2-D dominance anti-join — exact skyline incl. tie/duplicate
+        # semantics (dominance requires a STRICT coordinate)
+        "skyline_docs": (
+            "WITH t AS (SELECT doc_id, n_chars, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents) "
+            "SELECT a.doc_id, a.n_chars, a.n_tokens FROM t a "
+            "WHERE NOT EXISTS (SELECT 1 FROM t b "
+            "WHERE b.n_chars >= a.n_chars AND b.n_tokens >= a.n_tokens "
+            "AND (b.n_chars > a.n_chars OR b.n_tokens > a.n_tokens)) "
+            "ORDER BY a.doc_id"
         ),
         "token_counts": (
             "SELECT doc_id, "

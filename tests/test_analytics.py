@@ -149,7 +149,8 @@ class TestOracleEquivalence:
          "incremental_tumbling_counts", "local_supplier_volume",
          "brand_volume", "token_canonical_map", "neardup_clusters_fast",
          "returned_item_customers", "forecast_revenue",
-         "purchaser_clicks_salted", "docs_in_char_lang_box"],
+         "purchaser_clicks_salted", "docs_in_char_lang_box",
+         "skyline_docs"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -2106,3 +2107,48 @@ class TestZorderLayout:
         xs = np.arange(100, dtype=np.int64)
         assert (np.diff(zorder_value(xs, np.zeros(100, np.int64))) > 0).all()
         assert (np.diff(zorder_value(np.zeros(100, np.int64), xs)) > 0).all()
+
+
+class TestSkylineKernel:
+    """_skyline_2d tie/duplicate semantics + the merge theorem."""
+
+    def test_ties_duplicates_antichain(self):
+        import numpy as np
+
+        from ocr_service_ray.analytics.text_analysis import _skyline_2d
+
+        # anti-chain: every point survives
+        a = np.array([1, 2, 3], np.int64)
+        b = np.array([3, 2, 1], np.int64)
+        assert _skyline_2d(a, b).all()
+        # strict dominance removes; equal-in-one strict-in-other removes
+        a = np.array([2, 2, 1, 3], np.int64)
+        b = np.array([2, 3, 2, 3], np.int64)
+        # (3,3) dominates everything else
+        assert _skyline_2d(a, b).tolist() == [False, False, False, True]
+        # exact duplicates of a maximal point are ALL kept
+        a = np.array([5, 5, 4], np.int64)
+        b = np.array([5, 5, 9], np.int64)
+        assert _skyline_2d(a, b).tolist() == [True, True, True]
+        # same-a group: only the max-b rows survive
+        a = np.array([5, 5, 5], np.int64)
+        b = np.array([1, 7, 7], np.int64)
+        assert _skyline_2d(a, b).tolist() == [False, True, True]
+
+    def test_merge_theorem_random(self):
+        """Skyline(union of block skylines) == skyline(all points)."""
+        import numpy as np
+
+        from ocr_service_ray.analytics.text_analysis import _skyline_2d
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 40, 600).astype(np.int64)
+        b = rng.integers(0, 40, 600).astype(np.int64)
+        want = {(x, y) for x, y in zip(a[_skyline_2d(a, b)], b[_skyline_2d(a, b)])}
+        cand_a, cand_b = [], []
+        for blk in np.array_split(np.arange(600), 7):
+            m = _skyline_2d(a[blk], b[blk])
+            cand_a.extend(a[blk][m]); cand_b.extend(b[blk][m])
+        ca, cb = np.array(cand_a, np.int64), np.array(cand_b, np.int64)
+        got = {(x, y) for x, y in zip(ca[_skyline_2d(ca, cb)], cb[_skyline_2d(ca, cb)])}
+        assert got == want
