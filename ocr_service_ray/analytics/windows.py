@@ -2966,3 +2966,121 @@ def purchaser_clicks_salted(
         return empty
     out = pa.concat_tables(tables).rename_columns(["user_id", "n_clicks"])
     return out.sort_by([("user_id", "ascending")])
+
+
+def purchaser_clicks_auto(
+    sf_dir: str,
+    broadcast_limit: int = 100_000,
+    skew_factor: int = 16,
+    stats: dict | None = None,
+) -> pa.Table:
+    """ADAPTIVE plan selection for the purchaser-clicks contract — the
+    optimizer step on top of the three physical plans this engine
+    ships (broadcast / bloom / salted): one cheap statistics pass over
+    events estimates (a) the distinct-purchaser cardinality via
+    per-block HyperLogLog partials (2^12 bytes per block, never the
+    key set) and (b) click-key skew via per-block top-candidate
+    counts; the driver then routes:
+
+      est_purchasers <= broadcast_limit        -> broadcast semi-join
+      hot key (approx count > clicks/skew_factor) -> salted shuffle join
+      otherwise                                 -> bloom big-big plan
+
+    This is the cost-based-optimizer shape (estimate -> threshold ->
+    physical plan) rather than a fourth plan; every branch returns the
+    identical oracle-exact result, and ``stats`` records the estimates
+    + the chosen plan so tests can force and assert each branch.
+    """
+    import pyarrow.compute as pc
+
+    from .hashing import HyperLogLog, md5_hash64
+
+    p = 12
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        purch = uid[et == "purchase"]
+        clicks = uid[et == "click"]
+        hll = HyperLogLog(p)
+        if len(purch):
+            hll.add_hashes(
+                np.fromiter((md5_hash64(str(u)) for u in purch), dtype=np.uint64)
+            )
+        rows_kind = ["hll"]
+        rows_regs = [hll.registers.tobytes()]
+        rows_uid = [0]
+        rows_n = [0]
+        rows_tot = [0]
+        if len(clicks):
+            ids, counts = np.unique(clicks, return_counts=True)
+            order = np.lexsort((ids, -counts))[:4]
+            for i in order:
+                rows_kind.append("cand")
+                rows_regs.append(b"")
+                rows_uid.append(int(ids[i]))
+                rows_n.append(int(counts[i]))
+                rows_tot.append(int(counts.sum()))
+        return pa.table(
+            {
+                "kind": pa.array(rows_kind, pa.string()),
+                "regs": pa.array(rows_regs, pa.binary()),
+                "user_id": pa.array(rows_uid, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "tot": pa.array(rows_tot, pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _events(sf_dir, ["user_id", "event_type"])
+            .map_batches(stat_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and "kind" in t.column_names
+    ]
+    regs = np.zeros(1 << p, np.uint8)
+    cand: dict[int, int] = {}
+    total_clicks = 0
+    for t in parts:
+        kinds = t.column("kind").to_pylist()
+        for i, k in enumerate(kinds):
+            if k == "hll":
+                np.maximum(
+                    regs,
+                    np.frombuffer(t.column("regs")[i].as_py(), np.uint8),
+                    out=regs,
+                )
+            else:
+                u = t.column("user_id")[i].as_py()
+                cand[u] = cand.get(u, 0) + t.column("n")[i].as_py()
+        tots = [
+            t.column("tot")[i].as_py() for i, k in enumerate(kinds) if k == "cand"
+        ]
+        if tots:
+            total_clicks += tots[0]
+    hll = HyperLogLog(p)
+    hll.registers = regs
+    est = hll.estimate_rounded()
+    max_cand = max(cand.values(), default=0)
+    skewed = total_clicks > 0 and max_cand > max(1, total_clicks // skew_factor)
+    if est <= broadcast_limit:
+        plan = "broadcast"
+        out = purchaser_clicks(sf_dir)
+    elif skewed:
+        plan = "salted"
+        out = purchaser_clicks_salted(sf_dir)
+    else:
+        plan = "bloom"
+        out = purchaser_clicks_bloom(sf_dir)
+    if stats is not None:
+        stats.update(
+            {
+                "plan": plan,
+                "est_purchasers": est,
+                "max_candidate_clicks": max_cand,
+                "total_clicks": total_clicks,
+            }
+        )
+    return out

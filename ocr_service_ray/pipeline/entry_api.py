@@ -811,6 +811,9 @@ def queries() -> dict:
         # third plan for the same contract: hot keys SALTED across
         # n_salts join partitions (explicit skew handling)
         "purchaser_clicks_salted": lambda sf: windows.purchaser_clicks_salted(sf),
+        # the optimizer step: HLL-cardinality + skew stats pass routes
+        # to broadcast / bloom / salted; result identical either way
+        "purchaser_clicks_auto": lambda sf: windows.purchaser_clicks_auto(sf),
         # Misra-Gries sketch-then-verify frequent items (exact result)
         "heavy_tokens": lambda sf: text_analysis.heavy_hitter_tokens(sf),
         # per-doc inner-repetition signal (Gopher-rule family)
@@ -1792,6 +1795,13 @@ def oracle_sql() -> dict:
         ),
         # same semantics again, by the hot-key-salted shuffle-join plan
         "purchaser_clicks_salted": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks FROM events "
+            "WHERE event_type = 'click' AND user_id IN "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        # and once more through the adaptive plan router
+        "purchaser_clicks_auto": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks FROM events "
             "WHERE event_type = 'click' AND user_id IN "
             "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "

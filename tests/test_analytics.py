@@ -150,7 +150,7 @@ class TestOracleEquivalence:
          "brand_volume", "token_canonical_map", "neardup_clusters_fast",
          "returned_item_customers", "forecast_revenue",
          "purchaser_clicks_salted", "docs_in_char_lang_box",
-         "skyline_docs"],
+         "skyline_docs", "purchaser_clicks_auto"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -2152,3 +2152,59 @@ class TestSkylineKernel:
         ca, cb = np.array(cand_a, np.int64), np.array(cand_b, np.int64)
         got = {(x, y) for x, y in zip(ca[_skyline_2d(ca, cb)], cb[_skyline_2d(ca, cb)])}
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAdaptiveJoinPlanner:
+    """purchaser_clicks_auto: each routing branch must fire under the
+    matching statistics and return the identical result."""
+
+    def _mk_events(self, tmp_path, hot_clicks: int):
+        import pyarrow.parquet as pq
+
+        rows = []
+        eid = 0
+        for _ in range(hot_clicks):
+            rows.append((eid, 7, "click")); eid += 1
+        rows.append((eid, 7, "purchase")); eid += 1
+        for u in range(1, 6):
+            for _ in range(3):
+                rows.append((eid, u, "click")); eid += 1
+        for u in (1, 2):
+            rows.append((eid, u, "purchase")); eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, tmp_path / "events.parquet", row_group_size=512)
+        return str(tmp_path)
+
+    def test_each_branch_fires_and_agrees(self, tmp_path):
+        from ocr_service_ray.analytics.windows import (
+            purchaser_clicks,
+            purchaser_clicks_auto,
+        )
+
+        d = self._mk_events(tmp_path, hot_clicks=2000)
+        want = purchaser_clicks(d).to_pandas()
+
+        st: dict = {}
+        got = purchaser_clicks_auto(d, stats=st).to_pandas()
+        assert st["plan"] == "broadcast" and st["est_purchasers"] <= 10
+        pd.testing.assert_frame_equal(got, want)
+
+        st = {}
+        got = purchaser_clicks_auto(d, broadcast_limit=0, stats=st).to_pandas()
+        assert st["plan"] == "salted"  # user 7 dominates the clicks
+        pd.testing.assert_frame_equal(got, want)
+
+        st = {}
+        got = purchaser_clicks_auto(
+            d, broadcast_limit=0, skew_factor=1, stats=st
+        ).to_pandas()
+        assert st["plan"] == "bloom"  # skew gate disabled -> big-big
+        pd.testing.assert_frame_equal(got, want)

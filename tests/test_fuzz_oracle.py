@@ -124,7 +124,7 @@ EVENT_QUERIES = [
     "daily_type_unpivot", "daily_new_users", "retention_cohorts",
     "funnel_counts", "user_journeys", "props_k_stats", "purchaser_clicks",
     "approx_distinct_users", "approx_quantiles_kmv",
-    "purchaser_clicks_salted",
+    "purchaser_clicks_salted", "purchaser_clicks_auto",
     "user_purchase_error_profile", "rolling_active_users",
     "top_values_with_ties", "throttled_events", "event_transitions",
     "debounced_events", "interval_coverage", "item_cooccurrence",
