@@ -35,14 +35,16 @@ from .hashing import md5_hex, normalize_text
 from .text_analysis import _TOKEN
 
 
-def curation_status(sf_dir: str, min_words: int = 10) -> pa.Table:
+def _dup_structures(sf_dir: str):
+    """Build + broadcast the two dup structures the status ladder needs:
+    the {fingerprint: min doc_id} map over duplicate GROUPS (pass A) and
+    the non-representative near-dup drop set (pass B) — both
+    O(duplicate rate), never corpus-sized. Returns (dup_ref, near_ref)
+    object refs shared by ``curation_status`` and ``export_curated``."""
     from ray.data.aggregate import Count, Min
 
     from . import dedup
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
     # pass A starts from the process-cached fingerprint table (one
     # normalize+md5 pass shared with exact_dedup / the snapshot family)
     groups = dedup.fingerprint_table(sf_dir).groupby("h").aggregate(
@@ -82,26 +84,41 @@ def curation_status(sf_dir: str, min_words: int = 10) -> pa.Table:
         if d != r
     )
 
-    dup_ref = ray.put(dup_map)
-    near_ref = ray.put(near_drop)
+    return ray.put(dup_map), ray.put(near_drop)
+
+
+def _batch_statuses(
+    batch: pa.Table, dm: dict, nd: frozenset, min_words: int
+) -> list[str]:
+    """The deterministic rule ladder applied to one batch (shared by
+    the status query and the export sink — one definition of 'kept')."""
+    out = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        if len(_TOKEN.findall(text or "")) < min_words:
+            out.append("too_short")
+            continue
+        m = dm.get(md5_hex(normalize_text(text)))
+        if m is not None and doc_id != m:
+            out.append("exact_dup")
+        elif doc_id in nd:
+            out.append("near_dup")
+        else:
+            out.append("kept")
+    return out
+
+
+def curation_status(sf_dir: str, min_words: int = 10) -> pa.Table:
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    dup_ref, near_ref = _dup_structures(sf_dir)
 
     def status(batch: pa.Table) -> pa.Table:
-        dm = ray.get(dup_ref)
-        nd = ray.get(near_ref)
-        out = []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            if len(_TOKEN.findall(text or "")) < min_words:
-                out.append("too_short")
-                continue
-            m = dm.get(md5_hex(normalize_text(text)))
-            if m is not None and doc_id != m:
-                out.append("exact_dup")
-            elif doc_id in nd:
-                out.append("near_dup")
-            else:
-                out.append("kept")
+        out = _batch_statuses(
+            batch, ray.get(dup_ref), ray.get(near_ref), min_words
+        )
         return pa.table(
             {"doc_id": batch.column("doc_id"), "status": pa.array(out, pa.string())}
         )
@@ -109,6 +126,80 @@ def curation_status(sf_dir: str, min_words: int = 10) -> pa.Table:
     out = docs.map_batches(status, batch_format="pyarrow")
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
+def export_curated(
+    sf_dir: str, out_root: str, min_words: int = 10, n_parts: int = 8
+) -> dict:
+    """Materialize the CURATED corpus — the artifact the whole curation
+    ladder exists to produce: every ``kept`` document (full row, all
+    columns) written as hash-partitioned parts with per-part lineage
+    manifests, in the engine's resumable part layout (atomic
+    tmp+rename commits; ``clear_all_parts`` first so a re-export is
+    idempotent, the ingest precedent).
+
+    Distributed sink shape: the same broadcast dup structures as
+    ``curation_status`` (O(duplicate rate)), ONE streaming pass filters
+    kept docs and tags a deterministic partition (doc_id mod n_parts),
+    and ``groupby(part).map_groups`` writes each part inside its own
+    task — the driver only ever sees the per-part manifest rows. Drop
+    counts per status ride along as integer partials so the summary is
+    exact without a second pass.
+    """
+    from ..core import storage
+
+    storage.clear_all_parts(out_root)
+    dup_ref, near_ref = _dup_structures(sf_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sts = _batch_statuses(
+            batch, ray.get(dup_ref), ray.get(near_ref), min_words
+        )
+        import numpy as np
+
+        arr = np.asarray(sts, dtype=object)
+        kept = batch.filter(pa.array(arr == "kept"))
+        ids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        return kept.append_column(
+            "part", pa.array((ids % n_parts).astype("int64"), pa.int64())
+        )
+
+    def write_group(group: pa.Table) -> pa.Table:
+        part_id = int(group.column("part")[0].as_py())
+        tbl = group.drop_columns(["part"]).sort_by([("doc_id", "ascending")])
+        storage.write_part(out_root, part_id, tbl)
+        storage.commit_manifest(
+            out_root,
+            part_id,
+            {
+                "part_id": part_id,
+                "n_docs": len(tbl),
+                "source_root": sf_dir,
+                "rule": {"min_words": min_words, "ladder": "curation_status"},
+            },
+        )
+        return pa.table(
+            {"part": pa.array([part_id], pa.int64()),
+             "n_docs": pa.array([len(tbl)], pa.int64())}
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    written = (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(write_group, batch_format="pyarrow")
+    )
+    rows = [
+        t
+        for t in ray.get(written.to_arrow_refs())
+        if t.num_rows and "part" in t.column_names
+    ]
+    n_kept = sum(int(n) for t in rows for n in t.column("n_docs").to_pylist())
+    return {
+        "out_root": out_root,
+        "n_parts": len(rows),
+        "n_kept": n_kept,
+    }
 
 
 def canonical_docs(sf_dir: str) -> pa.Table:

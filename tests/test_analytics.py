@@ -2208,3 +2208,46 @@ class TestAdaptiveJoinPlanner:
         ).to_pandas()
         assert st["plan"] == "bloom"  # skew gate disabled -> big-big
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExportCurated:
+    def test_roundtrip_lineage_idempotent(self, tmp_path):
+        import pyarrow.compute as pc
+
+        from ocr_service_ray.analytics.curation import (
+            curation_status,
+            export_curated,
+        )
+        from ocr_service_ray.core import storage
+
+        st = curation_status(SF)
+        kept = set(
+            st.filter(pc.equal(st.column("status"), "kept"))
+            .column("doc_id").to_pylist()
+        )
+        out = str(tmp_path / "curated")
+        summ = export_curated(SF, out)
+        assert summ["n_kept"] == len(kept)
+        got: set = set()
+        schema = None
+        for p in storage.list_parts(out):
+            t = storage.read_part(out, p)
+            got |= set(t.column("doc_id").to_pylist())
+            schema = t.schema
+            m = storage.read_manifest(out, p)
+            assert m["source_root"] == SF
+            assert m["rule"]["ladder"] == "curation_status"
+            assert m["n_docs"] == t.num_rows
+        assert got == kept
+        # full rows survive (all source columns, not just ids)
+        assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(schema.names)
+        # re-export is idempotent (stale parts cleared, same doc set)
+        summ2 = export_curated(SF, out)
+        assert summ2["n_kept"] == summ["n_kept"]
+        got2 = {
+            d
+            for p in storage.list_parts(out)
+            for d in storage.read_part(out, p).column("doc_id").to_pylist()
+        }
+        assert got2 == kept
