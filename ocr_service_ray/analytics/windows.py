@@ -2884,7 +2884,7 @@ def purchaser_clicks_salted(
             )
         hs = ray.get(hot_ref)
         uid = np.asarray(batch.column("user_id"), np.int64)
-        is_hot = np.fromiter((int(u) in hs for u in uid), bool, count=len(uid))
+        is_hot = np.isin(uid, np.fromiter(hs, np.int64, count=len(hs)))
         reps = np.where(is_hot, n_salts, 1)
         out_uid = np.repeat(uid, reps)
         salts = np.concatenate(
@@ -2909,7 +2909,7 @@ def purchaser_clicks_salted(
         hs = ray.get(hot_ref)
         uid = np.asarray(b.column("user_id"), np.int64)
         eid = np.asarray(b.column("event_id"), np.int64)
-        is_hot = np.fromiter((int(u) in hs for u in uid), bool, count=len(uid))
+        is_hot = np.isin(uid, np.fromiter(hs, np.int64, count=len(hs)))
         salt = np.where(is_hot, eid % n_salts, 0).astype(np.int64)
         t = pa.table(
             {
