@@ -707,7 +707,22 @@ def dup_ngram_spans(sf_dir: str, n: int = 8) -> pa.Table:
     ).sort_by([("gram", "ascending")])
 
 
+# trained merge tables shared by bpe_vocab / bpe_encode (the process-
+# cache pattern of _PAIRS_CACHE / _FP_CACHE: per-query timings are only
+# meaningful for the FIRST query of the family in a process)
+_BPE_CACHE: dict = {}
+
+
 def bpe_vocab(sf_dir: str, n_merges: int = 10) -> pa.Table:
+    cached = _BPE_CACHE.get((sf_dir, n_merges))
+    if cached is not None:
+        return cached
+    out = _bpe_vocab_impl(sf_dir, n_merges)
+    _BPE_CACHE[(sf_dir, n_merges)] = out
+    return out
+
+
+def _bpe_vocab_impl(sf_dir: str, n_merges: int = 10) -> pa.Table:
     """Distributed BPE tokenizer training (the merge-table core of
     Sennrich et al. 2016): learn ``n_merges`` byte-pair merges over
     the corpus word distribution, deterministic tie-break
