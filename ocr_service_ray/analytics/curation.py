@@ -129,14 +129,22 @@ def curation_status(sf_dir: str, min_words: int = 10) -> pa.Table:
 
 
 def export_curated(
-    sf_dir: str, out_root: str, min_words: int = 10, n_parts: int = 8
+    sf_dir: str,
+    out_root: str,
+    min_words: int = 10,
+    n_parts: int = 8,
+    resume: bool = False,
 ) -> dict:
     """Materialize the CURATED corpus — the artifact the whole curation
     ladder exists to produce: every ``kept`` document (full row, all
     columns) written as hash-partitioned parts with per-part lineage
     manifests, in the engine's resumable part layout (atomic
     tmp+rename commits; ``clear_all_parts`` first so a re-export is
-    idempotent, the ingest precedent).
+    idempotent, the ingest precedent). ``resume=True`` instead SKIPS
+    partitions whose manifest already committed (the run_pipeline wave
+    contract applied to the sink): partition membership is a pure
+    function of doc_id, so a committed part is already correct and
+    only missing/uncommitted parts are rewritten.
 
     Distributed sink shape: the same broadcast dup structures as
     ``curation_status`` (O(duplicate rate)), ONE streaming pass filters
@@ -148,7 +156,11 @@ def export_curated(
     """
     from ..core import storage
 
-    storage.clear_all_parts(out_root)
+    if resume:
+        done = frozenset(storage.list_parts(out_root))
+    else:
+        storage.clear_all_parts(out_root)
+        done = frozenset()
     dup_ref, near_ref = _dup_structures(sf_dir)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -167,6 +179,11 @@ def export_curated(
     def write_group(group: pa.Table) -> pa.Table:
         part_id = int(group.column("part")[0].as_py())
         tbl = group.drop_columns(["part"]).sort_by([("doc_id", "ascending")])
+        if part_id in done:  # committed in a prior run — skip rewrite
+            return pa.table(
+                {"part": pa.array([part_id], pa.int64()),
+                 "n_docs": pa.array([len(tbl)], pa.int64())}
+            )
         storage.write_part(out_root, part_id, tbl)
         storage.commit_manifest(
             out_root,

@@ -2251,3 +2251,46 @@ class TestExportCurated:
             for d in storage.read_part(out, p).column("doc_id").to_pylist()
         }
         assert got2 == kept
+
+    def test_resume_skips_committed_parts(self, tmp_path):
+        import os
+
+        from ocr_service_ray.analytics.curation import export_curated
+        from ocr_service_ray.core import storage
+
+        out = str(tmp_path / "curated_r")
+        export_curated(SF, out)
+        parts = storage.list_parts(out)
+        assert len(parts) >= 2
+        victim = parts[0]
+        survivor = parts[1]
+        # simulate a crash after some parts committed: remove one
+        # part's manifest + data, note another's mtime
+        pdir = os.path.join(out, f"part={victim}")
+        import shutil
+
+        shutil.rmtree(pdir)
+        spath = os.path.join(out, f"part={survivor}")
+        mtime_before = max(
+            os.path.getmtime(os.path.join(spath, f)) for f in os.listdir(spath)
+        )
+        export_curated(SF, out, resume=True)
+        # the missing part is back, the committed one untouched
+        assert victim in storage.list_parts(out)
+        mtime_after = max(
+            os.path.getmtime(os.path.join(spath, f)) for f in os.listdir(spath)
+        )
+        assert mtime_after == mtime_before
+        got = {
+            d
+            for p in storage.list_parts(out)
+            for d in storage.read_part(out, p).column("doc_id").to_pylist()
+        }
+        full = str(tmp_path / "curated_full")
+        export_curated(SF, full)
+        want = {
+            d
+            for p in storage.list_parts(full)
+            for d in storage.read_part(full, p).column("doc_id").to_pylist()
+        }
+        assert got == want
