@@ -1731,3 +1731,102 @@ def forecast_revenue(sf_dir: str, window_days: int = 365) -> pa.Table:
             "n_items": pa.array([n], pa.int64()),
         }
     )
+
+
+def dataset_mixture(sf_dir: str) -> pa.Table:
+    """Data-MIXTURE construction (the Pile / LLM-pretraining reweighting
+    verb): rebalance the corpus so every source contributes equally by
+    tokens, emitting per-document repeat counts — n_repeats = floor(f_s)
+    plus one stochastic-rounding extra with probability frac(f_s),
+    where f_s = (T/k)/tokens_s is the source's up/down-sampling factor.
+    The stochastic rounding is DERANDOMIZED the engine way: the extra
+    repeat fires iff the doc's md5-uniform (first 4 digest bytes) falls
+    below floor(frac·2^32) — a pure function of doc_id, reproducible
+    across cluster sizes and restarts, and exactly replicated in SQL
+    via the lexicographic hex compare (`hash_sample` precedent).
+
+    Distributed shape: pass 1 is a per-source token-sum combiner
+    (source domain is tiny); the driver computes the k factors with
+    the same double expression the oracle uses and broadcasts the
+    {source: (base, threshold)} map; pass 2 is one stateless
+    vectorized map. Nothing corpus-sized leaves the blocks.
+    """
+    from .hashing import md5_batch_int_ids
+    from .text_analysis import _TOKEN
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "source" not in batch.column_names:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "t": pa.array([], pa.int64())}
+            )
+        nt = np.array(
+            [len(_TOKEN.findall(t or "")) for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        sums = np.bincount(inv, weights=nt).astype(np.int64)
+        return pa.table(
+            {"source": pa.array(list(uniq), pa.string()),
+             "t": pa.array(sums, pa.int64())}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["source", "text"]
+            )
+            .map_batches(tok_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "source": pa.array([], pa.string()),
+         "n_repeats": pa.array([], pa.int64())}
+    )
+    if not parts:
+        return empty
+    agg: dict[str, int] = {}
+    for t in parts:
+        for s, v in zip(t.column("source").to_pylist(), t.column("t").to_pylist()):
+            agg[s] = agg.get(s, 0) + int(v)
+    total = sum(agg.values())
+    k = len(agg)
+    plan: dict[str, tuple[int, int]] = {}
+    for s, ts in agg.items():
+        # identical double expression to the oracle: (T/k)/ts
+        factor = (np.float64(total) / k) / np.float64(ts) if ts else 0.0
+        base = int(np.floor(factor))
+        thresh = int(np.floor((factor - np.floor(factor)) * 4294967296.0))
+        plan[s] = (base, thresh)
+    plan_ref = ray.put(plan)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        pl = ray.get(plan_ref)
+        ids = np.asarray(batch.column("doc_id"))
+        srcs = batch.column("source").to_pylist()
+        u32 = md5_batch_int_ids(ids)[:, :4].copy().view(">u4").ravel()
+        base = np.fromiter((pl[s][0] for s in srcs), np.int64, len(srcs))
+        th = np.fromiter((pl[s][1] for s in srcs), np.int64, len(srcs))
+        reps = base + (u32.astype(np.int64) < th).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_repeats": pa.array(reps, pa.int64()),
+            }
+        )
+
+    out = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(assign, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])

@@ -765,6 +765,9 @@ def queries() -> dict:
         # per-brand volume: part broadcast + lineitem combiner
         "brand_volume": lambda sf: relational.brand_volume(sf),
         "stratified_sample": lambda sf: relational.stratified_sample(sf),
+        # LLM data-mixture: per-source rebalance factors -> per-doc
+        # derandomized repeat counts (md5-uniform stochastic rounding)
+        "dataset_mixture": lambda sf: relational.dataset_mixture(sf),
         "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
         "rare_token_scores": lambda sf: relational.rare_token_scores(sf),
@@ -1354,6 +1357,24 @@ def oracle_sql() -> dict:
             "SELECT source, doc_id, row_number() OVER (PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
             "WHERE rn <= 5 ORDER BY source, doc_id"
+        ),
+        # data-mixture factors (equal-tokens-per-source target) with
+        # md5-uniform derandomized stochastic rounding; the factor is
+        # the identical double expression (T/k)/ts on both sides
+        "dataset_mixture": (
+            "WITH tok AS (SELECT doc_id, source, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS t "
+            "FROM documents), "
+            "s AS (SELECT source, sum(t) AS ts FROM tok GROUP BY source), "
+            "tot AS (SELECT CAST(sum(ts) AS DOUBLE) AS T, count(*) AS k FROM s), "
+            "f AS (SELECT source, (tot.T / tot.k) / CAST(ts AS DOUBLE) "
+            "AS factor FROM s, tot) "
+            "SELECT tok.doc_id, tok.source, "
+            "CAST(CAST(floor(factor) AS BIGINT) + CASE WHEN "
+            "substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 8) < "
+            "printf('%08x', CAST(floor((factor - floor(factor)) * 4294967296) "
+            "AS BIGINT)) THEN 1 ELSE 0 END AS BIGINT) AS n_repeats "
+            "FROM tok JOIN f USING (source) ORDER BY tok.doc_id"
         ),
         # KMV sample quantiles: the oracle reproduces the deterministic
         # k-minimum-values sample (md5 rank order) and hence the exact

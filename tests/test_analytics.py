@@ -150,7 +150,7 @@ class TestOracleEquivalence:
          "brand_volume", "token_canonical_map", "neardup_clusters_fast",
          "returned_item_customers", "forecast_revenue",
          "purchaser_clicks_salted", "docs_in_char_lang_box",
-         "skyline_docs", "purchaser_clicks_auto"],
+         "skyline_docs", "purchaser_clicks_auto", "dataset_mixture"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -2294,3 +2294,50 @@ class TestExportCurated:
             for d in storage.read_part(full, p).column("doc_id").to_pylist()
         }
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDatasetMixture:
+    def test_rebalances_token_mass_per_source(self):
+        """Each source's repeated token mass must land near the equal
+        share T/k — within one max-doc-token quantum per stochastic
+        rounding, far tighter than the raw per-source imbalance."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.relational import dataset_mixture
+
+        out = dataset_mixture(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "source", "text"])
+        tok = {
+            d: len(re.findall(r"[^ \t\n\f\r]+", t or ""))
+            for d, t in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist())
+        }
+        src_of = dict(zip(docs.column("doc_id").to_pylist(),
+                          docs.column("source").to_pylist()))
+        import numpy as np
+
+        per_src: dict = {}
+        for d, n in tok.items():
+            s = src_of[d]
+            per_src.setdefault(s, []).append((n, int(out.loc[d, "n_repeats"])))
+        total = sum(n for v in per_src.values() for n, _ in v)
+        share = total / len(per_src)
+        for s, rows in per_src.items():
+            raw = sum(n for n, _ in rows)
+            mixed = sum(n * r for n, r in rows)
+            # E[mixed] == share EXACTLY (factor * raw); the only error
+            # is the per-doc Bernoulli rounding — bound it by 5 sigma
+            # of sum(t_d^2 p(1-p)) plus one token quantum (tiny
+            # per-source doc counts at sf0.001 make a fixed % wrong)
+            factor = (np.float64(total) / len(per_src)) / np.float64(raw)
+            p = factor - np.floor(factor)
+            sd = np.sqrt(sum(n * n for n, _ in rows) * p * (1 - p))
+            assert abs(mixed - share) <= 5 * sd + 1, (s, raw, mixed, share, sd)
+            # every repeat count is base or base+1
+            base = int(np.floor(factor))
+            assert all(r in (base, base + 1) for _, r in rows), s
+        assert (out["n_repeats"] >= 0).all()

@@ -147,7 +147,7 @@ DOC_QUERIES = [
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
     "benchmark_contamination", "fuzzy_token_pairs", "cms_token_counts",
     "priority_sample", "text_search", "ranked_text_search",
-    "token_canonical_map", "skyline_docs",
+    "token_canonical_map", "skyline_docs", "dataset_mixture",
 ]
 
 TPCH_QUERIES = [
