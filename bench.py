@@ -197,6 +197,10 @@ def run_queries(num_cpus: int) -> dict:
             "bpe_encode": lambda: text_analysis.bpe_encode(sf_dir()),
             "returned_item_customers": lambda: relational.returned_item_customers(sf_dir()),
             "forecast_revenue": lambda: relational.forecast_revenue(sf_dir()),
+            "purchaser_clicks_salted": lambda: windows.purchaser_clicks_salted(sf_dir()),
+            "docs_in_char_lang_box": lambda: cluster.docs_in_char_lang_box(sf_dir()),
+            "skyline_docs": lambda: text_analysis.skyline_docs(sf_dir()),
+            "dataset_mixture": lambda: relational.dataset_mixture(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()
