@@ -3084,3 +3084,51 @@ def purchaser_clicks_auto(
             }
         )
     return out
+
+
+def time_to_conversion(sf_dir: str) -> pa.Table:
+    """FORWARD as-of join — the attribution twin of
+    ``asof_last_purchase``: each 'click' matched to the SAME user's
+    earliest strictly-LATER 'purchase' (or -1 if none), with explicit
+    tie semantics (among purchases sharing the earliest qualifying ts,
+    the MIN event_id wins — the mirror of the backward join's
+    max-event_id rule, and just as unspecified in native ASOF).
+
+    Same distributed shape as the backward join: one hash shuffle by
+    user_id, vectorized per-group ``searchsorted`` with side='right'
+    (the (ts, event_id)-sorted purchase array makes the tie rule free:
+    the first row of an equal-ts run IS the min event_id). Emits
+    (event_id, next_purchase_id, gap_s).
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        etypes = df["event_type"].to_numpy()
+        eids = df["event_id"].to_numpy()
+        is_click = etypes == "click"
+        is_buy = etypes == "purchase"
+        click_ts, click_id = ts_us[is_click], eids[is_click]
+        buy_ts, buy_id = ts_us[is_buy], eids[is_buy]
+        if buy_ts.size == 0:
+            nxt = np.full(len(click_id), -1, dtype=np.int64)
+            gap = np.full(len(click_id), -1.0)
+        else:
+            # earliest purchase strictly after each click
+            pos = np.searchsorted(buy_ts, click_ts, side="right")
+            has = pos < len(buy_ts)
+            safe = np.clip(pos, 0, len(buy_ts) - 1)
+            nxt = np.where(has, buy_id[safe], -1).astype(np.int64)
+            gap = np.where(has, (buy_ts[safe] - click_ts) / 1_000_000.0, -1.0)
+        return pa.table(
+            {
+                "event_id": pa.array(click_id, pa.int64()),
+                "next_purchase_id": pa.array(nxt, pa.int64()),
+                "gap_s": pa.array(gap, pa.float64()),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
+    return tbl.sort_by([("event_id", "ascending")])

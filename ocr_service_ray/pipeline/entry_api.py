@@ -817,6 +817,8 @@ def queries() -> dict:
         # the optimizer step: HLL-cardinality + skew stats pass routes
         # to broadcast / bloom / salted; result identical either way
         "purchaser_clicks_auto": lambda sf: windows.purchaser_clicks_auto(sf),
+        # forward as-of join (conversion attribution)
+        "time_to_conversion": lambda sf: windows.time_to_conversion(sf),
         # Misra-Gries sketch-then-verify frequent items (exact result)
         "heavy_tokens": lambda sf: text_analysis.heavy_hitter_tokens(sf),
         # per-doc inner-repetition signal (Gopher-rule family)
@@ -2176,6 +2178,23 @@ def oracle_sql() -> dict:
             "SELECT a.event_id AS event_id, "
             "COALESCE(j.bid, -1) AS prior_purchase_id, "
             "COALESCE(CAST(epoch_us(a.ts) - epoch_us(j.bts) AS DOUBLE) / 1000000.0, -1.0) AS gap_s "
+            "FROM a LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id) "
+            "ORDER BY a.event_id"
+        ),
+        # the FORWARD as-of twin: earliest strictly-later purchase,
+        # ties -> min event_id (mirror of the backward rule)
+        "time_to_conversion": (
+            "WITH a AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "b AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "j AS (SELECT a.event_id AS event_id, b.event_id AS bid, "
+            "a.ts AS ats, b.ts AS bts, row_number() OVER "
+            "(PARTITION BY a.event_id ORDER BY b.ts ASC, b.event_id ASC) AS rn "
+            "FROM a JOIN b ON a.user_id = b.user_id AND b.ts > a.ts) "
+            "SELECT a.event_id AS event_id, "
+            "COALESCE(j.bid, -1) AS next_purchase_id, "
+            "COALESCE(CAST(epoch_us(j.bts) - epoch_us(a.ts) AS DOUBLE) / 1000000.0, -1.0) AS gap_s "
             "FROM a LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id) "
             "ORDER BY a.event_id"
         ),

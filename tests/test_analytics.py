@@ -150,7 +150,8 @@ class TestOracleEquivalence:
          "brand_volume", "token_canonical_map", "neardup_clusters_fast",
          "returned_item_customers", "forecast_revenue",
          "purchaser_clicks_salted", "docs_in_char_lang_box",
-         "skyline_docs", "purchaser_clicks_auto", "dataset_mixture"],
+         "skyline_docs", "purchaser_clicks_auto", "dataset_mixture",
+         "time_to_conversion"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api

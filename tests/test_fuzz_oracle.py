@@ -118,6 +118,7 @@ def _gen_embeddings(rng: np.random.Generator, n: int = 40, d: int = 8) -> pa.Tab
 EVENT_QUERIES = [
     "tumbling_counts", "hopping_counts", "sessionize", "sessionize_scan",
     "running_totals", "user_value_windows", "asof_join", "range_join",
+    "time_to_conversion",
     "distinct_users", "value_quantiles", "value_quantiles_cont",
     "value_ntiles", "value_mad", "value_ranks", "value_mode", "value_trend",
     "zscore_outliers", "value_histogram", "daily_type_pivot",
