@@ -873,6 +873,17 @@ def cross_snapshot_neardup(
     )
     if len(pair_tbl) == 0:
         return empty
+    return _verify_cross_pairs(sf_dir, pair_tbl, shingle_k, threshold)
+
+
+def _verify_cross_pairs(
+    sf_dir: str, pair_tbl: pa.Table, shingle_k: int, threshold: float
+) -> pa.Table:
+    """Shared exact-verify tail for the incremental near-dup plans
+    (recompute and indexed probe): broadcast the candidate docs'
+    shingle sets (O(candidates), the duplicate-rate bound) and emit
+    only pairs with true Jaccard >= threshold."""
+    docs = _docs(sf_dir)
     need_ref = ray.put(
         frozenset(pair_tbl.column("base_doc_id").to_pylist())
         | frozenset(pair_tbl.column("doc_id").to_pylist())
@@ -1334,3 +1345,200 @@ def semantic_dedup(
         ),
     )
     return tbl.sort_by([("vec_id", "ascending")])
+
+
+# ----------------------------------------------------------------------
+# Persistent LSH signature index (incremental probe without recompute)
+
+# bump when the signature/bucket-layout code changes so stale /tmp
+# indexes from older code auto-invalidate (the IVF_VERSION pattern)
+LSH_INDEX_VERSION = 1
+
+
+def _lsh_index_root(
+    sf_dir: str, num_perm: int, bands: int, shingle_k: int, n_buckets: int
+) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return (
+        f"/tmp/graft_lshidx/v{LSH_INDEX_VERSION}/"
+        f"{tag}-p{num_perm}b{bands}k{shingle_k}-B{n_buckets}"
+    )
+
+
+def _bucket_of(bands_arr: np.ndarray, keys: list[str], n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id from (band, key): the key's first 8 hex
+    chars (uniform minhash bits) xor the band, mod n_buckets."""
+    ints = np.fromiter(
+        (int(k[:8], 16) for k in keys), dtype=np.int64, count=len(keys)
+    )
+    return (ints ^ bands_arr.astype(np.int64)) % n_buckets
+
+
+def lsh_build_index(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    n_buckets: int = 32,
+) -> str:
+    """Persist the ARCHIVE side's LSH band signatures as a hive
+    bucket-partitioned layout ``<root>/bucket=<b>/*.parquet`` with rows
+    (band, key, doc_id) — the signature STORE that makes incremental
+    near-dup a PROBE instead of a recompute: ``cross_snapshot_neardup``
+    re-signatures the whole archive every run (amortized only by a
+    process cache); this index is built ONCE per (corpus, params) and
+    a new-snapshot probe reads only the buckets its own signatures
+    touch (the text-index / IVF pruned-read pattern applied to dedup).
+    Archive = doc_id < T, T = (max+1)//2 — the same deterministic
+    snapshot split as the other cross-snapshot operators (T recorded
+    in the marker for the probe)."""
+    import json
+    import os
+
+    root = _lsh_index_root(sf_dir, num_perm, bands, shingle_k, n_buckets)
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root
+    import shutil
+
+    import pyarrow.compute as pc
+
+    shutil.rmtree(root, ignore_errors=True)
+    t_split = (int(_docs(sf_dir).max("doc_id")) + 1) // 2
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        sig = _signature_batch(
+            batch, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        )
+        if sig.num_rows == 0:
+            return sig.append_column("bucket", pa.array([], pa.int32()))
+        b = _bucket_of(
+            np.asarray(sig.column("band"), np.int64),
+            sig.column("key").to_pylist(),
+            n_buckets,
+        )
+        return sig.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    (
+        _docs(sf_dir)
+        .filter(expr=f"doc_id < {t_split}")
+        .map_batches(bucketed, batch_size=256, batch_format="pyarrow")
+        .write_parquet(root, partition_cols=["bucket"])
+    )
+    with open(marker, "w") as f:
+        json.dump({"t_split": t_split}, f)
+    return root
+
+
+def cross_snapshot_neardup_indexed(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+    n_buckets: int = 32,
+    stats: dict | None = None,
+) -> pa.Table:
+    """``cross_snapshot_neardup`` served from the PERSISTENT signature
+    index: the new snapshot's signatures are computed (new side only —
+    the incremental batch), the archive is a PRUNED READ of just the
+    buckets those signatures touch, and candidates are the cross-side
+    (band, key) matches, exact-verified by the shared tail. Same
+    output contract and SQL oracle as the recompute plan; ``stats``
+    records buckets probed / total for the pruning test.
+
+    At 100 TB this is the difference between re-signaturing the whole
+    archive per ingest batch and touching O(new-batch × bands / B) of
+    a prebuilt layout."""
+    import glob
+    import json
+    import os
+
+    root = lsh_build_index(sf_dir, num_perm, bands, shingle_k, n_buckets)
+    with open(os.path.join(root, "_BUILT")) as f:
+        t_split = json.load(f)["t_split"]
+
+    # new-side signatures -> driver dict {(band, key): [new ids]}
+    def sig_new(batch: pa.Table) -> pa.Table:
+        return _signature_batch(
+            batch, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        )
+
+    new_sig_tbls = [
+        t
+        for t in ray.get(
+            _docs(sf_dir)
+            .filter(expr=f"doc_id >= {t_split}")
+            .map_batches(sig_new, batch_size=256, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "base_doc_id": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    if not new_sig_tbls:
+        return empty
+    new_sig = pa.concat_tables(new_sig_tbls)
+    lookup: dict[tuple, list[int]] = {}
+    for band, key, did in zip(
+        new_sig.column("band").to_pylist(),
+        new_sig.column("key").to_pylist(),
+        new_sig.column("doc_id").to_pylist(),
+    ):
+        lookup.setdefault((band, key), []).append(did)
+    touched = sorted(
+        set(
+            _bucket_of(
+                np.asarray(new_sig.column("band"), np.int64),
+                new_sig.column("key").to_pylist(),
+                n_buckets,
+            ).tolist()
+        )
+    )
+    if stats is not None:
+        stats["buckets_probed"] = len(touched)
+        stats["buckets_total"] = n_buckets
+    paths = [
+        f
+        for b in touched
+        for f in sorted(glob.glob(os.path.join(root, f"bucket={b}", "*.parquet")))
+    ]
+    if not paths:
+        return empty
+    lookup_ref = ray.put(lookup)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        out_b, out_n = [], []
+        for band, key, did in zip(
+            batch.column("band").to_pylist(),
+            batch.column("key").to_pylist(),
+            batch.column("doc_id").to_pylist(),
+        ):
+            hits = lk.get((band, key))
+            if hits:
+                out_b.extend([did] * len(hits))
+                out_n.extend(hits)
+        return pa.table(
+            {"base_doc_id": pa.array(out_b, pa.int64()),
+             "doc_id": pa.array(out_n, pa.int64())}
+        )
+
+    distinct = (
+        ray.data.read_parquet(paths, columns=["band", "key", "doc_id"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby(["base_doc_id", "doc_id"])
+        .count()
+    )
+    pair_tbl = _collect(
+        distinct,
+        pa.schema(
+            [("base_doc_id", pa.int64()), ("doc_id", pa.int64()), ("count()", pa.int64())]
+        ),
+    )
+    if len(pair_tbl) == 0:
+        return empty
+    return _verify_cross_pairs(sf_dir, pair_tbl, shingle_k, threshold)

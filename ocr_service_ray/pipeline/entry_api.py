@@ -844,6 +844,9 @@ def queries() -> dict:
         "cross_snapshot_dupes": lambda sf: dedup.cross_snapshot_dupes(sf),
         # fuzzy twin: cross-side-only LSH pair emission
         "cross_snapshot_neardup": lambda sf: dedup.cross_snapshot_neardup(sf),
+        # same contract served from the PERSISTENT signature index
+        # (pruned bucket probe instead of an archive recompute)
+        "cross_snapshot_neardup_idx": lambda sf: dedup.cross_snapshot_neardup_indexed(sf),
         # distinct-fingerprint union/intersect/except counts
         "snapshot_set_ops": lambda sf: dedup.snapshot_set_ops(sf),
         # inverse reshape verb (wide -> long melt)
@@ -1846,6 +1849,28 @@ def oracle_sql() -> dict:
         # incremental near-dup: cross-side LSH (archive-internal pairs
         # never materialize); same split + shingle-Jaccard as the SQL
         "cross_snapshot_neardup": (
+            "WITH t AS (SELECT (max(doc_id) + 1) // 2 AS ts FROM documents), "
+            "w AS (SELECT doc_id, "
+            "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words "
+            "FROM documents), "
+            "g AS (SELECT doc_id, words, "
+            "unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i "
+            "FROM w WHERE len(words) > 0 AND words[1] <> ''), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(words[i:least(i + 4, len(words))], ' ') AS shingle FROM g), "
+            "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS base_doc_id, b.doc_id AS doc_id, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle, t "
+            "WHERE a.doc_id < t.ts AND b.doc_id >= t.ts "
+            "GROUP BY 1, 2) "
+            "SELECT i.doc_id, base_doc_id, "
+            "CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard "
+            "FROM inter i JOIN cnt na ON na.doc_id = base_doc_id "
+            "JOIN cnt nb ON nb.doc_id = i.doc_id "
+            "WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.6 "
+            "ORDER BY i.doc_id, base_doc_id"
+        ),
+        "cross_snapshot_neardup_idx": (
             "WITH t AS (SELECT (max(doc_id) + 1) // 2 AS ts FROM documents), "
             "w AS (SELECT doc_id, "
             "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words "

@@ -151,7 +151,7 @@ class TestOracleEquivalence:
          "returned_item_customers", "forecast_revenue",
          "purchaser_clicks_salted", "docs_in_char_lang_box",
          "skyline_docs", "purchaser_clicks_auto", "dataset_mixture",
-         "time_to_conversion"],
+         "time_to_conversion", "cross_snapshot_neardup_idx"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -2342,3 +2342,52 @@ class TestDatasetMixture:
             base = int(np.floor(factor))
             assert all(r in (base, base + 1) for _, r in rows), s
         assert (out["n_repeats"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLshSignatureIndex:
+    """Persistent LSH index: the probe must equal the recompute plan,
+    and a small incremental batch must touch only its own buckets."""
+
+    def test_plan_equality_with_recompute(self):
+        from ocr_service_ray.analytics.dedup import (
+            cross_snapshot_neardup,
+            cross_snapshot_neardup_indexed,
+        )
+
+        a = cross_snapshot_neardup(SF).to_pandas()
+        b = cross_snapshot_neardup_indexed(SF).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_small_probe_prunes_buckets(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.dedup import (
+            cross_snapshot_neardup_indexed,
+        )
+
+        # archive: docs 0..60 (T = (121+1)//2 = 61); new side: ONE doc
+        # (id 121) that is a near-dup of archive doc 3
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        texts = [f"{base} doc{i} unique{i} tail{i} words{i} here{i}" for i in range(61)]
+        ids = list(range(61)) + [121]
+        texts.append(texts[3] + " extra")
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["s"] * len(ids), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        st: dict = {}
+        out = cross_snapshot_neardup_indexed(str(tmp_path), stats=st).to_pandas()
+        # one new doc -> at most `bands` buckets probed, strictly fewer
+        # than the layout's total
+        assert st["buckets_probed"] <= 16 < st["buckets_total"] or (
+            st["buckets_probed"] < st["buckets_total"]
+        )
+        assert (out["doc_id"] == 121).all() and 3 in set(out["base_doc_id"])
