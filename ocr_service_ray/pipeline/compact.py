@@ -89,3 +89,78 @@ def compact_parts(
         "compacted": len(results),
         "n_docs": sum(r["n_docs"] for r in results),
     }
+
+
+@ray.remote
+def _probe_part(root: str, part_id: int, victims: frozenset) -> tuple[int, int]:
+    """(part_id, n_victims) using a COLUMN-PRUNED read of doc_id only —
+    the membership probe never loads payloads. Key-type agnostic
+    (string doc_ids in the span layouts, int64 in analytics ones)."""
+    ids = storage.read_part(root, part_id, columns=["doc_id"]).column("doc_id")
+    n = sum(1 for d in ids.to_pylist() if d in victims)
+    return part_id, n
+
+
+@ray.remote
+def _rewrite_part(root: str, part_id: int, victims: frozenset) -> dict:
+    import pyarrow.compute as pc
+
+    tbl = storage.read_part(root, part_id)
+    import numpy as np
+
+    keep = pa.array(
+        np.fromiter(
+            (d not in victims for d in tbl.column("doc_id").to_pylist()),
+            np.bool_,
+            tbl.num_rows,
+        )
+    )
+    out = tbl.filter(keep)
+    n_deleted = tbl.num_rows - out.num_rows
+    prior = storage.read_manifest(root, part_id)
+    storage.write_part(root, part_id, out)
+    manifest = dict(prior)
+    manifest.update(
+        {
+            "part_id": part_id,
+            "n_docs": out.num_rows,
+            "deleted": int(n_deleted)
+            + int(prior.get("deleted", 0)),
+        }
+    )
+    storage.commit_manifest(root, part_id, manifest)
+    return manifest
+
+
+def delete_docs(root: str, doc_ids) -> dict:
+    """Targeted DELETE over a part layout — the right-to-be-forgotten /
+    retention verb: remove the given doc_ids, rewriting ONLY the
+    partitions that actually contain them.
+
+    Two phases, both parallel Ray tasks:
+      1. PROBE: every partition is checked with a column-pruned doc_id
+         read (payload columns never leave storage) — cheap metadata-
+         scale IO that works for ANY layout (hash-partitioned, sorted,
+         appended drops) without trusting a partition function;
+      2. REWRITE: only partitions with hits are rewritten in place
+         (atomic tmp+rename via the storage adapter); their manifests
+         keep lineage and accumulate a ``deleted`` tombstone count.
+    Untouched partitions keep their files and manifests byte-identical
+    (mtime-pinned by the test) — at 100 TB a delete of k docs costs
+    O(parts) doc_id-column probes + O(parts-with-hits) rewrites, not a
+    full-table rewrite.
+    """
+    victims = frozenset(doc_ids)
+    parts = storage.list_parts(root)
+    probed = ray.get([_probe_part.remote(root, p, victims) for p in parts])
+    hit_parts = [p for p, n in probed if n > 0]
+    manifests = ray.get(
+        [_rewrite_part.remote(root, p, victims) for p in hit_parts]
+    )
+    return {
+        "n_parts_total": len(parts),
+        "n_parts_rewritten": len(hit_parts),
+        "n_deleted": sum(
+            n for _, n in probed
+        ),
+    }

@@ -238,3 +238,56 @@ class TestZoneMapClustering:
         cluster_parts(root, out, key="a", target_rows=10)
         with pytest.raises(ValueError):
             pruned_parts(out, "b", 0, 1)
+
+
+class TestDeleteDocs:
+    def test_targeted_delete_rewrites_only_hit_parts(self, tmp_path, ray_session):
+        import os
+        import time
+
+        from ocr_service_ray.pipeline.compact import delete_docs
+
+        root = str(tmp_path / "t")
+        for p in range(4):
+            t = pa.table({
+                "doc_id": [f"d{p}-{i}" for i in range(10)],
+                "v": list(range(10)),
+            })
+            storage.write_part(root, p, t)
+            storage.commit_manifest(root, p, {"part_id": p, "n_docs": 10})
+        victims = ["d1-3", "d1-7", "d3-0"]
+        spath = os.path.join(root, "part=0")
+        mtime_before = max(
+            os.path.getmtime(os.path.join(spath, f)) for f in os.listdir(spath)
+        )
+        time.sleep(0.02)
+        out = delete_docs(root, victims)
+        assert out == {"n_parts_total": 4, "n_parts_rewritten": 2, "n_deleted": 3}
+        # untouched part byte-identical (mtime pinned)
+        mtime_after = max(
+            os.path.getmtime(os.path.join(spath, f)) for f in os.listdir(spath)
+        )
+        assert mtime_after == mtime_before
+        # victims gone, everyone else intact, tombstone lineage recorded
+        remaining = [
+            d for p in storage.list_parts(root)
+            for d in storage.read_part(root, p).column("doc_id").to_pylist()
+        ]
+        assert set(victims).isdisjoint(remaining) and len(remaining) == 37
+        m1 = storage.read_manifest(root, 1)
+        assert m1["n_docs"] == 8 and m1["deleted"] == 2
+        # idempotent: deleting the same ids again rewrites nothing
+        out2 = delete_docs(root, victims)
+        assert out2["n_parts_rewritten"] == 0 and out2["n_deleted"] == 0
+
+    def test_delete_accumulates_tombstones(self, tmp_path, ray_session):
+        from ocr_service_ray.pipeline.compact import delete_docs
+
+        root = str(tmp_path / "t2")
+        t = pa.table({"doc_id": ["a", "b", "c", "d"], "v": [1, 2, 3, 4]})
+        storage.write_part(root, 0, t)
+        storage.commit_manifest(root, 0, {"part_id": 0, "n_docs": 4})
+        delete_docs(root, ["a"])
+        delete_docs(root, ["c"])
+        m = storage.read_manifest(root, 0)
+        assert m["n_docs"] == 2 and m["deleted"] == 2
