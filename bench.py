@@ -201,6 +201,9 @@ def run_queries(num_cpus: int) -> dict:
             "docs_in_char_lang_box": lambda: cluster.docs_in_char_lang_box(sf_dir()),
             "skyline_docs": lambda: text_analysis.skyline_docs(sf_dir()),
             "dataset_mixture": lambda: relational.dataset_mixture(sf_dir()),
+            "time_to_conversion": lambda: windows.time_to_conversion(sf_dir()),
+            "cross_snapshot_neardup_idx": lambda: dedup.cross_snapshot_neardup_indexed(sf_dir()),
+            "purchaser_clicks_auto": lambda: windows.purchaser_clicks_auto(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()

@@ -140,7 +140,8 @@ DOC_QUERIES = [
     "dup_ngram_spans", "latest_doc_versions", "chunk_documents",
     "redact_pii", "hash_sample", "source_stats", "source_lang_rollup",
     "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
-    "minhash_pairs", "ngram_jaccard", "rare_token_scores",
+    "minhash_pairs", "ngram_jaccard", "cross_snapshot_neardup_idx",
+    "rare_token_scores",
     "repetition_scores", "bigram_counts", "singleton_docs", "dataset_splits",
     "packed_sequences",
     "neardup_clusters", "neardup_clusters_fast",
