@@ -1352,7 +1352,7 @@ def semantic_dedup(
 
 # bump when the signature/bucket-layout code changes so stale /tmp
 # indexes from older code auto-invalidate (the IVF_VERSION pattern)
-LSH_INDEX_VERSION = 1
+LSH_INDEX_VERSION = 2
 
 
 def _lsh_index_root(
@@ -1423,7 +1423,10 @@ def lsh_build_index(
         _docs(sf_dir)
         .filter(expr=f"doc_id < {t_split}")
         .map_batches(bucketed, batch_size=256, batch_format="pyarrow")
-        .write_parquet(root, partition_cols=["bucket"])
+        # boilerplate-heavy corpora can pile one band-key's signatures
+        # into a single bucket; cap file size so a hot bucket reads as
+        # parallel bounded tasks (same discipline as the IVF cells)
+        .write_parquet(root, partition_cols=["bucket"], max_rows_per_file=65536)
     )
     with open(marker, "w") as f:
         json.dump({"t_split": t_split}, f)

@@ -208,7 +208,7 @@ def _kmeans_lite(x: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 0)
 
 # bump when the index-building code (k-means, assignment, layout)
 # changes so stale /tmp indexes from older code auto-invalidate
-IVF_VERSION = 2
+IVF_VERSION = 3
 
 
 def _ivf_root(sf_dir: str, n_clusters: int) -> str:
@@ -247,8 +247,13 @@ def ivf_build_index(sf_dir: str, n_clusters: int = 16, seed: int = 0) -> str:
         cells = (m @ c.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("cell", pa.array(cells, pa.int32()))
 
+    # a skewed corpus can dump most vectors into ONE cell (k-means
+    # collapses on duplicate-heavy data); capping rows per file keeps a
+    # hot cell readable as MANY parallel tasks with bounded memory
+    # instead of one giant file (the probe's per-block top-k only needs
+    # block-sized state, so correctness is unaffected)
     _emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
-        root, partition_cols=["cell"]
+        root, partition_cols=["cell"], max_rows_per_file=4096
     )
     np.save(os.path.join(root, "centroids.npy"), cent)
     with open(marker, "w") as f:

@@ -2391,3 +2391,45 @@ class TestLshSignatureIndex:
             st["buckets_probed"] < st["buckets_total"]
         )
         assert (out["doc_id"] == 121).all() and 3 in set(out["base_doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfHotCell:
+    def test_skewed_corpus_splits_hot_cell_files(self, tmp_path):
+        """A duplicate-heavy corpus collapses k-means into one hot cell;
+        the layout must cap rows per file so the cell reads as parallel
+        bounded tasks, and the probe must still return full results."""
+        import glob
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics import similarity
+
+        rng = np.random.default_rng(3)
+        n, d = 9000, 16
+        m = rng.normal(0, 1, (n, d)).astype(np.float32)
+        m[100:] = m[99]  # 8,900 identical vectors -> one hot cell
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array([list(map(float, r)) for r in m],
+                                      pa.list_(pa.float32())),
+            }),
+            tmp_path / "embeddings.parquet",
+        )
+        root = similarity.ivf_build_index(str(tmp_path), n_clusters=8)
+        per_cell = {
+            c: sorted(glob.glob(os.path.join(root, c, "*.parquet")))
+            for c in os.listdir(root)
+            if c.startswith("cell=")
+        }
+        sizes = {
+            c: [pq.read_metadata(f).num_rows for f in fs]
+            for c, fs in per_cell.items()
+        }
+        assert all(r <= 4096 for rs in sizes.values() for r in rs), sizes
+        assert max(len(fs) for fs in per_cell.values()) >= 2  # hot cell split
+        out = similarity.ivf_topk(str(tmp_path), n_queries=4, k=5, n_clusters=8)
+        assert out.num_rows == 20
