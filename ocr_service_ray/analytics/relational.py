@@ -1830,3 +1830,60 @@ def dataset_mixture(sf_dir: str) -> pa.Table:
     if not tables:
         return empty
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
+def source_lang_cube(sf_dir: str) -> pa.Table:
+    """CUBE aggregate — the remaining OLAP grouping verb next to the
+    ROLLUP: doc counts + char sums for ALL 2^k grouping sets of
+    (source, lang): (source, lang), (source, *), (*, lang), (*, *),
+    'ALL' markers for the collapsed dimensions.
+
+    Same distributed plan as ``source_lang_rollup``: ONE combiner
+    groupby computes the finest cell; every coarser grouping set is a
+    re-aggregation of that |sources|x|langs| result on the driver —
+    the corpus is scanned once regardless of how many grouping sets
+    the cube expands to.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(len(batch), np.int64)),
+                "sum_chars": pa.array(
+                    np.asarray(batch.column("n_chars"), dtype=np.int64)
+                ),
+            }
+        )
+        g = pa.TableGroupBy(t, ["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "sum_chars"])
+
+    base = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum(["n_docs", "sum_chars"])
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(sum_chars)": "sum_chars"})
+    )
+    by_source = base.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+    by_source["lang"] = "ALL"
+    by_lang = base.groupby("lang", as_index=False)[["n_docs", "sum_chars"]].sum()
+    by_lang["source"] = "ALL"
+    total = pd.DataFrame(
+        {"source": ["ALL"], "lang": ["ALL"],
+         "n_docs": [base["n_docs"].sum()], "sum_chars": [base["sum_chars"].sum()]}
+    )
+    out = pd.concat([base, by_source, by_lang, total], ignore_index=True)
+    for c in ("n_docs", "sum_chars"):
+        out[c] = out[c].astype(np.int64)
+    out = out[["source", "lang", "n_docs", "sum_chars"]].sort_values(
+        ["source", "lang"]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -770,6 +770,8 @@ def queries() -> dict:
         "dataset_mixture": lambda sf: relational.dataset_mixture(sf),
         "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
+        # CUBE: every grouping set of (source, lang) from one pass
+        "source_lang_cube": lambda sf: relational.source_lang_cube(sf),
         "rare_token_scores": lambda sf: relational.rare_token_scores(sf),
         "hash_sample": relational.hash_sample,
         # Efraimidis-Spirakis weighted sample (u^(1/w) priority keys)
@@ -1336,6 +1338,15 @@ def oracle_sql() -> dict:
             "WHERE rn <= 3 ORDER BY source, rank"
         ),
         # three-level rollup ('ALL' markers make levels unambiguous)
+        # CUBE: all four grouping sets from ONE corpus pass
+        "source_lang_cube": (
+            "SELECT COALESCE(source, 'ALL') AS source, "
+            "COALESCE(lang, 'ALL') AS lang, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY CUBE (source, lang) "
+            "ORDER BY source, lang"
+        ),
         "source_lang_rollup": (
             "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1, 2 "

@@ -139,6 +139,7 @@ DOC_QUERIES = [
     "lang_id", "exact_dedup", "simhash", "distinctive_terms",
     "dup_ngram_spans", "latest_doc_versions", "chunk_documents",
     "redact_pii", "hash_sample", "source_stats", "source_lang_rollup",
+    "source_lang_cube",
     "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
     "minhash_pairs", "ngram_jaccard", "cross_snapshot_neardup_idx",
     "rare_token_scores",
