@@ -963,3 +963,91 @@ def embedding_pca(sf_dir: str, n_components: int = 4) -> pa.Table:
     out = _emb(sf_dir).map_batches(project, batch_format="pyarrow")
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tables).sort_by([("vec_id", "ascending")])
+
+
+def embedding_drift(sf_dir: str) -> pa.Table:
+    """Distribution-SHIFT detection between embedding snapshots: exact
+    per-dimension first moments of the base side (vec_id < T) vs the
+    new side (vec_id >= T, T = (max+1)//2 — the engine's standard
+    snapshot split). Emits (dim, n_base, n_new, sum_base_fx,
+    sum_new_fx) where fx = floor(x · 2^20 + 0.5) int64 (the repo's
+    cents convention — NOT rint, whose ties-to-even diverges from SQL
+    round on exact .5) — the moment table is EXACT, order-free
+    and hence SQL-oracle-able (float means would diverge from the
+    oracle's summation order in the last ulp). Mean drift per dim is
+    one division away for the consumer; the raw integer moments are
+    what a monitoring pipeline stores and diffs.
+
+    Distributed shape: each block reduces to at most 2·d partial rows
+    (side, dim, n, sum_fx); the driver sum over O(blocks·d) integers is
+    exact. One corpus pass, no shuffle.
+    """
+    t_split = (
+        int(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+            ).max("vec_id")
+        )
+        + 1
+    ) // 2
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table(
+                {"side": pa.array([], pa.int32()),
+                 "dim": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64())}
+            )
+        ids = np.asarray(batch.column("vec_id"), np.int64)
+        m = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+        fx = np.floor(m * (1 << 20) + 0.5).astype(np.int64)
+        sides, dims, ns, ss = [], [], [], []
+        for side, mask in ((0, ids < t_split), (1, ids >= t_split)):
+            if not mask.any():
+                continue
+            sub = fx[mask]
+            d = sub.shape[1]
+            sides.extend([side] * d)
+            dims.extend(range(d))
+            ns.extend([int(mask.sum())] * d)
+            ss.extend(sub.sum(axis=0).tolist())
+        return pa.table(
+            {"side": pa.array(sides, pa.int32()),
+             "dim": pa.array(dims, pa.int64()),
+             "n": pa.array(ns, pa.int64()),
+             "s": pa.array(ss, pa.int64())}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _emb(sf_dir)
+            .map_batches(moments, batch_format="pyarrow", batch_size=4096)
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    acc: dict[tuple[int, int], list[int]] = {}
+    for t in parts:
+        for side, dim, n, s in zip(
+            t.column("side").to_pylist(), t.column("dim").to_pylist(),
+            t.column("n").to_pylist(), t.column("s").to_pylist(),
+        ):
+            cur = acc.setdefault((side, dim), [0, 0])
+            cur[0] += n
+            cur[1] += s
+    dims = sorted({d for _, d in acc})
+    return pa.table(
+        {
+            "dim": pa.array(dims, pa.int64()),
+            "n_base": pa.array([acc.get((0, d), [0, 0])[0] for d in dims], pa.int64()),
+            "n_new": pa.array([acc.get((1, d), [0, 0])[0] for d in dims], pa.int64()),
+            "sum_base_fx": pa.array(
+                [acc.get((0, d), [0, 0])[1] for d in dims], pa.int64()
+            ),
+            "sum_new_fx": pa.array(
+                [acc.get((1, d), [0, 0])[1] for d in dims], pa.int64()
+            ),
+        }
+    )

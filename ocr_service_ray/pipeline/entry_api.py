@@ -906,6 +906,8 @@ def queries() -> dict:
         "bpe_encode": lambda sf: text_analysis.bpe_encode(sf),
         # int8-style scalar quantization of the embedding column
         "embedding_quantize": lambda sf: similarity.embedding_quantize(sf),
+        # snapshot distribution-shift: exact integer per-dim moments
+        "embedding_drift": lambda sf: similarity.embedding_drift(sf),
         # growth accounting: daily active / new / cumulative users
         "daily_new_users": lambda sf: windows.daily_new_users(sf),
         # exact duplicated-substring (word 8-gram) detection
@@ -1510,6 +1512,20 @@ def oracle_sql() -> dict:
             "CAST(row_number() OVER (PARTITION BY query_id "
             "ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank "
             "FROM s QUALIFY rank <= 10 ORDER BY query_id, rank"
+        ),
+        # per-dim fixed-point first moments split at the snapshot T —
+        # all-integer output so the float-summation order can't diverge
+        "embedding_drift": (
+            "WITH t AS (SELECT (max(vec_id) + 1) // 2 AS ts FROM embeddings), "
+            "e AS (SELECT vec_id, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS fx, "
+            "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings) "
+            "SELECT CAST(dim AS BIGINT) AS dim, "
+            "CAST(count(*) FILTER (vec_id < t.ts) AS BIGINT) AS n_base, "
+            "CAST(count(*) FILTER (vec_id >= t.ts) AS BIGINT) AS n_new, "
+            "CAST(COALESCE(sum(fx) FILTER (vec_id < t.ts), 0) AS BIGINT) AS sum_base_fx, "
+            "CAST(COALESCE(sum(fx) FILTER (vec_id >= t.ts), 0) AS BIGINT) AS sum_new_fx "
+            "FROM e, t GROUP BY dim ORDER BY dim"
         ),
         "embedding_quantize": (
             "WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "

@@ -152,7 +152,7 @@ class TestOracleEquivalence:
          "purchaser_clicks_salted", "docs_in_char_lang_box",
          "skyline_docs", "purchaser_clicks_auto", "dataset_mixture",
          "time_to_conversion", "cross_snapshot_neardup_idx",
-         "source_lang_cube"],
+         "source_lang_cube", "embedding_drift"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api

@@ -260,7 +260,8 @@ def _gen_tpch(rng: np.random.Generator, d: str) -> None:
 
 
 EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
-               "ann_topk_quantized", "knn_join", "dbscan_clusters"]
+               "ann_topk_quantized", "knn_join", "dbscan_clusters",
+               "embedding_drift"]
 
 
 @pytest.mark.usefixtures("ray_session")
