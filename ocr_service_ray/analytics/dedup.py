@@ -379,6 +379,37 @@ def ngram_jaccard_pairs(
     identical-cluster fixture pins the bound; the LSH path remains the
     recall-safe route for hot corpora.
     """
+    inter_tbl, sizes = _shingle_intersections(sf_dir, shingle_k, max_posting)
+    if len(inter_tbl) == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    a_ids = inter_tbl.column("doc_a").to_pylist()
+    b_ids = inter_tbl.column("doc_b").to_pylist()
+    c = np.asarray(inter_tbl.column("count()"), dtype=np.int64)
+    na = np.array([sizes[a] for a in a_ids], dtype=np.int64)
+    nb = np.array([sizes[b] for b in b_ids], dtype=np.int64)
+    jac = c / (na + nb - c)
+    keep = jac >= threshold
+    out = pa.table(
+        {
+            "doc_a": pa.array(np.asarray(a_ids)[keep], pa.int64()),
+            "doc_b": pa.array(np.asarray(b_ids)[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        }
+    )
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def _shingle_intersections(
+    sf_dir: str, shingle_k: int, max_posting: int
+) -> tuple[pa.Table, dict]:
+    """Shared inverted-index core for the exact shingle-set joins
+    (``ngram_jaccard_pairs``, ``containment_pairs``): returns the
+    co-occurrence table (doc_a, doc_b, count()) and the {doc_id:
+    |shingle set|} sizes for every candidate. Same plan, hot-posting
+    truncation and hashing notes as documented on ngram_jaccard_pairs."""
     from ray.data.aggregate import AggregateFn
 
     docs = _docs(sf_dir)
@@ -432,10 +463,7 @@ def ngram_jaccard_pairs(
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("count()", pa.int64())]),
     )
     if len(inter_tbl) == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
+        return inter_tbl, {}
     a_ids = inter_tbl.column("doc_a").to_pylist()
     b_ids = inter_tbl.column("doc_b").to_pylist()
     need_ref = ray.put(frozenset(a_ids) | frozenset(b_ids))
@@ -453,23 +481,12 @@ def ngram_jaccard_pairs(
             {"doc_id": pa.array(ids, pa.int64()), "n": pa.array(ns, pa.int64())}
         )
 
-    sz_tbl = pa.concat_tables(
-        ray.get(docs.map_batches(cand_sizes, batch_format="pyarrow").to_arrow_refs())
+    sz_tbl = _collect(
+        docs.map_batches(cand_sizes, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]),
     )
     sizes = dict(zip(sz_tbl.column("doc_id").to_pylist(), sz_tbl.column("n").to_pylist()))
-    c = np.asarray(inter_tbl.column("count()"), dtype=np.int64)
-    na = np.array([sizes[a] for a in a_ids], dtype=np.int64)
-    nb = np.array([sizes[b] for b in b_ids], dtype=np.int64)
-    jac = c / (na + nb - c)
-    keep = jac >= threshold
-    out = pa.table(
-        {
-            "doc_a": pa.array(np.asarray(a_ids)[keep], pa.int64()),
-            "doc_b": pa.array(np.asarray(b_ids)[keep], pa.int64()),
-            "jaccard": pa.array(jac[keep], pa.float64()),
-        }
-    )
-    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    return inter_tbl, sizes
 
 
 # ----------------------------------------------------------------------
@@ -1545,3 +1562,46 @@ def cross_snapshot_neardup_indexed(
     if len(pair_tbl) == 0:
         return empty
     return _verify_cross_pairs(sf_dir, pair_tbl, shingle_k, threshold)
+
+
+def containment_pairs(
+    sf_dir: str, shingle_k: int = 5, threshold: float = 0.8, max_posting: int = 512
+) -> pa.Table:
+    """ASYMMETRIC near-dup: shingle-set CONTAINMENT |A∩B| / |A| — the
+    quote/boilerplate-detection verb symmetric Jaccard misses: a short
+    doc fully quoted inside a long one has high containment but low
+    Jaccard (the union is dominated by the long doc). Emits
+    (doc_a, doc_b, cont_a_in_b, cont_b_in_a) for pairs where EITHER
+    direction reaches ``threshold``.
+
+    Same inverted-index core as ``ngram_jaccard_pairs``
+    (`_shingle_intersections` — one definition of the intersection
+    counts, hot-posting truncation included); only the final scoring
+    differs. Oracle: the same co-occurrence SQL with the containment
+    formulas.
+    """
+    inter_tbl, sizes = _shingle_intersections(sf_dir, shingle_k, max_posting)
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "cont_a_in_b": pa.array([], pa.float64()),
+         "cont_b_in_a": pa.array([], pa.float64())}
+    )
+    if len(inter_tbl) == 0:
+        return empty
+    a_ids = inter_tbl.column("doc_a").to_pylist()
+    b_ids = inter_tbl.column("doc_b").to_pylist()
+    c = np.asarray(inter_tbl.column("count()"), dtype=np.int64)
+    na = np.array([sizes[a] for a in a_ids], dtype=np.int64)
+    nb = np.array([sizes[b] for b in b_ids], dtype=np.int64)
+    cab = c / na  # A's shingles found in B
+    cba = c / nb
+    keep = (cab >= threshold) | (cba >= threshold)
+    out = pa.table(
+        {
+            "doc_a": pa.array(np.asarray(a_ids)[keep], pa.int64()),
+            "doc_b": pa.array(np.asarray(b_ids)[keep], pa.int64()),
+            "cont_a_in_b": pa.array(cab[keep], pa.float64()),
+            "cont_b_in_a": pa.array(cba[keep], pa.float64()),
+        }
+    )
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

@@ -694,6 +694,8 @@ def queries() -> dict:
         # same contract via pointer doubling (O(log d) BSP rounds)
         "neardup_clusters_fast": lambda sf: dedup.neardup_clusters_doubling(sf),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf),
+        # asymmetric containment (quote/boilerplate detection)
+        "containment_pairs": lambda sf: dedup.containment_pairs(sf),
         "simhash": dedup.simhash_fingerprints,
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
         # SemDeDup: kmeans-bucketed within-cluster cosine dedup — the
@@ -943,6 +945,28 @@ _SHINGLE_JACCARD_SQL = (
     "WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.6 ORDER BY doc_a, doc_b"
 )
 
+# same shingle/intersection CTEs, asymmetric containment scoring
+_SHINGLE_CONTAINMENT_SQL = (
+    "WITH w AS (SELECT doc_id, "
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words "
+    "FROM documents), "
+    "g AS (SELECT doc_id, words, "
+    "unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i "
+    "FROM w WHERE len(words) > 0 AND words[1] <> ''), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "array_to_string(words[i:least(i + 4, len(words))], ' ') AS shingle FROM g), "
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, "
+    "CAST(c AS DOUBLE) / na.n AS cont_a_in_b, "
+    "CAST(c AS DOUBLE) / nb.n AS cont_b_in_a "
+    "FROM inter JOIN cnt na ON na.doc_id = doc_a JOIN cnt nb ON nb.doc_id = doc_b "
+    "WHERE CAST(c AS DOUBLE) / na.n >= 0.8 OR CAST(c AS DOUBLE) / nb.n >= 0.8 "
+    "ORDER BY doc_a, doc_b"
+)
+
 
 # exact cosine top-k — the oracle for BOTH the brute plan and the
 # exhaustive-probe IVF plan (nprobe == n_clusters covers every cell).
@@ -987,6 +1011,7 @@ def oracle_sql() -> dict:
         "minhash_pairs": _SHINGLE_JACCARD_SQL,
         # the inverted-index join is exact by construction (same plan).
         "ngram_jaccard": _SHINGLE_JACCARD_SQL,
+        "containment_pairs": _SHINGLE_CONTAINMENT_SQL,
         # connected components over the verified pair set (recursive
         # transitive closure; components are small, so the closure is
         # cheap for the oracle — the Ray side uses distributed min-label

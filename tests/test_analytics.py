@@ -152,7 +152,7 @@ class TestOracleEquivalence:
          "purchaser_clicks_salted", "docs_in_char_lang_box",
          "skyline_docs", "purchaser_clicks_auto", "dataset_mixture",
          "time_to_conversion", "cross_snapshot_neardup_idx",
-         "source_lang_cube", "embedding_drift"],
+         "source_lang_cube", "embedding_drift", "containment_pairs"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -2434,3 +2434,36 @@ class TestIvfHotCell:
         assert max(len(fs) for fs in per_cell.values()) >= 2  # hot cell split
         out = similarity.ivf_topk(str(tmp_path), n_queries=4, k=5, n_clusters=8)
         assert out.num_rows == 20
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContainmentPairs:
+    def test_quote_has_high_containment_low_jaccard(self, tmp_path):
+        """The verb's point: a short doc fully quoted inside a long one
+        passes containment but NOT symmetric Jaccard."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        quote = " ".join(f"q{i}" for i in range(12))
+        long_doc = quote + " " + " ".join(f"l{i}" for i in range(200))
+        other = " ".join(f"z{i}" for i in range(50))
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([quote, long_doc, other], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([len(quote), len(long_doc), len(other)], pa.int64()),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        cont = containment_pairs(str(tmp_path)).to_pandas()
+        assert len(cont) == 1
+        r = cont.iloc[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["cont_a_in_b"] == 1.0  # every quote shingle is in the long doc
+        assert r["cont_b_in_a"] < 0.1
+        jac = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
+        assert len(jac) == 0  # symmetric Jaccard misses the quote

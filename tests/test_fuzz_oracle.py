@@ -141,7 +141,8 @@ DOC_QUERIES = [
     "redact_pii", "hash_sample", "source_stats", "source_lang_rollup",
     "source_lang_cube",
     "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
-    "minhash_pairs", "ngram_jaccard", "cross_snapshot_neardup_idx",
+    "minhash_pairs", "ngram_jaccard", "containment_pairs",
+    "cross_snapshot_neardup_idx",
     "rare_token_scores",
     "repetition_scores", "bigram_counts", "singleton_docs", "dataset_splits",
     "packed_sequences",
