@@ -130,6 +130,29 @@ def text_normalize(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(nt, batch_format="pyarrow")
 
 
+_CJK = re.compile("[一-鿿]")
+
+
+def _predict_langs(texts: list) -> list[str]:
+    """The heuristic language-id kernel (stopword votes + CJK script
+    check) shared by ``lang_id`` and ``lang_mismatch`` — one definition
+    of the prediction, CASE-chain-argmax tie order preserved."""
+    preds = []
+    for t in texts:
+        t = t or ""
+        if _CJK.search(t):
+            preds.append("zh")
+            continue
+        words = set(w for w in _WS_SPLIT.split(t.lower()) if w)
+        best, best_n = "en", -1
+        for lang, markers in _LANG_MARKERS.items():
+            n = sum(1 for m in markers if m in words)
+            if n > best_n:
+                best, best_n = lang, n
+        preds.append(best)
+    return preds
+
+
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
     """Heuristic language id: stopword votes + script ranges.
 
@@ -138,23 +161,52 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     """
 
     def lid(batch: pa.Table) -> pa.Table:
-        cjk = re.compile("[一-鿿]")
-        preds = []
-        for t in batch.column("text").to_pylist():
-            t = t or ""
-            if cjk.search(t):
-                preds.append("zh")
-                continue
-            words = set(w for w in _WS_SPLIT.split(t.lower()) if w)
-            best, best_n = "en", -1
-            for lang, markers in _LANG_MARKERS.items():
-                n = sum(1 for m in markers if m in words)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
+        preds = _predict_langs(batch.column("text").to_pylist())
         return pa.table({"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds)})
 
     return _docs(sf_dir).map_batches(lid, batch_format="pyarrow")
+
+
+def lang_mismatch(sf_dir: str) -> pa.Table:
+    """LABEL-NOISE detection: documents whose declared ``lang`` column
+    disagrees with the heuristic language-id prediction — the
+    mislabeled-metadata audit every curation pipeline runs before
+    trusting per-language sampling weights. One streaming pass (doc_id,
+    text, lang -> predict -> filter), no shuffle; emits (doc_id, lang,
+    lang_pred) for the disagreements only."""
+
+    def mm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lang": pa.array([], pa.string()),
+                 "lang_pred": pa.array([], pa.string())}
+            )
+        preds = _predict_langs(batch.column("text").to_pylist())
+        langs = batch.column("lang").to_pylist()
+        mask = pa.array([p != l for p, l in zip(preds, langs)])
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "lang": kept.column("lang"),
+                "lang_pred": pa.array(
+                    [p for p, l in zip(preds, langs) if p != l], pa.string()
+                ),
+            }
+        )
+
+    out = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(mm, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "lang": pa.array([], pa.string()),
+             "lang_pred": pa.array([], pa.string())}
+        )
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
 
 
 # PII-style pattern redaction: pyarrow.compute's replace_substring_regex

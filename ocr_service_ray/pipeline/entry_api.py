@@ -746,6 +746,8 @@ def queries() -> dict:
         "quality_scores": text_analysis.quality_scores,
         "fingerprints": text_analysis.fingerprints,
         "lang_id": text_analysis.lang_id,
+        # label-noise audit: declared lang vs heuristic prediction
+        "lang_mismatch": lambda sf: text_analysis.lang_mismatch(sf),
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
@@ -1257,6 +1259,27 @@ def oracle_sql() -> dict:
         ),
         # heuristic lang-id: CJK script check, else distinct-stopword votes
         # with first-language-wins ties (en, es, fr, de, pt order).
+        # the lang_id CASE chain joined back against the declared label
+        "lang_mismatch": (
+            "WITH v AS (SELECT doc_id, lower(text) AS low, "
+            "list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS words "
+            "FROM documents), "
+            "n AS (SELECT doc_id, low, "
+            "len(list_intersect(words, ['the','and','of','is','with'])) AS n_en, "
+            "len(list_intersect(words, ['el','la','los','las','es','con','para'])) AS n_es, "
+            "len(list_intersect(words, ['le','la','les','est','avec','pour'])) AS n_fr, "
+            "len(list_intersect(words, ['der','die','das','und','ist','mit'])) AS n_de, "
+            "len(list_intersect(words, ['o','os','das','com','para','nao'])) AS n_pt FROM v), "
+            "p AS (SELECT doc_id, CASE "
+            "WHEN regexp_matches(low, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+            "WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_de AND n_en >= n_pt THEN 'en' "
+            "WHEN n_es >= n_fr AND n_es >= n_de AND n_es >= n_pt THEN 'es' "
+            "WHEN n_fr >= n_de AND n_fr >= n_pt THEN 'fr' "
+            "WHEN n_de >= n_pt THEN 'de' ELSE 'pt' END AS lang_pred FROM n) "
+            "SELECT d.doc_id, d.lang, p.lang_pred FROM documents d "
+            "JOIN p ON d.doc_id = p.doc_id WHERE d.lang <> p.lang_pred "
+            "ORDER BY d.doc_id"
+        ),
         "lang_id": (
             "WITH v AS (SELECT doc_id, lower(text) AS low, "
             "list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS words "

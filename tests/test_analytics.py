@@ -152,7 +152,8 @@ class TestOracleEquivalence:
          "purchaser_clicks_salted", "docs_in_char_lang_box",
          "skyline_docs", "purchaser_clicks_auto", "dataset_mixture",
          "time_to_conversion", "cross_snapshot_neardup_idx",
-         "source_lang_cube", "embedding_drift", "containment_pairs"],
+         "source_lang_cube", "embedding_drift", "containment_pairs",
+         "lang_mismatch"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
