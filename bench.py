@@ -204,6 +204,10 @@ def run_queries(num_cpus: int) -> dict:
             "time_to_conversion": lambda: windows.time_to_conversion(sf_dir()),
             "cross_snapshot_neardup_idx": lambda: dedup.cross_snapshot_neardup_indexed(sf_dir()),
             "purchaser_clicks_auto": lambda: windows.purchaser_clicks_auto(sf_dir()),
+            "source_lang_cube": lambda: relational.source_lang_cube(sf_dir()),
+            "embedding_drift": lambda: similarity.embedding_drift(sf_dir()),
+            "containment_pairs": lambda: dedup.containment_pairs(sf_dir()),
+            "lang_mismatch": lambda: text_analysis.lang_mismatch(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()
