@@ -1887,3 +1887,52 @@ def source_lang_cube(sf_dir: str) -> pa.Table:
         ["source", "lang"]
     ).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def table_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent CONTENT CHECKSUM of the documents table — the
+    replication/migration verification verb: two copies of a corpus
+    match iff (n_rows, checksum) match, regardless of row order, block
+    layout or cluster size. checksum = exact integer sum of
+    md5-lower64(doc_id || '|' || text) over all rows (emitted as a
+    string: the sum exceeds int64; Python ints and the oracle's
+    HUGEINT are both exact).
+
+    Pure combiner: each block reduces to one (count, sum) partial —
+    addition is commutative/associative so the reduce is order-free —
+    and the driver folds O(blocks) Python ints. No shuffle.
+    """
+    from .hashing import md5_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "s": pa.array([], pa.string())}
+            )
+        total = 0
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            total += md5_hash64(f"{doc_id}|{text or ''}")
+        return pa.table(
+            {"n": pa.array([batch.num_rows], pa.int64()),
+             "s": pa.array([str(total)], pa.string())}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    n = sum(int(x) for t in parts for x in t.column("n").to_pylist())
+    s = sum(int(x) for t in parts for x in t.column("s").to_pylist())
+    return pa.table(
+        {"n_rows": pa.array([n], pa.int64()),
+         "checksum": pa.array([str(s)], pa.string())}
+    )

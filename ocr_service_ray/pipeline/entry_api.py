@@ -772,6 +772,8 @@ def queries() -> dict:
         # LLM data-mixture: per-source rebalance factors -> per-doc
         # derandomized repeat counts (md5-uniform stochastic rounding)
         "dataset_mixture": lambda sf: relational.dataset_mixture(sf),
+        # order-independent corpus checksum (replication verification)
+        "table_checksum": lambda sf: relational.table_checksum(sf),
         "top_docs_per_source": lambda sf: relational.top_docs_per_source(sf),
         "source_lang_rollup": lambda sf: relational.source_lang_rollup(sf),
         # CUBE: every grouping set of (source, lang) from one pass
@@ -1441,6 +1443,14 @@ def oracle_sql() -> dict:
             "printf('%08x', CAST(floor((factor - floor(factor)) * 4294967296) "
             "AS BIGINT)) THEN 1 ELSE 0 END AS BIGINT) AS n_repeats "
             "FROM tok JOIN f USING (source) ORDER BY tok.doc_id"
+        ),
+        # exact integer sum of md5-lower64 row hashes (HUGEINT — the
+        # sum exceeds int64; both sides emit the decimal string)
+        "table_checksum": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '|' || "
+            "COALESCE(text, '')) AS HUGEINT)) AS VARCHAR) AS checksum "
+            "FROM documents"
         ),
         # KMV sample quantiles: the oracle reproduces the deterministic
         # k-minimum-values sample (md5 rank order) and hence the exact
