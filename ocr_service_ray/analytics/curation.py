@@ -303,3 +303,61 @@ def canonical_docs(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).select(
         ["doc_id", "canonical_id", "keep"]
     ).sort_by([("doc_id", "ascending")])
+
+
+def leakage_safe_splits(sf_dir: str) -> pa.Table:
+    """Train/val/test assignment with NO near-dup leakage across
+    splits — the eval-hygiene upgrade of ``dataset_splits``: hashing
+    raw doc_ids puts near-duplicates of a training doc into the test
+    set (the classic contamination-by-near-dup failure); here the
+    split is a pure function of the doc's near-dup CLUSTER
+    REPRESENTATIVE (min doc_id of the verified component; the doc
+    itself when it has no near-dups), so whole clusters co-assign by
+    construction. Emits (doc_id, rep_id, split).
+
+    Distributed shape: the verified cluster table is O(docs-in-pairs)
+    (the cached LSH machinery), broadcast once; the corpus streams
+    through a stateless map computing split = md5-prefix thresholds of
+    the REP id — the same ~90/5/5 rule as dataset_splits, reproducible
+    across cluster sizes and re-ingests. Oracle: the recursive-CTE
+    closure joined to the same CASE thresholds.
+    """
+    from . import dedup
+    from .hashing import md5_hex
+
+    clusters = dedup.neardup_clusters(sf_dir)
+    rep_of = dict(
+        zip(
+            clusters.column("doc_id").to_pylist(),
+            clusters.column("cluster_rep").to_pylist(),
+        )
+    )
+    rep_ref = ray.put(rep_of)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "rep_id": pa.array([], pa.int64()),
+                 "split": pa.array([], pa.string())}
+            )
+        rm = ray.get(rep_ref)
+        ids = batch.column("doc_id").to_pylist()
+        reps = [int(rm.get(d, d)) for d in ids]
+        splits = []
+        for r in reps:
+            h2 = md5_hex(str(r))[:2]
+            splits.append("train" if h2 < "e6" else ("val" if h2 < "f3" else "test"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "rep_id": pa.array(reps, pa.int64()),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    out = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(assign, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])

@@ -791,6 +791,9 @@ def queries() -> dict:
         "ranked_text_search": _q_ranked_text_search,
         # deterministic ~90/5/5 train/val/test split + per-source rollup
         "dataset_splits": lambda sf: relational.dataset_splits(sf),
+        # eval hygiene: splits keyed by near-dup cluster rep so whole
+        # clusters co-assign (no train->test near-dup leakage)
+        "leakage_safe_splits": _q_leakage_safe_splits,
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
         "source_stats": relational.source_stats,
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
@@ -1021,6 +1024,18 @@ def oracle_sql() -> dict:
         # cheap for the oracle — the Ray side uses distributed min-label
         # propagation instead).
         "neardup_clusters": _NEARDUP_CLOSURE_SQL,
+        # closure reps LEFT-JOINed to the corpus; split thresholds
+        # applied to the REP id (same 90/5/5 CASE as dataset_splits)
+        "leakage_safe_splits": (
+            "WITH closure AS (" + _NEARDUP_CLOSURE_SQL + "), "
+            "r AS (SELECT d.doc_id, "
+            "CAST(COALESCE(c.cluster_rep, d.doc_id) AS BIGINT) AS rep_id "
+            "FROM documents d LEFT JOIN closure c ON d.doc_id = c.doc_id) "
+            "SELECT doc_id, rep_id, CASE "
+            "WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train' "
+            "WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val' "
+            "ELSE 'test' END AS split FROM r ORDER BY doc_id"
+        ),
         # identical contract, pointer-doubling plan (O(log d) rounds) —
         # the same oracle pins plan-equality at driver level too.
         "neardup_clusters_fast": _NEARDUP_CLOSURE_SQL,
@@ -2394,6 +2409,12 @@ def _q_canonical_docs(sf_dir: str) -> pa.Table:
     from ..analytics.curation import canonical_docs
 
     return canonical_docs(sf_dir)
+
+
+def _q_leakage_safe_splits(sf_dir: str) -> pa.Table:
+    from ..analytics.curation import leakage_safe_splits
+
+    return leakage_safe_splits(sf_dir)
 
 
 def q_ocr_raw_lines(sf_dir: str) -> pa.Table:

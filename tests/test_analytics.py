@@ -153,7 +153,7 @@ class TestOracleEquivalence:
          "skyline_docs", "purchaser_clicks_auto", "dataset_mixture",
          "time_to_conversion", "cross_snapshot_neardup_idx",
          "source_lang_cube", "embedding_drift", "containment_pairs",
-         "lang_mismatch", "table_checksum"],
+         "lang_mismatch", "table_checksum", "leakage_safe_splits"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -2468,3 +2468,22 @@ class TestContainmentPairs:
         assert r["cont_b_in_a"] < 0.1
         jac = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
         assert len(jac) == 0  # symmetric Jaccard misses the quote
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLeakageSafeSplits:
+    def test_clusters_never_straddle_splits(self):
+        """The whole point: every verified near-dup pair lands in ONE
+        split (plain dataset_splits would leak them across)."""
+        from ocr_service_ray.analytics.curation import leakage_safe_splits
+        from ocr_service_ray.analytics.dedup import minhash_lsh_pairs
+
+        out = leakage_safe_splits(SF).to_pandas().set_index("doc_id")
+        pairs = minhash_lsh_pairs(SF).to_pandas()
+        assert len(pairs) > 0
+        for _, r in pairs.iterrows():
+            assert out.loc[r["doc_a"], "split"] == out.loc[r["doc_b"], "split"]
+            assert out.loc[r["doc_a"], "rep_id"] == out.loc[r["doc_b"], "rep_id"]
+        # singletons keep their own id as rep
+        singles = out[out.index == out["rep_id"]]
+        assert len(singles) > 0

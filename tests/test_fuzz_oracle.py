@@ -145,6 +145,7 @@ DOC_QUERIES = [
     "cross_snapshot_neardup_idx",
     "rare_token_scores",
     "repetition_scores", "bigram_counts", "singleton_docs", "dataset_splits",
+    "leakage_safe_splits",
     "packed_sequences",
     "neardup_clusters", "neardup_clusters_fast",
     "curation_status", "canonical_docs", "heavy_tokens",
