@@ -1535,3 +1535,45 @@ def skyline_docs(sf_dir: str) -> pa.Table:
             "n_tokens": pa.array(b[m], pa.int64()),
         }
     ).sort_by([("doc_id", "ascending")])
+
+
+def compression_ratios(sf_dir: str) -> pa.Table:
+    """Compression-ratio quality signal: zlib(level 6) compressed size
+    per document — the repetitiveness heuristic web-corpus filters use
+    alongside the n-gram facets (`repetition_scores`): boilerplate and
+    template spam compress far better than natural prose, so a LOW
+    ratio flags machine-generated/repetitive docs and a ratio ~1 flags
+    random noise. Emits integer (n_bytes, n_compressed) — the ratio is
+    one division away, and integers keep the operator exactly
+    reference-testable (zlib is deterministic for a fixed level).
+
+    Stateless vectorized-enough map (zlib releases the GIL; one C call
+    per doc), no shuffle. No SQL oracle (DuckDB has no zlib); pinned by
+    a direct-zlib parity test plus the monotonicity fixture
+    (repeated text compresses smaller than prose of equal length).
+    """
+    import zlib
+
+    def comp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bytes": pa.array([], pa.int64()),
+                 "n_compressed": pa.array([], pa.int64())}
+            )
+        nb, nc = [], []
+        for t in batch.column("text").to_pylist():
+            raw = (t or "").encode("utf-8")
+            nb.append(len(raw))
+            nc.append(len(zlib.compress(raw, 6)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "n_compressed": pa.array(nc, pa.int64()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(comp, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])

@@ -748,6 +748,9 @@ def queries() -> dict:
         "lang_id": text_analysis.lang_id,
         # label-noise audit: declared lang vs heuristic prediction
         "lang_mismatch": lambda sf: text_analysis.lang_mismatch(sf),
+        # repetitiveness quality signal (no oracle: DuckDB lacks zlib;
+        # direct-zlib parity test)
+        "compression_ratios": lambda sf: text_analysis.compression_ratios(sf),
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),

@@ -2487,3 +2487,35 @@ class TestLeakageSafeSplits:
         # singletons keep their own id as rep
         singles = out[out.index == out["rep_id"]]
         assert len(singles) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompressionRatios:
+    def test_direct_zlib_parity_and_monotonicity(self, tmp_path):
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import compression_ratios
+
+        out = compression_ratios(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        for did, t in zip(docs.column("doc_id").to_pylist(),
+                          docs.column("text").to_pylist()):
+            raw = (t or "").encode("utf-8")
+            assert int(out.loc[did, "n_bytes"]) == len(raw)
+            assert int(out.loc[did, "n_compressed"]) == len(zlib.compress(raw, 6))
+        # repeated text compresses far better than prose of equal length
+        prose = ("the quick brown fox jumps over a lazy dog near the river "
+                 "bank while seven wizards vexed a mime ") * 5
+        spam = "buy now " * (len(prose) // 8)
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([prose[:400], spam[:400]], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["s", "s"], pa.string()),
+            "n_chars": pa.array([400, 400], pa.int64()),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        r = compression_ratios(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert r.loc[2, "n_compressed"] < r.loc[1, "n_compressed"] * 0.5
