@@ -208,6 +208,9 @@ def run_queries(num_cpus: int) -> dict:
             "embedding_drift": lambda: similarity.embedding_drift(sf_dir()),
             "containment_pairs": lambda: dedup.containment_pairs(sf_dir()),
             "lang_mismatch": lambda: text_analysis.lang_mismatch(sf_dir()),
+            "table_checksum": lambda: relational.table_checksum(sf_dir()),
+            "leakage_safe_splits": lambda: curation.leakage_safe_splits(sf_dir()),
+            "compression_ratios": lambda: text_analysis.compression_ratios(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()
