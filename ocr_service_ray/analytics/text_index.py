@@ -335,3 +335,103 @@ def ranked_text_search(
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
         }
     )
+
+
+def phrase_search(sf_dir: str, n_buckets: int = 16) -> pa.Table:
+    """PHRASE retrieval: per-document positional counts of the corpus's
+    most frequent word bigram (ties -> lexicographic (w1, w2)) — the
+    two-phase plan real engines use when the index is term-granular:
+
+      1. the phrase is DATA-DERIVED distributed: per-block bigram
+         partials (np.unique over \\x00-joined pairs — the packed-key
+         order equals (w1, w2) tuple order since \\x00 sorts below
+         every token char) -> one gram-keyed groupby -> distributed
+         sort + limit(1); the driver receives ONE row;
+      2. candidate docs come from the boolean index's PRUNED bucket
+         probe (`text_search` with the phrase's terms — adjacency
+         implies conjunction, so no phrase doc is missed);
+      3. only the candidates are re-read (isin pushdown) and verified
+         with a vectorized positional count; docs where the words
+         never sit adjacent drop out.
+
+    Occurrences are POSITIONAL matches (i with ws[i]=w1, ws[i+1]=w2) —
+    well-defined for w1 == w2 too, and exactly the oracle's
+    generate_series count. Emits (doc_id, n_occurrences > 0).
+    """
+    import re
+
+    import pyarrow.compute as pc
+
+    term_re = re.compile(r"[a-z0-9]+")
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        all_g: list[str] = []
+        for text in batch.column("text").to_pylist():
+            ws = term_re.findall((text or "").lower())
+            all_g.extend(f"{a}\x00{b}" for a, b in zip(ws, ws[1:]))
+        if not all_g:
+            return pa.table(
+                {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.asarray(all_g, dtype=object), return_counts=True)
+        return pa.table(
+            {"gram": pa.array(list(uniq), pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    top = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["gram", "n"]) if t.num_rows else t,
+            batch_format="pyarrow",
+        )
+        .sort(["n", "gram"], descending=[True, False])
+        .limit(1)
+    )
+    rows = [t for t in ray.get(top.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_occurrences": pa.array([], pa.int64())}
+    )
+    if not rows:
+        return empty
+    w1, w2 = rows[0].column("gram")[0].as_py().split("\x00")
+
+    cands = text_search(sf_dir, terms=sorted({w1, w2}), n_buckets=n_buckets)
+    if cands.num_rows == 0:
+        return empty
+    cand_ids = cands.column("doc_id").to_pylist()
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        ids, occ = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = np.asarray(term_re.findall((text or "").lower()), dtype=object)
+            if len(ws) < 2:
+                continue
+            n = int(((ws[:-1] == w1) & (ws[1:] == w2)).sum())
+            if n > 0:
+                ids.append(doc_id)
+                occ.append(n)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_occurrences": pa.array(occ, pa.int64())}
+        )
+
+    out = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(cand_ids),
+    ).map_batches(verify, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])

@@ -751,6 +751,9 @@ def queries() -> dict:
         # repetitiveness quality signal (no oracle: DuckDB lacks zlib;
         # direct-zlib parity test)
         "compression_ratios": lambda sf: text_analysis.compression_ratios(sf),
+        # phrase retrieval: top-bigram positional counts via index
+        # probe + pruned verification re-read
+        "phrase_search": _q_phrase_search,
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
@@ -2124,6 +2127,19 @@ def oracle_sql() -> dict:
         ),
         # AND-search for the data-derived two rarest >=5-count terms;
         # same [a-z0-9]+ tokenization as the index build
+        # top bigram (count desc, (w1, w2) asc) -> positional counts
+        "phrase_search": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), "
+            "pos AS (SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws) - 1)) AS i "
+            "FROM tok WHERE len(ws) >= 2), "
+            "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos), "
+            "top AS (SELECT w1, w2 FROM bg GROUP BY w1, w2 "
+            "ORDER BY count(*) DESC, w1, w2 LIMIT 1) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences "
+            "FROM bg JOIN top USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"
+        ),
         "text_search": (
             "WITH tok AS (SELECT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
@@ -2412,6 +2428,12 @@ def _q_canonical_docs(sf_dir: str) -> pa.Table:
     from ..analytics.curation import canonical_docs
 
     return canonical_docs(sf_dir)
+
+
+def _q_phrase_search(sf_dir: str) -> pa.Table:
+    from ..analytics.text_index import phrase_search
+
+    return phrase_search(sf_dir)
 
 
 def _q_leakage_safe_splits(sf_dir: str) -> pa.Table:

@@ -151,7 +151,7 @@ DOC_QUERIES = [
     "curation_status", "canonical_docs", "heavy_tokens",
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
     "benchmark_contamination", "fuzzy_token_pairs", "cms_token_counts",
-    "priority_sample", "text_search", "ranked_text_search",
+    "priority_sample", "text_search", "ranked_text_search", "phrase_search",
     "token_canonical_map", "skyline_docs", "dataset_mixture",
     "table_checksum",
 ]
