@@ -211,6 +211,7 @@ def run_queries(num_cpus: int) -> dict:
             "table_checksum": lambda: relational.table_checksum(sf_dir()),
             "leakage_safe_splits": lambda: curation.leakage_safe_splits(sf_dir()),
             "compression_ratios": lambda: text_analysis.compression_ratios(sf_dir()),
+            "phrase_search": lambda: __import__("ocr_service_ray.analytics.text_index", fromlist=["phrase_search"]).phrase_search(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()
