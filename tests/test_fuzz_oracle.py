@@ -308,28 +308,28 @@ class TestFuzzOracle:
                 failures.append(f"{name}: {e}")
         assert not failures, "\n".join(failures)
 
-    @pytest.mark.parametrize("seed", [3, 17])
+    @pytest.mark.parametrize("seed", [3, 17, 29])
     def test_events_fuzz(self, seed):
         rng = np.random.default_rng(seed)
         d = tempfile.mkdtemp(prefix=f"fuzz_ev_{seed}_")
         pq.write_table(_gen_events(rng), f"{d}/events.parquet")
         self._run(d, EVENT_QUERIES)
 
-    @pytest.mark.parametrize("seed", [7])
+    @pytest.mark.parametrize("seed", [7, 19])
     def test_documents_fuzz(self, seed):
         rng = np.random.default_rng(seed)
         d = tempfile.mkdtemp(prefix=f"fuzz_doc_{seed}_")
         pq.write_table(_gen_documents(rng), f"{d}/documents.parquet")
         self._run(d, DOC_QUERIES)
 
-    @pytest.mark.parametrize("seed", [13])
+    @pytest.mark.parametrize("seed", [13, 23])
     def test_tpch_fuzz(self, seed):
         rng = np.random.default_rng(seed)
         d = tempfile.mkdtemp(prefix=f"fuzz_tpch_{seed}_")
         _gen_tpch(rng, d)
         self._run(d, TPCH_QUERIES)
 
-    @pytest.mark.parametrize("seed", [11])
+    @pytest.mark.parametrize("seed", [11, 31])
     def test_embeddings_fuzz(self, seed):
         rng = np.random.default_rng(seed)
         d = tempfile.mkdtemp(prefix=f"fuzz_emb_{seed}_")
