@@ -1577,3 +1577,66 @@ def compression_ratios(sf_dir: str) -> pa.Table:
     out = _docs(sf_dir).map_batches(comp, batch_format="pyarrow")
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
+def vocab_coverage(sf_dir: str, ks: tuple = (10, 100)) -> pa.Table:
+    """Tokenizer-budget planning: what fraction of corpus word
+    OCCURRENCES the top-K most frequent word types cover (Zipf mass) —
+    the number that decides a vocabulary size before training a
+    tokenizer. Emits integer (k, covered, total) per requested K
+    (count desc, word asc rank order, the heavy-hitters tie rule).
+
+    Distributed shape: the usual word-count combiner (per-block
+    np.unique -> ONE word-keyed groupby), then a distributed sort +
+    limit(max(ks)) — the driver holds max(ks) rows and a cumsum;
+    total occurrences come from O(blocks) integer partials. Exact,
+    same split_words tokenizer as the heavy-hitters family.
+    """
+    from .hashing import split_words
+
+    def wc(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for text in batch.column("text").to_pylist():
+            words.extend(split_words(text))
+        if not words:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        return pa.table(
+            {"word": pa.array(list(uniq), pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(wc, batch_format="pyarrow")
+        .groupby("word")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["word", "n"]) if t.num_rows else t,
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    total = int(counts.sum("n") or 0)
+    kmax = max(ks)
+    top = counts.sort(["n", "word"], descending=[True, False]).limit(kmax)
+    rows = [t for t in ray.get(top.to_arrow_refs()) if t.num_rows]
+    ns = (
+        np.asarray(pa.concat_tables(rows).column("n"), np.int64)
+        if rows
+        else np.array([], np.int64)
+    )
+    cum = np.cumsum(ns)
+    out_k, out_c = [], []
+    for k in sorted(ks):
+        out_k.append(int(k))
+        out_c.append(int(cum[min(k, len(cum)) - 1]) if len(cum) else 0)
+    return pa.table(
+        {
+            "k": pa.array(out_k, pa.int64()),
+            "covered": pa.array(out_c, pa.int64()),
+            "total": pa.array([total] * len(out_k), pa.int64()),
+        }
+    )

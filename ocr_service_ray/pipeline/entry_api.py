@@ -754,6 +754,8 @@ def queries() -> dict:
         # phrase retrieval: top-bigram positional counts via index
         # probe + pruned verification re-read
         "phrase_search": _q_phrase_search,
+        # Zipf mass covered by the top-K word types (tokenizer budget)
+        "vocab_coverage": lambda sf: text_analysis.vocab_coverage(sf),
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
         "revenue_by_nation": lambda sf: relational.revenue_by_nation(sf),
@@ -2127,6 +2129,20 @@ def oracle_sql() -> dict:
         ),
         # AND-search for the data-derived two rarest >=5-count terms;
         # same [a-z0-9]+ tokenization as the index build
+        # top-K coverage: rank by (count desc, word asc), cumulative
+        # occurrence mass at each requested K
+        "vocab_coverage": (
+            "WITH w AS (SELECT unnest(string_split(trim(regexp_replace("
+            "lower(text), '\\s+', ' ', 'g')), ' ')) AS word FROM documents), "
+            "c AS (SELECT word, count(*) AS n FROM w WHERE word <> '' "
+            "GROUP BY word), "
+            "tot AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS t FROM c), "
+            "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk FROM c) "
+            "SELECT CAST(k AS BIGINT) AS k, "
+            "CAST(COALESCE((SELECT sum(n) FROM r WHERE rk <= v.k), 0) AS BIGINT) "
+            "AS covered, tot.t AS total "
+            "FROM (VALUES (10), (100)) v(k), tot ORDER BY k"
+        ),
         # top bigram (count desc, (w1, w2) asc) -> positional counts
         "phrase_search": (
             "WITH tok AS (SELECT doc_id, "
