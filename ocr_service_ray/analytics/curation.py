@@ -361,3 +361,83 @@ def leakage_safe_splits(sf_dir: str) -> pa.Table:
     ).map_batches(assign, batch_format="pyarrow")
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
+def dataset_card(sf_dir: str, min_words: int = 10) -> pa.Table:
+    """Auto-generated DATASET CARD numbers ("datasheets for datasets"):
+    the one-table corpus summary a release ships with — sizes, domain
+    cardinalities, token mass, and the dedup/quality headline counts.
+    Emits (metric, value) int64 rows, metric-sorted:
+
+        n_docs, n_sources, n_langs, total_chars, total_tokens,
+        n_exact_dup_docs (docs minus distinct fingerprints),
+        n_too_short (< min_words tokens)
+
+    Distributed shape: ONE streaming pass over documents produces all
+    per-doc partials (counts, char/token sums, too-short flags, and
+    in-block-distinct source/lang sets); the fingerprint distinct
+    count reuses the process-cached fingerprint table with a digest
+    groupby. Driver state is O(blocks + distinct sources + langs).
+    Every metric is a scalar SQL subquery — the whole card is
+    oracle-exact.
+    """
+    import numpy as np
+
+    from . import dedup
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok = np.array(
+            [len(_TOKEN.findall(t or "")) for t in texts], dtype=np.int64
+        )
+        srcs = sorted(set(batch.column("source").to_pylist()))
+        langs = sorted(set(batch.column("lang").to_pylist()))
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "chars": pa.array(
+                    [int(np.asarray(batch.column("n_chars"), np.int64).sum())],
+                    pa.int64(),
+                ),
+                "tokens": pa.array([int(n_tok.sum())], pa.int64()),
+                "too_short": pa.array([int((n_tok < min_words).sum())], pa.int64()),
+                "sources": pa.array([srcs], pa.list_(pa.string())),
+                "langs": pa.array([langs], pa.list_(pa.string())),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang", "source", "n_chars"],
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    n_docs = sum(int(x) for t in parts for x in t.column("n_docs").to_pylist())
+    chars = sum(int(x) for t in parts for x in t.column("chars").to_pylist())
+    tokens = sum(int(x) for t in parts for x in t.column("tokens").to_pylist())
+    short = sum(int(x) for t in parts for x in t.column("too_short").to_pylist())
+    sources = {s for t in parts for row in t.column("sources").to_pylist() for s in row}
+    langs = {l for t in parts for row in t.column("langs").to_pylist() for l in row}
+    n_fp = dedup.fingerprint_table(sf_dir).groupby("h").count().count()
+    metrics = {
+        "n_docs": n_docs,
+        "n_sources": len(sources),
+        "n_langs": len(langs),
+        "total_chars": chars,
+        "total_tokens": tokens,
+        "n_exact_dup_docs": n_docs - int(n_fp),
+        "n_too_short": short,
+    }
+    keys = sorted(metrics)
+    return pa.table(
+        {
+            "metric": pa.array(keys, pa.string()),
+            "value": pa.array([int(metrics[k]) for k in keys], pa.int64()),
+        }
+    )

@@ -802,6 +802,8 @@ def queries() -> dict:
         # eval hygiene: splits keyed by near-dup cluster rep so whole
         # clusters co-assign (no train->test near-dup leakage)
         "leakage_safe_splits": _q_leakage_safe_splits,
+        # datasheets-for-datasets summary (all metrics oracle-exact)
+        "dataset_card": _q_dataset_card,
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
         "source_stats": relational.source_stats,
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
@@ -2129,6 +2131,23 @@ def oracle_sql() -> dict:
         ),
         # AND-search for the data-derived two rarest >=5-count terms;
         # same [a-z0-9]+ tokenization as the index build
+        # every card metric is a scalar subquery; \S+ token counts,
+        # normalized-md5 fingerprints, min_words = 10
+        "dataset_card": (
+            "WITH t AS (SELECT doc_id, text, lang, source, n_chars, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents) "
+            "SELECT * FROM (VALUES "
+            "('n_docs', (SELECT CAST(count(*) AS BIGINT) FROM t)), "
+            "('n_sources', (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM t)), "
+            "('n_langs', (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM t)), "
+            "('total_chars', (SELECT CAST(sum(n_chars) AS BIGINT) FROM t)), "
+            "('total_tokens', (SELECT CAST(sum(ntok) AS BIGINT) FROM t)), "
+            "('n_exact_dup_docs', (SELECT CAST(count(*) - count(DISTINCT fp) AS BIGINT) FROM t)), "
+            "('n_too_short', (SELECT CAST(count(*) FILTER (ntok < 10) AS BIGINT) FROM t))"
+            ") v(metric, value) ORDER BY metric"
+        ),
         # top-K coverage: rank by (count desc, word asc), cumulative
         # occurrence mass at each requested K
         "vocab_coverage": (
@@ -2456,6 +2475,12 @@ def _q_leakage_safe_splits(sf_dir: str) -> pa.Table:
     from ..analytics.curation import leakage_safe_splits
 
     return leakage_safe_splits(sf_dir)
+
+
+def _q_dataset_card(sf_dir: str) -> pa.Table:
+    from ..analytics.curation import dataset_card
+
+    return dataset_card(sf_dir)
 
 
 def q_ocr_raw_lines(sf_dir: str) -> pa.Table:

@@ -154,7 +154,7 @@ class TestOracleEquivalence:
          "time_to_conversion", "cross_snapshot_neardup_idx",
          "source_lang_cube", "embedding_drift", "containment_pairs",
          "lang_mismatch", "table_checksum", "leakage_safe_splits",
-         "phrase_search", "vocab_coverage"],
+         "phrase_search", "vocab_coverage", "dataset_card"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
