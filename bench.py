@@ -212,6 +212,8 @@ def run_queries(num_cpus: int) -> dict:
             "leakage_safe_splits": lambda: curation.leakage_safe_splits(sf_dir()),
             "compression_ratios": lambda: text_analysis.compression_ratios(sf_dir()),
             "phrase_search": lambda: __import__("ocr_service_ray.analytics.text_index", fromlist=["phrase_search"]).phrase_search(sf_dir()),
+            "vocab_coverage": lambda: text_analysis.vocab_coverage(sf_dir()),
+            "dataset_card": lambda: curation.dataset_card(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()
