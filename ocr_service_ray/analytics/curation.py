@@ -441,3 +441,64 @@ def dataset_card(sf_dir: str, min_words: int = 10) -> pa.Table:
             "value": pa.array([int(metrics[k]) for k in keys], pa.int64()),
         }
     )
+
+
+def curation_rates_by_source(sf_dir: str, min_words: int = 10) -> pa.Table:
+    """The curation DASHBOARD rollup: per-(source, status) doc counts —
+    which domains contribute the duplicate / too-short mass, the
+    number that drives per-source crawl and filtering decisions.
+
+    Same broadcast dup structures and rule ladder as
+    ``curation_status`` (shared ``_batch_statuses`` — one definition),
+    but the corpus pass reduces to per-block (source, status) COUNT
+    partials in place, so the shuffle moves at most
+    |sources| × 4 rows per block and the final groupby is tiny.
+    """
+    import numpy as np
+
+    dup_ref, near_ref = _dup_structures(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sts = _batch_statuses(
+            batch, ray.get(dup_ref), ray.get(near_ref), min_words
+        )
+        keys = [
+            f"{s}\x00{st}"
+            for s, st in zip(batch.column("source").to_pylist(), sts)
+        ]
+        if not keys:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        return pa.table(
+            {"key": pa.array(list(uniq), pa.string()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("n")
+    )
+    rows = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not rows:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "status": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64())}
+        )
+    tbl = pa.concat_tables(rows)
+    keys = tbl.column("key").to_pylist()
+    ns = tbl.column(tbl.column_names[1]).to_pylist()
+    srcs, stats = zip(*(k.split("\x00") for k in keys))
+    return pa.table(
+        {
+            "source": pa.array(list(srcs), pa.string()),
+            "status": pa.array(list(stats), pa.string()),
+            "n_docs": pa.array([int(n) for n in ns], pa.int64()),
+        }
+    ).sort_by([("source", "ascending"), ("status", "ascending")])

@@ -804,6 +804,8 @@ def queries() -> dict:
         "leakage_safe_splits": _q_leakage_safe_splits,
         # datasheets-for-datasets summary (all metrics oracle-exact)
         "dataset_card": _q_dataset_card,
+        # per-(source, status) curation dashboard rollup
+        "curation_rates_by_source": _q_curation_rates_by_source,
         "top_docs_by_words": lambda sf: relational.top_docs_by_words(sf),
         "source_stats": relational.source_stats,
         "tumbling_counts": lambda sf: windows.tumbling_counts(sf),
@@ -2032,6 +2034,30 @@ def oracle_sql() -> dict:
             "FROM fp f JOIN mins m ON f.h = m.h "
             "LEFT JOIN clusters cl ON cl.doc_id = f.doc_id ORDER BY f.doc_id"
         ),
+        # the same CASE ladder rolled up by (source, status)
+        "curation_rates_by_source": (
+            "WITH RECURSIVE fp AS (SELECT doc_id, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_words FROM documents), "
+            "mins AS (SELECT h, min(doc_id) AS min_id, count(*) AS c FROM fp GROUP BY h), "
+            "pairs AS (SELECT doc_a, doc_b FROM (" + _SHINGLE_JACCARD_SQL + ")), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs "
+            "UNION SELECT doc_a, doc_a FROM pairs "
+            "UNION SELECT doc_b, doc_b FROM pairs), "
+            "reach AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+            "clusters AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a), "
+            "st AS (SELECT f.doc_id, CASE WHEN f.n_words < 10 THEN 'too_short' "
+            "WHEN m.c > 1 AND f.doc_id <> m.min_id THEN 'exact_dup' "
+            "WHEN cl.cluster_rep IS NOT NULL AND cl.cluster_rep <> f.doc_id "
+            "THEN 'near_dup' ELSE 'kept' END AS status "
+            "FROM fp f JOIN mins m ON f.h = m.h "
+            "LEFT JOIN clusters cl ON cl.doc_id = f.doc_id) "
+            "SELECT d.source, st.status, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM st JOIN documents d ON d.doc_id = st.doc_id "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         # histogram rank-pick quantile + pushdown filter
         "long_tail_docs": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars >= "
@@ -2481,6 +2507,12 @@ def _q_dataset_card(sf_dir: str) -> pa.Table:
     from ..analytics.curation import dataset_card
 
     return dataset_card(sf_dir)
+
+
+def _q_curation_rates_by_source(sf_dir: str) -> pa.Table:
+    from ..analytics.curation import curation_rates_by_source
+
+    return curation_rates_by_source(sf_dir)
 
 
 def q_ocr_raw_lines(sf_dir: str) -> pa.Table:

@@ -154,7 +154,8 @@ class TestOracleEquivalence:
          "time_to_conversion", "cross_snapshot_neardup_idx",
          "source_lang_cube", "embedding_drift", "containment_pairs",
          "lang_mismatch", "table_checksum", "leakage_safe_splits",
-         "phrase_search", "vocab_coverage", "dataset_card"],
+         "phrase_search", "vocab_coverage", "dataset_card",
+         "curation_rates_by_source"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api

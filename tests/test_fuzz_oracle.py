@@ -148,7 +148,8 @@ DOC_QUERIES = [
     "leakage_safe_splits",
     "packed_sequences",
     "neardup_clusters", "neardup_clusters_fast",
-    "curation_status", "canonical_docs", "heavy_tokens",
+    "curation_status", "curation_rates_by_source", "canonical_docs",
+    "heavy_tokens",
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
     "benchmark_contamination", "fuzzy_token_pairs", "cms_token_counts",
     "priority_sample", "text_search", "ranked_text_search", "phrase_search",
