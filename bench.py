@@ -214,6 +214,7 @@ def run_queries(num_cpus: int) -> dict:
             "phrase_search": lambda: __import__("ocr_service_ray.analytics.text_index", fromlist=["phrase_search"]).phrase_search(sf_dir()),
             "vocab_coverage": lambda: text_analysis.vocab_coverage(sf_dir()),
             "dataset_card": lambda: curation.dataset_card(sf_dir()),
+            "curation_rates_by_source": lambda: curation.curation_rates_by_source(sf_dir()),
         }.items():
             t0 = time.perf_counter()
             fn()
