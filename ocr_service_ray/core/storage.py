@@ -86,7 +86,22 @@ def write_part(
         # small row groups on blob tables enable point lookups that read
         # ~1 row group instead of decoding the whole partition file
         row_group_size = 64 if "bytes" in table.schema.names else 64 * 1024
-        pq.write_table(table, path, compression=compression, row_group_size=row_group_size)
+        # tmp + atomic rename: the data file either doesn't exist or is
+        # COMPLETE — without this, a concurrent lister (list_parts goes
+        # by directory presence) or a retried writer task can observe a
+        # truncated/0-byte parquet mid-write (seen once under full-suite
+        # memory pressure). The manifest stays the durable commit point;
+        # this closes the narrower torn-data-file window.
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".data.tmp")
+        os.close(fd)
+        try:
+            pq.write_table(
+                table, tmp, compression=compression, row_group_size=row_group_size
+            )
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return path
 
 
