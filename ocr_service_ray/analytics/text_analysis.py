@@ -1333,6 +1333,12 @@ def cms_token_counts(
     )
 
 
+# instrumentation for the driver-state guarantee: number of count rows
+# the last token_canonical_map call collected driver-side (must equal
+# the pair-member vocabulary, never the full type table — pinned by a test)
+_TCM_LAST_DRIVER_ROWS = -1
+
+
 def token_canonical_map(sf_dir: str, min_len: int = 3, max_dist: int = 2) -> pa.Table:
     """Entity-resolution / spelling-normalization map: every word type
     (len >= ``min_len``) mapped to its cluster's CANONICAL spelling —
@@ -1343,12 +1349,16 @@ def token_canonical_map(sf_dir: str, min_len: int = 3, max_dist: int = 2) -> pa.
     dictionary OCR/typo cleanup applies as a broadcast map.
 
     Distributed shape: the corpus pass is the usual word-count
-    combiner; the variant graph and its components live on the
-    CANDIDATE-PAIR table (O(spelling-variant rate) — the dbscan
+    combiner, materialized ONCE (both consumers below read the same
+    blocks); the variant graph, its components, and the frequency
+    election all live on the CANDIDATE-PAIR table — the driver
+    collects counts ONLY for pair-member words (an `is_in` filter over
+    the distributed count table; O(spelling-variant rate), the dbscan
     precedent for pair-table-sized driver state; the BSP propagation
     is the swap-in if a vocabulary's variant graph ever outgrows
-    that), and the final assignment is one broadcast-map over the
-    type table.
+    that).  The full type table is never materialized driver-side:
+    singleton assignment is a stateless broadcast-map pass over the
+    distributed count blocks.
 
     Oracle: recursive-CTE closure over the same levenshtein pairs +
     window election.
@@ -1377,20 +1387,49 @@ def token_canonical_map(sf_dir: str, min_len: int = 3, max_dist: int = 2) -> pa.
         .map_batches(count_partial, batch_format="pyarrow")
         .groupby("word")
         .sum("n")
+        .materialize()
     )
-    rows = [t for t in ray.get(counts_ds.to_arrow_refs()) if t.num_rows]
     empty = pa.table(
         {"word": pa.array([], pa.string()), "canonical": pa.array([], pa.string())}
     )
-    if not rows:
-        return empty
-    cnt_tbl = pa.concat_tables(rows)
-    words = np.asarray(cnt_tbl.column("word").to_pylist(), dtype=object).astype(str)
-    freq = cnt_tbl.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(words)
-    words, freq = words[order], freq[order]
 
     pairs = fuzzy_token_pairs(sf_dir, min_len=min_len, max_dist=max_dist)
+    pair_a = pairs.column("word_a").to_pylist()
+    pair_b = pairs.column("word_b").to_pylist()
+    members = sorted(set(pair_a) | set(pair_b))
+    member_set_ref = ray.put(pa.array(members, pa.string()))
+
+    def member_counts(batch: pa.Table) -> pa.Table:
+        # pair-member frequency lookup: keep only words that appear in
+        # some edit-distance pair — the election needs nothing else.
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "word" not in batch.column_names:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        mask = pc.is_in(batch.column("word"), value_set=ray.get(member_set_ref))
+        kept = batch.filter(mask)
+        return pa.table(
+            {"word": kept.column("word"), "n": kept.column("sum(n)")}
+        )
+
+    member_tbls = [
+        t
+        for t in ray.get(
+            counts_ds.map_batches(member_counts, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    global _TCM_LAST_DRIVER_ROWS
+    _TCM_LAST_DRIVER_ROWS = sum(t.num_rows for t in member_tbls)
+    fmap: dict[str, int] = {}
+    for t in member_tbls:
+        fmap.update(
+            zip(t.column("word").to_pylist(),
+                (int(x) for x in t.column("n").to_pylist()))
+        )
+
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -1399,19 +1438,15 @@ def token_canonical_map(sf_dir: str, min_len: int = 3, max_dist: int = 2) -> pa.
             x = parent[x]
         return x
 
-    for a, b in zip(
-        pairs.column("word_a").to_pylist(), pairs.column("word_b").to_pylist()
-    ):
+    for a, b in zip(pair_a, pair_b):
         ra, rb = find(a), find(b)
         if ra != rb:
             # union by lexicographic root (deterministic)
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    comp: dict[str, str] = {w: find(w) for w in set(parent) | set(
-        pairs.column("word_a").to_pylist()) | set(pairs.column("word_b").to_pylist())}
+    comp: dict[str, str] = {w: find(w) for w in members}
     # election per component: max freq, tie -> smallest word
-    fmap = dict(zip(words.tolist(), freq.tolist()))
     best: dict[str, tuple] = {}
     for w, r in comp.items():
         key = (-fmap.get(w, 0), w)

@@ -2244,10 +2244,16 @@ def interval_coverage(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).sort_by([("user_id", "ascending")])
 
 
-_COOC_CACHE: dict[tuple[str, int], pa.Table] = {}
+_COOC_CACHE: dict[tuple, pa.Table] = {}
+# sentinel keys for truncation partials flowing through the pair
+# combiner (outside any real props.k domain; stripped driver-side)
+_COOC_TRUNC_ITEMS = -(2**62)
+_COOC_TRUNC_BASKETS = -(2**62) + 1
 
 
-def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
+def item_cooccurrence(
+    sf_dir: str, min_support: int = 2, max_basket: int = 4096
+) -> pa.Table:
     """Market-basket co-occurrence mining: for every unordered pair of
     ``props.k`` items that occur for the same user, the number of
     users with both (support) — the candidate-pair pass of frequent-
@@ -2258,15 +2264,24 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
          props_k_stats kernel) reduced to in-batch DISTINCT
          (user, k) pairs — the shuffle moves distinct pairs per
          block, not events;
-      2. one user-keyed groupby; per-user ``np.unique`` + triu pair
-         emission (O(basket^2) — the honest cost of exact pair
-         support; at web scale cap or sample mega-baskets the way the
-         LSH hot-bucket star-cap does, with the support floor making
-         the truncation auditable);
-      3. (k_a, k_b) support combiner — key space is bounded by the
+      2. Apriori item prefilter (EXACT): per-item occurrence counts
+         over the block-distinct pairs are an UPPER BOUND on true user
+         support, so items whose bound is < min_support cannot appear
+         in any qualifying pair — they are dropped from baskets before
+         pair emission.  Item-domain-sized broadcast via ``ray.put``.
+      3. one user-keyed groupby; per-user ``np.unique`` + triu pair
+         emission.  Baskets larger than ``max_basket`` (post-filter)
+         are TRUNCATED to the max_basket globally-most-frequent items
+         (ties -> smaller k) — the mega-basket guard mirroring the LSH
+         hot-bucket star-cap (dedup.py ``max_bucket``): one power-law
+         user cannot emit O(basket^2) unbounded pairs in a single
+         task.  Truncation is counted (sentinel partial summed through
+         the combiner) and surfaced in the result's schema metadata
+         (``truncated_items`` / ``truncated_baskets``), never silent.
+      4. (k_a, k_b) support combiner — key space is bounded by the
          item-pair domain, not user count — then the HAVING floor.
     """
-    key = (sf_dir, min_support)
+    key = (sf_dir, min_support, max_basket)
     if key in _COOC_CACHE:
         return _COOC_CACHE[key]
     import pyarrow.compute as pc
@@ -2288,7 +2303,27 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
 
     def per_user_pairs(group: pa.Table) -> pa.Table:
         ks = np.unique(np.asarray(group.column("k"), dtype=np.int64))
-        if len(ks) < 2:
+        # Apriori prefilter: items that cannot reach min_support never
+        # pair-qualify; dropping them here is exact and shrinks baskets.
+        f_items, f_counts = ray.get(freq_ref)
+        if len(f_items):
+            pos = np.clip(np.searchsorted(f_items, ks), 0, len(f_items) - 1)
+            mask = f_items[pos] == ks
+            kept_pos = pos[mask]
+            ks = ks[mask]
+        else:
+            kept_pos = np.array([], np.int64)
+            ks = ks[:0]
+        trunc_rows = []
+        if len(ks) > max_basket:
+            # mega-basket guard: keep the max_basket globally-most-
+            # frequent items (ties -> smaller k); count what fell off.
+            counts = f_counts[kept_pos]
+            order = np.lexsort((ks, -counts))
+            dropped = len(ks) - max_basket
+            ks = np.sort(ks[order[:max_basket]])
+            trunc_rows = [(_COOC_TRUNC_ITEMS, dropped), (_COOC_TRUNC_BASKETS, 1)]
+        if len(ks) < 2 and not trunc_rows:
             return pa.table(
                 {
                     "k_a": pa.array([], pa.int64()),
@@ -2297,11 +2332,16 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
                 }
             )
         ia, ib = np.triu_indices(len(ks), 1)
+        k_a = np.concatenate([ks[ia], np.array([r[0] for r in trunc_rows], np.int64)])
+        k_b = np.concatenate([ks[ib], np.array([r[0] for r in trunc_rows], np.int64)])
+        n_u = np.concatenate(
+            [np.ones(len(ia), np.int64), np.array([r[1] for r in trunc_rows], np.int64)]
+        )
         return pa.table(
             {
-                "k_a": pa.array(ks[ia], pa.int64()),
-                "k_b": pa.array(ks[ib], pa.int64()),
-                "n_users": pa.array(np.ones(len(ia), np.int64)),
+                "k_a": pa.array(k_a, pa.int64()),
+                "k_b": pa.array(k_b, pa.int64()),
+                "n_users": pa.array(n_u, pa.int64()),
             }
         )
 
@@ -2320,10 +2360,46 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
         g = pa.TableGroupBy(batch, ["k_a", "k_b"]).aggregate([("n_users", "sum")])
         return g.rename_columns(["k_a", "k_b", "n_users"])
 
-    agg = (
+    # block-distinct (user, k) pairs, materialized ONCE: consumed by
+    # both the item-count pass and the basket groupby (no re-extract).
+    pairs_ds = (
         _events(sf_dir, ["user_id", "props"])
         .map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("user_id")
+        .materialize()
+    )
+
+    def item_partial(batch: pa.Table) -> pa.Table:
+        # per-block item occurrence counts: an UPPER BOUND on true user
+        # support (a user can recur across blocks), which is all the
+        # Apriori prune needs for exactness.
+        g = pa.TableGroupBy(batch.select(["k"]), ["k"]).aggregate([("k", "count")])
+        return g.rename_columns(["k", "ub"])
+
+    item_tbls = [
+        t
+        for t in ray.get(
+            pairs_ds.map_batches(item_partial, batch_format="pyarrow")
+            .groupby("k")
+            .sum("ub")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if item_tbls:
+        items_all = pa.concat_tables(item_tbls)
+        iks = items_all.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        ubs = items_all.column("sum(ub)").to_numpy(zero_copy_only=False).astype(np.int64)
+        fmask = ubs >= min_support
+        order = np.argsort(iks[fmask], kind="stable")
+        freq_items = np.ascontiguousarray(iks[fmask][order])
+        freq_counts = np.ascontiguousarray(ubs[fmask][order])
+    else:
+        freq_items = np.array([], np.int64)
+        freq_counts = np.array([], np.int64)
+    freq_ref = ray.put((freq_items, freq_counts))
+
+    agg = (
+        pairs_ds.groupby("user_id")
         .map_groups(per_user_pairs, batch_format="pyarrow")
         .map_batches(pair_combine, batch_format="pyarrow")
         .groupby(["k_a", "k_b"])
@@ -2338,23 +2414,32 @@ def item_cooccurrence(sf_dir: str, min_support: int = 2) -> pa.Table:
         }
     )
     if not tables:
+        _COOC_CACHE[key] = empty
         return empty
     tbl = pa.concat_tables(tables)
+    ka = tbl.column("k_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    kb = tbl.column("k_b").to_numpy(zero_copy_only=False).astype(np.int64)
     n = tbl.column("sum(n_users)").to_numpy(zero_copy_only=False).astype(np.int64)
+    # strip + surface the truncation partials (schema metadata, never
+    # silent, never polluting the result rows)
+    trunc_items = int(n[ka == _COOC_TRUNC_ITEMS].sum())
+    trunc_baskets = int(n[ka == _COOC_TRUNC_BASKETS].sum())
+    real = ka > _COOC_TRUNC_BASKETS
+    ka, kb, n = ka[real], kb[real], n[real]
     keep = n >= min_support
-    if not keep.any():
-        return empty
     out = pa.table(
         {
-            "k_a": pa.array(
-                tbl.column("k_a").to_numpy(zero_copy_only=False)[keep], pa.int64()
-            ),
-            "k_b": pa.array(
-                tbl.column("k_b").to_numpy(zero_copy_only=False)[keep], pa.int64()
-            ),
+            "k_a": pa.array(ka[keep], pa.int64()),
+            "k_b": pa.array(kb[keep], pa.int64()),
             "n_users": pa.array(n[keep], pa.int64()),
         }
     ).sort_by([("k_a", "ascending"), ("k_b", "ascending")])
+    out = out.replace_schema_metadata(
+        {
+            b"truncated_items": str(trunc_items).encode(),
+            b"truncated_baskets": str(trunc_baskets).encode(),
+        }
+    )
     _COOC_CACHE[key] = out
     return out
 

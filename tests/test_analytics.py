@@ -2521,3 +2521,119 @@ class TestCompressionRatios:
         pq.write_table(tbl, tmp_path / "documents.parquet")
         r = compression_ratios(str(tmp_path)).to_pandas().set_index("doc_id")
         assert r.loc[2, "n_compressed"] < r.loc[1, "n_compressed"] * 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestItemCooccurrenceScaleGuards:
+    def test_mega_basket_cap_bounds_pairs_and_counts_truncation(self, tmp_path):
+        """One power-law user must not emit O(basket^2) pairs: baskets
+        larger than max_basket truncate to the globally-most-frequent
+        items (ties -> smaller k), and the truncation is surfaced in
+        schema metadata — never silent."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import item_cooccurrence
+
+        n_items, cap = 10_000, 128
+        # users 0 and 1 share the same 10k-item mega-basket (every item
+        # support 2 -> Apriori keeps all); user 2 has singleton items
+        # (support 1 -> Apriori prunes them before pair emission)
+        users = [0] * n_items + [1] * n_items + [2] * 10
+        ks = list(range(n_items)) * 2 + list(range(20_000, 20_010))
+        tbl = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "props": pa.array(['{"k": %d}' % k for k in ks], pa.string()),
+        })
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = item_cooccurrence(str(tmp_path), min_support=2, max_basket=cap)
+        md = got.schema.metadata
+        assert int(md[b"truncated_items"]) == 2 * (n_items - cap)
+        assert int(md[b"truncated_baskets"]) == 2
+        df = got.to_pandas()
+        # bounded output: exactly C(cap, 2) pairs over items 0..cap-1
+        assert len(df) == cap * (cap - 1) // 2
+        assert df["k_a"].max() < cap and df["k_b"].max() < cap
+        assert (df["n_users"] == 2).all()
+        # user 2's unsupported items never surface
+        assert df["k_b"].max() < 20_000
+
+    def test_cap_not_binding_is_exact_and_unstamped(self, tmp_path):
+        """Default cap far above basket sizes: result equals the exact
+        DuckDB pair support and truncation counters read zero."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import item_cooccurrence
+
+        rng = np.random.default_rng(99)
+        users = rng.integers(0, 40, size=2_000)
+        ks = rng.integers(0, 25, size=2_000)
+        tbl = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "props": pa.array(['{"k": %d}' % k for k in ks], pa.string()),
+        })
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = item_cooccurrence(str(tmp_path), min_support=2)
+        assert int(got.schema.metadata[b"truncated_items"]) == 0
+        assert int(got.schema.metadata[b"truncated_baskets"]) == 0
+        con2 = duckdb.connect()
+        con2.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        want = con2.execute(
+            "WITH uk AS (SELECT DISTINCT user_id, "
+            "CAST(regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT) AS k "
+            "FROM events WHERE props LIKE '%k%'), "
+            "p AS (SELECT a.k AS k_a, b.k AS k_b, count(*) AS n_users "
+            "FROM uk a JOIN uk b ON a.user_id = b.user_id AND a.k < b.k "
+            "GROUP BY 1, 2) "
+            "SELECT k_a, k_b, n_users FROM p WHERE n_users >= 2 "
+            "ORDER BY k_a, k_b"
+        ).df()
+        import pandas as pd
+        pd.testing.assert_frame_equal(got.to_pandas(), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenCanonicalMapDriverState:
+    def test_driver_collects_only_pair_member_counts(self, tmp_path):
+        """The driver must hold frequencies for PAIR-MEMBER words only,
+        never the full type table: a corpus with a huge singleton
+        vocabulary and two small variant clusters must collect exactly
+        the 5 pair-member count rows."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics import text_analysis
+        from ocr_service_ray.analytics.text_analysis import token_canonical_map
+
+        # 3000 distinct singleton words, no two within edit distance 2:
+        # each base-26 digit is written as a uniform letter TRIPLE, so
+        # any digit difference costs >= 3 edits; plus two variant clusters
+        def block_word(i: int) -> str:
+            d = (i // 676 % 26, i // 26 % 26, i % 26)
+            return "".join(chr(97 + x) * 3 for x in d)
+
+        singles = " ".join(block_word(i) for i in range(3000))
+        docs = [
+            singles,
+            "spelling speling spellling",  # cluster of 3 (canon: spelling)
+            "spelling color colour",       # cluster of 2 + repeat
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = token_canonical_map(str(tmp_path)).to_pandas().set_index("word")
+        # full normalization dictionary still produced (vocab-sized RESULT)
+        assert len(out) >= 3000
+        assert out.loc["speling", "canonical"] == "spelling"
+        assert out.loc["spellling", "canonical"] == "spelling"
+        assert out.loc["colour", "canonical"] == "color"  # tie -> lexicographic? freq: color 1, colour 1 -> smallest
+        assert out.loc["aaaaaaaaa", "canonical"] == "aaaaaaaaa"
+        # the driver-state guarantee: only pair-member rows collected
+        assert 0 < text_analysis._TCM_LAST_DRIVER_ROWS <= 10
+        assert text_analysis._TCM_LAST_DRIVER_ROWS < 3000
