@@ -33,6 +33,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .vectors import _emb_matrix
+
 from .hashing import (
     MinHasher,
     hash_tokens,
@@ -527,8 +529,10 @@ def _load_block(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         # list raises — return an empty matrix so the pair task emits
         # an empty table instead of crashing the query
         return ids, np.zeros((0, 1), dtype=np.float64)
-    m = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    # _emb_matrix may return a read-only zero-copy view: normalize
+    # out-of-place (same values, new buffer)
+    m = _emb_matrix(tbl.column("embedding"))
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     return ids, m
 
 
@@ -1307,9 +1311,7 @@ def semantic_dedup(
                  "embedding": pa.array([], pa.list_(pa.float32()))}
             )
         c = ray.get(cent_ref)
-        m = _norm_rows(
-            np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
-        )
+        m = _norm_rows(_emb_matrix(batch.column("embedding")))
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),
@@ -1321,9 +1323,7 @@ def semantic_dedup(
     def dedup_cluster(group: pa.Table) -> pa.Table:
         group = group.sort_by([("vec_id", "ascending")])
         ids = np.asarray(group.column("vec_id"), dtype=np.int64)
-        m = _norm_rows(
-            np.vstack(group.column("embedding").to_pylist()).astype(np.float64)
-        )
+        m = _norm_rows(_emb_matrix(group.column("embedding")))
         sims = m @ m.T
         n = len(ids)
         keep = np.ones(n, dtype=bool)

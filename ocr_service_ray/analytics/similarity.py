@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .vectors import _emb_matrix
+
 
 def _emb(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -70,15 +72,8 @@ def _exact_topk(
             )
         qm = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id"))
-        col = batch.column("embedding")
-        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-            # packed form (float32 bytes) — vectors that crossed a join
-            m = np.vstack(
-                [np.frombuffer(x, np.float32) for x in col.to_pylist()]
-            ).astype(np.float64)
-        else:
-            m = np.vstack(col.to_pylist()).astype(np.float64)
-        m = _norm_rows(m)
+        # zero-copy Arrow->numpy (handles the packed-binary join form too)
+        m = _norm_rows(_emb_matrix(batch.column("embedding")))
         sims = qm @ m.T  # (n_queries, block)
         kk = min(k, sims.shape[1])
         out_q, out_n, out_s = [], [], []
@@ -163,7 +158,7 @@ def filtered_topk(
                  "embedding": pa.array([], pa.binary())}
             )
         m = np.ascontiguousarray(
-            np.vstack(batch.column("embedding").to_pylist()), dtype=np.float32
+            _emb_matrix(batch.column("embedding"), dtype=np.float32)
         )
         n, dim = m.shape
         offsets = np.arange(n + 1, dtype=np.int32) * (dim * 4)
@@ -243,7 +238,7 @@ def ivf_build_index(sf_dir: str, n_clusters: int = 16, seed: int = 0) -> str:
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        m = _norm_rows(np.vstack(batch.column("embedding").to_pylist()).astype(np.float64))
+        m = _norm_rows(_emb_matrix(batch.column("embedding")))
         cells = (m @ c.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("cell", pa.array(cells, pa.int32()))
 
@@ -300,7 +295,7 @@ def ivf_topk(
             [int(p.split("cell=")[1].split("/")[0]) for p in batch.column("path").to_pylist()],
             dtype=np.int64,
         )
-        m = _norm_rows(np.vstack(batch.column("embedding").to_pylist()).astype(np.float64))
+        m = _norm_rows(_emb_matrix(batch.column("embedding")))
         out_q, out_n, out_s = [], [], []
         for q_idx in range(qm.shape[0]):
             mask = np.isin(cells, pr[q_idx])
@@ -378,9 +373,7 @@ def kmeans_fit(
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
-            m = _norm_rows(
-                np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
-            )
+            m = _norm_rows(_emb_matrix(batch.column("embedding")))
             assign = (m @ c.T).argmax(axis=1)
             fx = np.rint(m * _KM_SCALE).astype(np.int64)
             k, d = c.shape
@@ -429,7 +422,7 @@ def embedding_clusters(sf_dir: str, n_clusters: int = 8, iters: int = 8) -> pa.T
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        m = _norm_rows(np.vstack(batch.column("embedding").to_pylist()).astype(np.float64))
+        m = _norm_rows(_emb_matrix(batch.column("embedding")))
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),
@@ -875,7 +868,7 @@ def pca_fit(sf_dir: str, n_components: int = 4, ds=None):
                  "s": pa.array([], pa.list_(pa.int64())),
                  "g": pa.array([], pa.list_(pa.int64()))}
             )
-        m = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+        m = _emb_matrix(batch.column("embedding"))
         fx = np.rint(m * _PCA_SCALE).astype(np.int64)
         g = fx.T @ fx  # exact int64 matmul (numpy integer path, no BLAS)
         return pa.table(
@@ -949,7 +942,7 @@ def embedding_pca(sf_dir: str, n_components: int = 4) -> pa.Table:
                  **{nm: pa.array([], pa.float64()) for nm in names}}
             )
         mu, w = ray.get(state)
-        m = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+        m = _emb_matrix(batch.column("embedding"))
         y = np.zeros((len(m), w.shape[0]), np.float64)
         for j in range(w.shape[1]):  # fixed dimension order -> bit-stable
             y += np.outer(m[:, j] - mu[j], w[:, j])
@@ -1000,7 +993,7 @@ def embedding_drift(sf_dir: str) -> pa.Table:
                  "s": pa.array([], pa.int64())}
             )
         ids = np.asarray(batch.column("vec_id"), np.int64)
-        m = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+        m = _emb_matrix(batch.column("embedding"))
         fx = np.floor(m * (1 << 20) + 0.5).astype(np.int64)
         sides, dims, ns, ss = [], [], [], []
         for side, mask in ((0, ids < t_split), (1, ids >= t_split)):

@@ -2637,3 +2637,47 @@ class TestTokenCanonicalMapDriverState:
         # the driver-state guarantee: only pair-member rows collected
         assert 0 < text_analysis._TCM_LAST_DRIVER_ROWS <= 10
         assert text_analysis._TCM_LAST_DRIVER_ROWS < 3000
+
+
+class TestEmbMatrixParity:
+    """_emb_matrix must be bit-identical to the old to_pylist/vstack
+    path on every layout a batch can arrive in."""
+
+    def test_layout_parity_bit_identical(self):
+        from ocr_service_ray.analytics.vectors import _emb_matrix
+
+        rng = np.random.default_rng(42)
+        base = [list(map(float, rng.normal(size=24))) for _ in range(257)]
+        for typ in (pa.list_(pa.float32()), pa.list_(pa.float64()),
+                    pa.large_list(pa.float32()), pa.list_(pa.float32(), 24)):
+            arr = pa.array(base, typ)
+            want = np.vstack(arr.to_pylist()).astype(np.float64)
+            assert np.array_equal(_emb_matrix(arr), want), str(typ)
+            # chunked and sliced views (non-zero offsets)
+            ch = pa.chunked_array([arr[:100], arr[100:]])
+            assert np.array_equal(_emb_matrix(ch), want), f"chunked {typ}"
+            sl = arr.slice(33, 180)
+            assert np.array_equal(_emb_matrix(sl), want[33:213]), f"sliced {typ}"
+
+    def test_packed_binary_parity(self):
+        from ocr_service_ray.analytics.vectors import _emb_matrix
+
+        rng = np.random.default_rng(7)
+        rows = [rng.normal(size=16).astype(np.float32) for _ in range(50)]
+        packed = pa.array([r.tobytes() for r in rows], pa.binary())
+        want = np.vstack([np.frombuffer(r.tobytes(), np.float32) for r in rows]).astype(np.float64)
+        assert np.array_equal(_emb_matrix(packed), want)
+
+    def test_readonly_view_never_mutated_by_callers(self):
+        """float64 child -> zero-copy READ-ONLY view; _norm_rows and the
+        normalizing callers must allocate, not mutate."""
+        from ocr_service_ray.analytics.similarity import _norm_rows
+        from ocr_service_ray.analytics.vectors import _emb_matrix
+
+        arr = pa.array([[3.0, 4.0], [6.0, 8.0]], pa.list_(pa.float64()))
+        m = _emb_matrix(arr)
+        assert not m.flags.writeable  # proves the zero-copy path taken
+        normed = _norm_rows(m)
+        assert np.allclose(normed, [[0.6, 0.8], [0.6, 0.8]])
+        # source buffer untouched
+        assert arr.to_pylist() == [[3.0, 4.0], [6.0, 8.0]]
