@@ -1262,6 +1262,63 @@ def neardup_clusters_doubling(
     ).sort_by([("doc_id", "ascending")])
 
 
+def _greedy_dedup_scan(
+    ids: np.ndarray, m: np.ndarray, threshold: float, chunk: int = 1024
+) -> tuple[np.ndarray, np.ndarray]:
+    """Memory-bounded EXACT evaluation of the SemDeDup greedy scan.
+
+    Semantically identical to building the full n x n similarity
+    matrix and scanning it (same keeps, same dup_of, same tie-breaks),
+    but the working set is O(chunk * n_kept) instead of O(n^2): items
+    are processed in id order in fixed chunks; each chunk computes its
+    similarities against the ALREADY-KEPT prefix (whose decisions are
+    final) plus a chunk-internal block.  A duplicate-heavy oversized
+    cluster — the very corpus dedup targets, where a second k-means
+    level cannot split ties between identical vectors — therefore costs
+    O(n * n_kept * d) time and near-constant memory, not an O(n^2)
+    matrix in one task.  Pinned by an equivalence test against the
+    naive full-matrix scan and an 8,900-duplicate adversarial fixture.
+    """
+    n = len(ids)
+    keep = np.ones(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    kept_rows: list[np.ndarray] = []  # kept vectors from FINISHED chunks
+    kept_ids: list[int] = []
+    for s0 in range(0, n, chunk):
+        s1 = min(s0 + chunk, n)
+        cm = m[s0:s1]
+        if kept_ids:
+            kprev = np.vstack(kept_rows)
+            sims_prev = cm @ kprev.T  # (chunk, n_kept_prev)
+            kprev_ids = np.asarray(kept_ids, dtype=np.int64)
+        sims_in = cm @ cm.T  # (chunk, chunk)
+        for i in range(s1 - s0):
+            best_s, best_id = -np.inf, -1
+            if kept_ids:
+                # prefix candidates are ALL kept and id-ascending:
+                # argmax returns the first max -> min id (the original
+                # full-matrix tie-break)
+                j = int(np.argmax(sims_prev[i]))
+                best_s, best_id = float(sims_prev[i][j]), int(kprev_ids[j])
+            row = sims_in[i, :i]
+            kin = keep[s0 : s0 + i]
+            if i and kin.any():
+                masked = np.where(kin, row, -np.inf)
+                j = int(np.argmax(masked))
+                # strict > : prefix ids are all smaller, so equal sims
+                # resolve to the prefix candidate (min id), as before
+                if float(masked[j]) > best_s:
+                    best_s, best_id = float(masked[j]), int(ids[s0 + j])
+            if best_s > threshold:
+                keep[s0 + i] = False
+                dup_of[s0 + i] = best_id
+        for i in range(s0, s1):
+            if keep[i]:
+                kept_rows.append(m[i])
+                kept_ids.append(int(ids[i]))
+    return keep, dup_of
+
+
 def semantic_dedup(
     sf_dir: str,
     n_clusters: int = 8,
@@ -1287,12 +1344,16 @@ def semantic_dedup(
          (vec_id, cluster, embedding).
       2. ``groupby("cluster").map_groups``: ONE shuffle keyed by cluster;
          each group sorts by vec_id (canonical matrix -> deterministic
-         BLAS result), computes its own sim matrix, and runs the greedy
-         scan. Task memory is O(cluster_size^2) floats — the documented
-         SemDeDup cost profile: n_clusters is the knob that bounds it
-         (paper uses ~100k clusters at web scale; oversized clusters
-         would be re-split by a second kmeans level, not materialized).
-    Compute is O(sum cluster_size^2) ~= n^2/k vs the exact join's n^2.
+         BLAS result) and runs the CHUNKED greedy scan
+         (``_greedy_dedup_scan``): exact same decisions as the full
+         similarity matrix, but working memory is O(chunk * n_kept),
+         never O(cluster_size^2) — an oversized duplicate-heavy cluster
+         (which a second k-means level could NOT split: identical
+         vectors tie on every centroid) keeps n_kept ~ 1 and runs in
+         near-constant memory.  n_clusters remains the knob that bounds
+         the group's O(size * d) vector payload itself (paper uses
+         ~100k clusters at web scale).
+    Compute is O(sum size * kept * d) <= n^2/k vs the exact join's n^2.
 
     No SQL oracle (kmeans assignment is not SQL-expressible); pinned by
     an exact same-algorithm numpy reference (whole-corpus, driver-side)
@@ -1324,17 +1385,7 @@ def semantic_dedup(
         group = group.sort_by([("vec_id", "ascending")])
         ids = np.asarray(group.column("vec_id"), dtype=np.int64)
         m = _norm_rows(_emb_matrix(group.column("embedding")))
-        sims = m @ m.T
-        n = len(ids)
-        keep = np.ones(n, dtype=bool)
-        dup_of = np.full(n, -1, dtype=np.int64)
-        for i in range(1, n):
-            s = sims[i, :i].copy()
-            s[~keep[:i]] = -np.inf
-            j = int(np.argmax(s))  # argmax returns the FIRST max -> min id
-            if s[j] > threshold:
-                keep[i] = False
-                dup_of[i] = ids[j]
+        keep, dup_of = _greedy_dedup_scan(ids, m, threshold)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),

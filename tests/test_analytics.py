@@ -2681,3 +2681,77 @@ class TestEmbMatrixParity:
         assert np.allclose(normed, [[0.6, 0.8], [0.6, 0.8]])
         # source buffer untouched
         assert arr.to_pylist() == [[3.0, 4.0], [6.0, 8.0]]
+
+
+class TestGreedyDedupScanMemoryBound:
+    """_greedy_dedup_scan: chunked-exact equivalence + the oversized
+    duplicate-heavy cluster that used to imply an O(n^2) sim matrix."""
+
+    def _naive(self, ids, m, threshold):
+        sims = m @ m.T
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            s = sims[i, :i].copy()
+            s[~keep[:i]] = -np.inf
+            j = int(np.argmax(s))
+            if s[j] > threshold:
+                keep[i] = False
+                dup_of[i] = ids[j]
+        return keep, dup_of
+
+    def test_chunked_equals_naive_full_matrix(self):
+        from ocr_service_ray.analytics.dedup import _greedy_dedup_scan
+        from ocr_service_ray.analytics.similarity import _norm_rows
+
+        rng = np.random.default_rng(31337)
+        # clustered + noisy: plenty of near-dup ties straddling chunk
+        # boundaries at chunk=16
+        centers = rng.normal(size=(5, 12))
+        m = _norm_rows(
+            centers[rng.integers(0, 5, 400)] + 0.02 * rng.normal(size=(400, 12))
+        )
+        ids = np.sort(rng.choice(100_000, size=400, replace=False)).astype(np.int64)
+        for thr in (0.2, 0.8, 0.999):
+            nk, nd = self._naive(ids, m, thr)
+            for chunk in (16, 64, 1024):
+                ck, cd = _greedy_dedup_scan(ids, m, thr, chunk=chunk)
+                assert np.array_equal(nk, ck), f"keep thr={thr} chunk={chunk}"
+                assert np.array_equal(nd, cd), f"dup_of thr={thr} chunk={chunk}"
+
+    def test_exact_ties_resolve_to_min_id_across_chunks(self):
+        from ocr_service_ray.analytics.dedup import _greedy_dedup_scan
+
+        # all identical vectors: every later item ties at sim 1.0 with
+        # every kept candidate -> dup_of must be the FIRST (min id)
+        m = np.tile(np.array([[0.6, 0.8]]), (50, 1))
+        ids = np.arange(100, 150, dtype=np.int64)
+        keep, dup_of = _greedy_dedup_scan(ids, m, 0.45, chunk=7)
+        assert keep[0] and not keep[1:].any()
+        assert (dup_of[1:] == 100).all()
+
+    def test_8900_duplicate_cluster_bounded_memory(self):
+        """8,900 near-identical vectors in ONE cluster (the IVF/LSH-cap
+        adversarial corpus shape): the scan must complete with a
+        working set ~chunk*kept, i.e. it never allocates the 8,900^2
+        similarity matrix (633 MB); peak traced allocations stay far
+        below that, and all but the first vector drop."""
+        import tracemalloc
+
+        from ocr_service_ray.analytics.dedup import _greedy_dedup_scan
+        from ocr_service_ray.analytics.similarity import _norm_rows
+
+        rng = np.random.default_rng(8900)
+        base = rng.normal(size=64)
+        m = _norm_rows(base + 1e-6 * rng.normal(size=(8900, 64)))
+        ids = np.arange(8900, dtype=np.int64)
+        tracemalloc.start()
+        keep, dup_of = _greedy_dedup_scan(ids, m, 0.45)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert keep[0] and not keep[1:].any()
+        assert (dup_of[1:] == 0).all()
+        # full matrix would be 8900^2*8 bytes = 633 MB; chunked scan
+        # peaks at the chunk block (1024^2*8 = 8 MB) plus bookkeeping
+        assert peak < 120 * 1024 * 1024, f"peak {peak/1e6:.1f} MB"
