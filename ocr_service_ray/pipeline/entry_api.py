@@ -405,25 +405,30 @@ def q_qrcode_urls(sf_dir: str) -> pa.Table:
     )
 
 
-def q_multimodal_features(sf_dir: str) -> pa.Table:
-    """Audio feature extraction + video frame-sample -> OCR composition.
+# versioned root for the multimodal generator-oracle parquet files: the
+# fixture generator KNOWS the intended outputs (scene plan, window-
+# aligned silence/tone plan, rendered text, raw signals), so it writes
+# them as a parquet the driver's SQL oracle can read and hash — turning
+# the two multimodal rows from no_oracle into hash-verified ones.
+_MM_TRUTH_ROOT = "/tmp/graft_mm_truth/v1"
 
-    Deterministic synthetic payloads exercise the multimodal actor-pool
-    plumbing (stages/multimodal.py): audio -> scalar features; video ->
-    every-k-th frame -> the REAL OCR engine reads rendered text off the
-    sampled frames. Decode itself is the charter-mandated stub; schema,
-    batch sizing, actor state and output layout are the real deliverable.
+
+def _mm_features_fixture() -> tuple[pa.Table, pa.Table]:
+    """(payloads, ground-truth) for the features query — pure driver-side
+    construction, no Ray. Truth is computed from the generator's OWN
+    raw signals / frame plan / intended text, not by running the stages:
+    frame_text in particular requires the real OCR engine to read back
+    the rendered text end-to-end through encode -> actor pool -> decode.
     """
     import numpy as np
-    import ray
-    import ray.data
 
     from ..fixtures.render import render_page
-    from ..stages.multimodal import AudioFeatureStage, FrameSampleStage, encode_audio, encode_video
+    from ..stages.multimodal import encode_audio, encode_video
     from ..stages.ocr import raster
 
-    n = 32 if "0.001" in sf_dir else 96
+    n = 96  # sf-independent: one static truth file serves every sf dir
     rows = []
+    truth: list[tuple[str, str, str, str]] = []  # ref, modality, status, feature
     for i in range(n):
         rng = np.random.default_rng([1234, i])
         if i % 2 == 0:
@@ -433,10 +438,15 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
             s = np.sin(2 * np.pi * float(rng.uniform(50, 400)) * t).astype(np.float32)
             rows.append({"media_ref": f"aud-{i:04d}", "kind": "audio",
                          "bytes": encode_audio(s, sr)})
+            # same float32 buffer the stage decodes -> identical bits
+            rms = float(np.sqrt(np.mean(s * s))) if len(s) else 0.0
+            zc = int(np.count_nonzero(np.diff(np.signbit(s))))
+            truth.append((f"aud-{i:04d}", "audio", "ok", f"rms={rms:.6f};zc={zc}"))
         else:
             text = f"FRAME TEXTO {i:04d}"
             frames = []
-            for _f in range(int(rng.integers(4, 9))):
+            n_frames = int(rng.integers(4, 9))
+            for _f in range(n_frames):
                 img = raster.decode(render_page([[(0, text)]], rng))
                 frames.append(img)
             h = min(f.shape[0] for f in frames)
@@ -444,15 +454,44 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
             stack = np.stack([f[:h, :w] for f in frames])
             rows.append({"media_ref": f"vid-{i:04d}", "kind": "video",
                          "bytes": encode_video(stack)})
+            for fi in list(range(0, n_frames, 3))[:8]:
+                truth.append((f"vid-{i:04d}", "video", "ok", f"frame{fi}:{text}"))
     # corrupt payloads -> error records, never failures
     rows.append({"media_ref": "aud-bad", "kind": "audio", "bytes": b"junk"})
     rows.append({"media_ref": "vid-bad", "kind": "video", "bytes": b"junk"})
+    truth.append(("aud-bad", "audio", "erro", "rms=0.000000;zc=0"))
+    truth.append(("vid-bad", "video", "erro", "frame-1:"))
 
-    tbl = pa.table({
+    payloads = pa.table({
         "media_ref": pa.array([r["media_ref"] for r in rows]),
         "kind": pa.array([r["kind"] for r in rows]),
         "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
     })
+    truth_tbl = pa.table({
+        "media_ref": pa.array([t[0] for t in truth], pa.string()),
+        "modality": pa.array([t[1] for t in truth], pa.string()),
+        "status": pa.array([t[2] for t in truth], pa.string()),
+        "feature": pa.array([t[3] for t in truth], pa.string()),
+    }).sort_by([("media_ref", "ascending"), ("feature", "ascending")])
+    return payloads, truth_tbl
+
+
+def q_multimodal_features(sf_dir: str) -> pa.Table:
+    """Audio feature extraction + video frame-sample -> OCR composition.
+
+    Deterministic synthetic payloads exercise the multimodal actor-pool
+    plumbing (stages/multimodal.py): audio -> scalar features; video ->
+    every-k-th frame -> the REAL OCR engine reads rendered text off the
+    sampled frames. Decode itself is the charter-mandated stub; schema,
+    batch sizing, actor state and output layout are the real deliverable.
+    SQL-oracled against the generator ground truth (_ensure_mm_truth).
+    """
+    import ray
+    import ray.data
+
+    from ..stages.multimodal import AudioFeatureStage, FrameSampleStage
+
+    tbl, _ = _mm_features_fixture()
     ds = ray.data.from_arrow(tbl)
     audio = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
@@ -503,25 +542,20 @@ def q_multimodal_features(sf_dir: str) -> pa.Table:
     return out.sort_by([("media_ref", "ascending"), ("feature", "ascending")])
 
 
-def q_multimodal_segments(sf_dir: str) -> pa.Table:
-    """Scene-change keyframes + energy-VAD audio segments over synthetic
-    multimodal payloads (REAL detection/DSP algorithms on the charter-
-    sanctioned synthetic codecs; exact outputs pinned by unit tests on
-    constructed scenes/waveforms — this query exercises the actor-pool
-    plumbing at corpus shape)."""
+def _mm_segments_fixture() -> tuple[pa.Table, pa.Table]:
+    """(payloads, ground-truth) for the segments query. The generator's
+    construction plan IS the truth: audio silence/tone parts are window-
+    aligned (per-window rms computed on the raw float32 signal it just
+    built), and video scenes are uniform planes whose keyframe rule
+    reduces to scalar |level| arithmetic — both independent of the
+    codec/actor/decode path the stages must then reproduce."""
     import numpy as np
-    import ray
-    import ray.data
 
-    from ..stages.multimodal import (
-        AudioSegmentStage,
-        KeyframeStage,
-        encode_audio,
-        encode_video,
-    )
+    from ..stages.multimodal import encode_audio, encode_video
 
-    n = 24 if "0.001" in sf_dir else 72
+    n = 72  # sf-independent (one static truth file)
     rows = []
+    truth: list[tuple[str, str, str, str]] = []  # ref, modality, status, detail
     for i in range(n):
         rng = np.random.default_rng([777, i])
         if i % 2 == 0:
@@ -535,23 +569,106 @@ def q_multimodal_segments(sf_dir: str) -> pa.Table:
                     (0.5 * np.sin(2 * np.pi * float(rng.uniform(100, 300)) * t)
                      ).astype(np.float32)
                 )
+            s = np.concatenate(parts)
             rows.append({"media_ref": f"seg-aud-{i:04d}", "kind": "audio",
-                         "bytes": encode_audio(np.concatenate(parts), rate)})
+                         "bytes": encode_audio(s, rate)})
+            # replicate the VAD arithmetic on the raw signal (identical
+            # float32 buffer -> identical bits after the stage decodes)
+            n_win = len(s) // win
+            w_blk = s[: n_win * win].reshape(n_win, win).astype(np.float64)
+            rms = np.sqrt((w_blk * w_blk).mean(axis=1))
+            voiced = rms >= 0.1
+            change = np.flatnonzero(np.diff(voiced.astype(np.int8)))
+            bounds = np.concatenate(([0], change + 1, [n_win]))
+            seg = 0
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                if not voiced[b0]:
+                    continue
+                s0 = round(b0 * win / rate, 6)
+                e0 = round(b1 * win / rate, 6)
+                r = round(float(rms[b0:b1].mean()), 6)
+                truth.append((f"seg-aud-{i:04d}", "audio", "ok",
+                              f"seg{seg}:{s0:.2f}-{e0:.2f}@rms={r:.4f}"))
+                seg += 1
         else:
             h, w = 24, 32
             frames = []
+            levels: list[int] = []
             for _scene in range(int(rng.integers(2, 5))):
-                plane = np.full((h, w), int(rng.integers(0, 255)), np.uint8)
-                frames.extend([plane] * int(rng.integers(2, 4)))
+                lv = int(rng.integers(0, 255))
+                reps = int(rng.integers(2, 4))
+                plane = np.full((h, w), lv, np.uint8)
+                frames.extend([plane] * reps)
+                levels.extend([lv] * reps)
             rows.append({"media_ref": f"seg-vid-{i:04d}", "kind": "video",
                          "bytes": encode_video(np.stack(frames))})
+            # keyframe rule on uniform planes == scalar |level| deltas
+            prev_lv: int | None = None
+            emitted = 0
+            for fi, lv in enumerate(levels):
+                ch = 255.0 if prev_lv is None else float(abs(lv - prev_lv))
+                if prev_lv is None or ch >= 8.0:
+                    truth.append((f"seg-vid-{i:04d}", "video", "ok",
+                                  f"kf{fi}:change={round(ch, 6):.2f}"))
+                    prev_lv = lv
+                    emitted += 1
+                    if emitted >= 16:
+                        break
     rows.append({"media_ref": "seg-aud-bad", "kind": "audio", "bytes": b"x"})
     rows.append({"media_ref": "seg-vid-bad", "kind": "video", "bytes": b"y"})
-    tbl = pa.table({
+    truth.append(("seg-aud-bad", "audio", "erro", "seg-1:0.00-0.00@rms=0.0000"))
+    truth.append(("seg-vid-bad", "video", "erro", "kf-1:change=0.00"))
+    payloads = pa.table({
         "media_ref": pa.array([r["media_ref"] for r in rows]),
         "kind": pa.array([r["kind"] for r in rows]),
         "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
     })
+    truth_tbl = pa.table({
+        "media_ref": pa.array([t[0] for t in truth], pa.string()),
+        "modality": pa.array([t[1] for t in truth], pa.string()),
+        "status": pa.array([t[2] for t in truth], pa.string()),
+        "detail": pa.array([t[3] for t in truth], pa.string()),
+    }).sort_by([("media_ref", "ascending"), ("detail", "ascending")])
+    return payloads, truth_tbl
+
+
+def _ensure_mm_truth() -> dict[str, str]:
+    """Write the multimodal generator-truth parquets (once; deterministic
+    contents) and return their paths — called from both the queries and
+    oracle_sql(), so either side can run first."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(_MM_TRUTH_ROOT, exist_ok=True)
+    paths = {
+        "multimodal_features": f"{_MM_TRUTH_ROOT}/features.parquet",
+        "multimodal_segments": f"{_MM_TRUTH_ROOT}/segments.parquet",
+    }
+    if not os.path.exists(paths["multimodal_features"]):
+        _, truth = _mm_features_fixture()
+        tmp = paths["multimodal_features"] + ".tmp"
+        pq.write_table(truth, tmp)
+        os.replace(tmp, paths["multimodal_features"])
+    if not os.path.exists(paths["multimodal_segments"]):
+        _, truth = _mm_segments_fixture()
+        tmp = paths["multimodal_segments"] + ".tmp"
+        pq.write_table(truth, tmp)
+        os.replace(tmp, paths["multimodal_segments"])
+    return paths
+
+
+def q_multimodal_segments(sf_dir: str) -> pa.Table:
+    """Scene-change keyframes + energy-VAD audio segments over synthetic
+    multimodal payloads (REAL detection/DSP algorithms on the charter-
+    sanctioned synthetic codecs; exact outputs pinned by unit tests on
+    constructed scenes/waveforms — this query exercises the actor-pool
+    plumbing at corpus shape). SQL-oracled against the generator plan
+    (_ensure_mm_truth)."""
+    import ray
+    import ray.data
+
+    from ..stages.multimodal import AudioSegmentStage, KeyframeStage
+
+    tbl, _ = _mm_segments_fixture()
     ds = ray.data.from_arrow(tbl)
     audio = ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
@@ -1028,7 +1145,21 @@ _BRUTE_TOPK_SQL = (
 
 
 def oracle_sql() -> dict:
+    # generator-truth parquets for the multimodal rows (pure driver-side
+    # construction; written on first access so either the query or the
+    # oracle may run first)
+    mm = _ensure_mm_truth()
     return {
+        "multimodal_features": (
+            "SELECT media_ref, modality, status, feature "
+            f"FROM '{mm['multimodal_features']}' "
+            "ORDER BY media_ref, feature"
+        ),
+        "multimodal_segments": (
+            "SELECT media_ref, modality, status, detail "
+            f"FROM '{mm['multimodal_segments']}' "
+            "ORDER BY media_ref, detail"
+        ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
