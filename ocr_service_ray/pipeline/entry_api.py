@@ -230,15 +230,94 @@ def blob_scan(scale: str) -> pa.Table:
 # span-pipeline queries (rows-only checks; pinned by pipeline tests)
 
 
+# versioned root for the span-family generator-truth parquets: the
+# corpus generator's ``expected`` table (and the blob sidecar's
+# qr_payload) already encode the INTENDED pipeline outputs — flattening
+# them to parquet lets the driver's SQL oracle hash-verify the flagship
+# spans instead of recording a rows-only check. The files are rebuilt
+# whenever a different scale is requested (atomic replace + SCALE
+# marker); oracle_sql() pins them to the driver's sf0.01 scale.
+_SPAN_TRUTH_ROOT = "/tmp/graft_span_truth/v1"
+
+
+def _flatten_expected(expected_root: str) -> pa.Table:
+    tables = []
+    for p in storage.list_parts(expected_root):
+        t = storage.read_part(expected_root, p)
+        spans = t.column("spans").combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        tables.append(
+            pa.table(
+                {
+                    "doc_id": pc.take(t.column("doc_id"), parents),
+                    "offset": flat.field("offset"),
+                    "kind": flat.field("kind"),
+                    "text": flat.field("text"),
+                    "media_ref": flat.field("media_ref"),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
+    import pyarrow.parquet as pq
+
+    from ..ops.textops import clean_url
+
+    os.makedirs(_SPAN_TRUTH_ROOT, exist_ok=True)
+    paths = {
+        "spans": f"{_SPAN_TRUTH_ROOT}/current_spans.parquet",
+        "qr": f"{_SPAN_TRUTH_ROOT}/current_qr.parquet",
+    }
+    marker = f"{_SPAN_TRUTH_ROOT}/SCALE"
+    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == scale:
+                return paths
+    info = span_corpus(scale)
+    truth = _flatten_expected(info["expected"])
+    pq.write_table(truth, paths["spans"] + ".tmp")
+    os.replace(paths["spans"] + ".tmp", paths["spans"])
+    # qr truth straight from the generator's blob sidecar
+    refs, payloads = [], []
+    for p in storage.list_parts(info["blobs"]):
+        t = storage.read_part(info["blobs"], p, columns=["media_ref", "qr_payload"])
+        refs.extend(t.column("media_ref").to_pylist())
+        payloads.extend(t.column("qr_payload").to_pylist())
+    qr = pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "found": pa.array([bool(u) for u in payloads], pa.bool_()),
+            "url": pa.array([u or "" for u in payloads], pa.string()),
+            "url_clean": pa.array(
+                [clean_url(u) if u else "" for u in payloads], pa.string()
+            ),
+        }
+    )
+    pq.write_table(qr, paths["qr"] + ".tmp")
+    os.replace(paths["qr"] + ".tmp", paths["qr"])
+    with open(marker + ".tmp", "w") as f:
+        f.write(scale)
+    os.replace(marker + ".tmp", marker)
+    return paths
+
+
 def q_span_extract(sf_dir: str) -> pa.Table:
-    """Flagship: full extraction pipeline, flattened output spans."""
-    _, out = run_span_pipeline(scale_for(sf_dir))
+    """Flagship: full extraction pipeline, flattened output spans.
+    SQL-oracled against the flattened generator ``expected`` table."""
+    scale = scale_for(sf_dir)
+    _, out = run_span_pipeline(scale)
+    _ensure_span_truth(scale)
     return _flatten_docs(out)
 
 
 def q_span_errors(sf_dir: str) -> pa.Table:
     """Error-record spans (corrupt/dangling media) from the pipeline output."""
-    _, out = run_span_pipeline(scale_for(sf_dir))
+    scale = scale_for(sf_dir)
+    _, out = run_span_pipeline(scale)
+    _ensure_span_truth(scale)
     flat = _flatten_docs(out)
     return flat.filter(pc.equal(flat.column("kind"), "erro"))
 
@@ -391,7 +470,9 @@ def q_qrcode_urls(sf_dir: str) -> pa.Table:
     Reshape of the shared ``blob_scan`` pass (QR-only ladder column)."""
     from ..ops.textops import clean_url
 
-    scan = blob_scan(scale_for(sf_dir))
+    scale = scale_for(sf_dir)
+    scan = blob_scan(scale)
+    _ensure_span_truth(scale)
     urls = scan.column("qr_url").to_pylist()
     return pa.table(
         {
@@ -1149,7 +1230,22 @@ def oracle_sql() -> dict:
     # construction; written on first access so either the query or the
     # oracle may run first)
     mm = _ensure_mm_truth()
+    # span-family truth: pinned to the driver's sf0.01 scale by default;
+    # the query fns rebuild for other scales before their oracle runs
+    sp = _ensure_span_truth("small")
     return {
+        "span_extract": (
+            'SELECT doc_id, "offset", kind, text, media_ref '
+            f"FROM '{sp['spans']}' ORDER BY doc_id, \"offset\""
+        ),
+        "span_errors": (
+            'SELECT doc_id, "offset", kind, text, media_ref '
+            f"FROM '{sp['spans']}' WHERE kind = 'erro' ORDER BY doc_id, \"offset\""
+        ),
+        "qrcode_urls": (
+            "SELECT media_ref, found, url, url_clean "
+            f"FROM '{sp['qr']}' ORDER BY media_ref"
+        ),
         "multimodal_features": (
             "SELECT media_ref, modality, status, feature "
             f"FROM '{mm['multimodal_features']}' "
