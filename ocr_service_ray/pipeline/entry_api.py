@@ -270,6 +270,8 @@ def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
     paths = {
         "spans": f"{_SPAN_TRUTH_ROOT}/current_spans.parquet",
         "qr": f"{_SPAN_TRUTH_ROOT}/current_qr.parquet",
+        "html_totals": f"{_SPAN_TRUTH_ROOT}/current_html_totals.parquet",
+        "html_items": f"{_SPAN_TRUTH_ROOT}/current_html_items.parquet",
     }
     marker = f"{_SPAN_TRUTH_ROOT}/SCALE"
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(marker):
@@ -298,6 +300,20 @@ def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
     )
     pq.write_table(qr, paths["qr"] + ".tmp")
     os.replace(paths["qr"] + ".tmp", paths["qr"])
+    # html extractor truth (generator plan sidecars, GEN_VERSION >= 2)
+    for key, root_key in (
+        ("html_totals", "html_totals_truth"),
+        ("html_items", "html_items_truth"),
+    ):
+        parts = [
+            storage.read_part(info[root_key], p)
+            for p in storage.list_parts(info[root_key])
+        ]
+        tbl = pa.concat_tables(parts)
+        if "part" in tbl.column_names:
+            tbl = tbl.drop_columns(["part"])
+        pq.write_table(tbl, paths[key] + ".tmp")
+        os.replace(paths[key] + ".tmp", paths[key])
     with open(marker + ".tmp", "w") as f:
         f.write(scale)
     os.replace(marker + ".tmp", marker)
@@ -397,6 +413,65 @@ def q_html_items(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
 
 
+def q_html_item_values(sf_dir: str) -> pa.Table:
+    """Numeric projection of the HTML item extractor, SQL-oracled
+    against the generator's html-truth sidecar: (doc_id, offset,
+    item_idx, codigo, quantidade, valor_unitario, valor_total). The
+    descriptive `item` string stays in q_html_items (gate-verified):
+    the reference parser deliberately gloms leading prose into the
+    name, which has no generator-independent ground truth."""
+    import ray
+    import ray.data
+
+    scale = scale_for(sf_dir)
+    info = span_corpus(scale)
+    _ensure_span_truth(scale)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        from ..stages.html_extract import parse_html_document
+
+        spans = batch.column("spans").combine_chunks()
+        parents = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        doc_ids = pc.take(batch.column("doc_id"), parents).to_pylist()
+        rows = {"doc_id": [], "offset": [], "item_idx": [], "codigo": [],
+                "quantidade": [], "valor_unitario": [], "valor_total": []}
+        for d, k, t, o in zip(
+            doc_ids,
+            flat.field("kind").to_pylist(),
+            flat.field("text").to_pylist(),
+            flat.field("offset").to_pylist(),
+        ):
+            if k != "html":
+                continue
+            for ii, it in enumerate(parse_html_document(t)["itens"]):
+                rows["doc_id"].append(d)
+                rows["offset"].append(o)
+                rows["item_idx"].append(ii)
+                rows["codigo"].append(it["codigo"])
+                rows["quantidade"].append(it["quantidade"])
+                rows["valor_unitario"].append(it["valor_unitario"])
+                rows["valor_total"].append(it["valor_total"])
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "offset": pa.array(rows["offset"], pa.int32()),
+                "item_idx": pa.array(rows["item_idx"], pa.int64()),
+                "codigo": pa.array(rows["codigo"], pa.string()),
+                "quantidade": pa.array(rows["quantidade"], pa.float64()),
+                "valor_unitario": pa.array(rows["valor_unitario"], pa.float64()),
+                "valor_total": pa.array(rows["valor_total"], pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(storage.data_files(info["docs"]))
+    out = ds.map_batches(extract, batch_format="pyarrow")
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return tbl.sort_by(
+        [("doc_id", "ascending"), ("offset", "ascending"), ("item_idx", "ascending")]
+    )
+
+
 def q_doc_status(sf_dir: str) -> pa.Table:
     """Per-document status of the flagship output: the reference's
     doc-level response fields (tipo_documento / confianca / mensagem,
@@ -417,11 +492,14 @@ def q_doc_status(sf_dir: str) -> pa.Table:
 
 def q_html_totals(sf_dir: str) -> pa.Table:
     """HTML spans -> per-span (data_compra, total_nota) extraction
-    (app/nfce_parser.py:81-95 semantics via stages/html_extract.py)."""
+    (app/nfce_parser.py:81-95 semantics via stages/html_extract.py).
+    SQL-oracled against the generator's html-truth sidecar."""
     import ray
     import ray.data
 
-    info = span_corpus(scale_for(sf_dir))
+    scale = scale_for(sf_dir)
+    info = span_corpus(scale)
+    _ensure_span_truth(scale)
 
     def extract(batch: pa.Table) -> pa.Table:
         from ..stages.html_extract import parse_html_document
@@ -874,6 +952,7 @@ def queries() -> dict:
         "span_errors": q_span_errors,
         "receipt_items": q_receipt_items,
         "html_items": q_html_items,
+        "html_item_values": q_html_item_values,
         "html_totals": q_html_totals,
         "doc_status": q_doc_status,
         "qrcode_urls": q_qrcode_urls,
@@ -1245,6 +1324,15 @@ def oracle_sql() -> dict:
         "qrcode_urls": (
             "SELECT media_ref, found, url, url_clean "
             f"FROM '{sp['qr']}' ORDER BY media_ref"
+        ),
+        "html_totals": (
+            'SELECT doc_id, "offset", data_compra, total_nota, n_itens '
+            f"FROM '{sp['html_totals']}' ORDER BY doc_id, \"offset\""
+        ),
+        "html_item_values": (
+            'SELECT doc_id, "offset", item_idx, codigo, quantidade, '
+            "valor_unitario, valor_total "
+            f"FROM '{sp['html_items']}' ORDER BY doc_id, \"offset\", item_idx"
         ),
         "multimodal_features": (
             "SELECT media_ref, modality, status, feature "
