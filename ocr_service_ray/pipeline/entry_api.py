@@ -44,7 +44,13 @@ def span_corpus(scale: str = "small", seed: int = 42, profile: str = "default") 
         import json
 
         with open(done_marker) as f:
-            return json.load(f)
+            info = json.load(f)
+        # a cache written by older same-GEN_VERSION code may predate a
+        # truth sidecar: regenerate rather than KeyError downstream
+        if all(k in info for k in (
+            "html_totals_truth", "html_items_truth", "receipt_items_truth"
+        )):
+            return info
     import json
     import shutil
 
@@ -272,6 +278,7 @@ def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
         "qr": f"{_SPAN_TRUTH_ROOT}/current_qr.parquet",
         "html_totals": f"{_SPAN_TRUTH_ROOT}/current_html_totals.parquet",
         "html_items": f"{_SPAN_TRUTH_ROOT}/current_html_items.parquet",
+        "receipt_items": f"{_SPAN_TRUTH_ROOT}/current_receipt_items.parquet",
     }
     marker = f"{_SPAN_TRUTH_ROOT}/SCALE"
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(marker):
@@ -300,6 +307,22 @@ def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
     )
     pq.write_table(qr, paths["qr"] + ".tmp")
     os.replace(paths["qr"] + ".tmp", paths["qr"])
+    # receipt OCR truth: generator plan + the provably-constant
+    # classifier output (no generator word contains a KEYWORDS_VENDA
+    # trigger, so classify_document is 'gasto' on every receipt —
+    # pinned by a test)
+    rparts = [
+        storage.read_part(info["receipt_items_truth"], p)
+        for p in storage.list_parts(info["receipt_items_truth"])
+    ]
+    rtbl = pa.concat_tables(rparts)
+    if "part" in rtbl.column_names:
+        rtbl = rtbl.drop_columns(["part"])
+    rtbl = rtbl.append_column(
+        "tipo_documento", pa.array(["gasto"] * rtbl.num_rows, pa.string())
+    )
+    pq.write_table(rtbl, paths["receipt_items"] + ".tmp")
+    os.replace(paths["receipt_items"] + ".tmp", paths["receipt_items"])
     # html extractor truth (generator plan sidecars, GEN_VERSION >= 2)
     for key, root_key in (
         ("html_totals", "html_totals_truth"),
@@ -342,8 +365,11 @@ def q_receipt_items(sf_dir: str) -> pa.Table:
     """OCR receipts -> structured item rows (reference Item semantics:
     recognize -> classify -> band/group/parse/impute/dedupe,
     /root/reference/app/ocr_engine.py:152-292). Reshape of the shared
-    ``blob_scan`` pass (items exploded per media_ref)."""
-    scan = blob_scan(scale_for(sf_dir))
+    ``blob_scan`` pass (items exploded per media_ref). SQL-oracled
+    against the generator's receipt-truth sidecar."""
+    scale = scale_for(sf_dir)
+    scan = blob_scan(scale)
+    _ensure_span_truth(scale)
     items = scan.column("items").combine_chunks()
     parents = pc.list_parent_indices(items)
     flat = items.flatten()
@@ -1328,6 +1354,11 @@ def oracle_sql() -> dict:
         "html_totals": (
             'SELECT doc_id, "offset", data_compra, total_nota, n_itens '
             f"FROM '{sp['html_totals']}' ORDER BY doc_id, \"offset\""
+        ),
+        "receipt_items": (
+            "SELECT media_ref, tipo_documento, sq, item, quantidade, "
+            "valor_unitario, valor_total, data_compra, qrcode_url "
+            f"FROM '{sp['receipt_items']}' ORDER BY media_ref, sq"
         ),
         "html_item_values": (
             'SELECT doc_id, "offset", item_idx, codigo, quantidade, '

@@ -2755,3 +2755,20 @@ class TestGreedyDedupScanMemoryBound:
         # full matrix would be 8900^2*8 bytes = 633 MB; chunked scan
         # peaks at the chunk block (1024^2*8 = 8 MB) plus bookkeeping
         assert peak < 120 * 1024 * 1024, f"peak {peak/1e6:.1f} MB"
+
+
+class TestReceiptTruthClassifierConstant:
+    def test_no_generator_word_can_trigger_venda(self):
+        """The receipt-truth oracle hardcodes tipo_documento='gasto':
+        valid only while no generator vocabulary word contains a
+        KEYWORDS_VENDA trigger. Pin that invariant here so a vocabulary
+        edit cannot silently break the oracle."""
+        from ocr_service_ray.fixtures.gen import WORDS
+        from ocr_service_ray.ops.textops import KEYWORDS_VENDA
+
+        low = [w.lower() for w in WORDS]
+        for k in KEYWORDS_VENDA:
+            assert not any(k in w for w in low), k
+        # receipt scaffolding strings are static; check them too
+        for s in ("ltda", "emissao:", "sq.codigo desc", "valor total", "un x"):
+            assert not any(k in s for k in KEYWORDS_VENDA), s

@@ -77,7 +77,7 @@ class TestCodec:
 class TestEngineQr:
     def test_receipt_text_unaffected_by_code(self, engine):
         rng = np.random.default_rng([7, 3])
-        payload, expected, _w, _h, qr = make_media_blob(rng, receipt=True)
+        payload, expected, _w, _h, qr, _plan = make_media_blob(rng, receipt=True)
         assert engine.recognize_lines(payload) == expected
         page = engine.extract_page(payload)
         assert page["qrcode"] == (qr or None)
