@@ -279,6 +279,7 @@ def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
         "html_totals": f"{_SPAN_TRUTH_ROOT}/current_html_totals.parquet",
         "html_items": f"{_SPAN_TRUTH_ROOT}/current_html_items.parquet",
         "receipt_items": f"{_SPAN_TRUTH_ROOT}/current_receipt_items.parquet",
+        "skew_metrics": f"{_SPAN_TRUTH_ROOT}/current_skew_metrics.parquet",
     }
     marker = f"{_SPAN_TRUTH_ROOT}/SCALE"
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(marker):
@@ -337,6 +338,30 @@ def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
             tbl = tbl.drop_columns(["part"])
         pq.write_table(tbl, paths[key] + ".tmp")
         os.replace(paths[key] + ".tmp", paths[key])
+    # skewed-profile per-part metrics truth: aggregate the SKEW corpus's
+    # expected table (the generator knows docs/spans/errors per part)
+    skew_info = span_corpus("tiny" if scale == "tiny" else "small",
+                            seed=7, profile="skewed")
+    srows = []
+    for p in storage.list_parts(skew_info["expected"]):
+        t = storage.read_part(skew_info["expected"], p)
+        flat = t.column("spans").combine_chunks().flatten()
+        kinds = flat.field("kind")
+        srows.append(
+            (p, t.num_rows, len(kinds),
+             pc.sum(pc.equal(kinds, "erro")).as_py() or 0)
+        )
+    srows.sort()
+    skew = pa.table(
+        {
+            "part_id": pa.array([r[0] for r in srows], pa.int32()),
+            "n_docs": pa.array([r[1] for r in srows], pa.int64()),
+            "n_spans": pa.array([r[2] for r in srows], pa.int64()),
+            "n_errors": pa.array([r[3] for r in srows], pa.int64()),
+        }
+    )
+    pq.write_table(skew, paths["skew_metrics"] + ".tmp")
+    os.replace(paths["skew_metrics"] + ".tmp", paths["skew_metrics"])
     with open(marker + ".tmp", "w") as f:
         f.write(scale)
     os.replace(marker + ".tmp", marker)
@@ -908,10 +933,12 @@ def q_image_features(sf_dir: str) -> pa.Table:
 
 
 def q_skew_profile(sf_dir: str) -> pa.Table:
-    """Skewed corpus (1% 50-media docs) through the pipeline; per-part metrics."""
+    """Skewed corpus (1% 50-media docs) through the pipeline; per-part
+    metrics. SQL-oracled against the skew corpus's expected table."""
     from .run import run_pipeline, verify_output
 
     info = span_corpus_skew(sf_dir)
+    _ensure_span_truth(scale_for(sf_dir))
     out = tempfile.mkdtemp(prefix="graft_skew_")
     summary = run_pipeline(info["docs"], info["blobs"], out)
     check = verify_output(out, info["expected"])
@@ -1359,6 +1386,10 @@ def oracle_sql() -> dict:
             "SELECT media_ref, tipo_documento, sq, item, quantidade, "
             "valor_unitario, valor_total, data_compra, qrcode_url "
             f"FROM '{sp['receipt_items']}' ORDER BY media_ref, sq"
+        ),
+        "skew_metrics": (
+            "SELECT part_id, n_docs, n_spans, n_errors "
+            f"FROM '{sp['skew_metrics']}' ORDER BY part_id"
         ),
         "html_item_values": (
             'SELECT doc_id, "offset", item_idx, codigo, quantidade, '
