@@ -1675,3 +1675,129 @@ def vocab_coverage(sf_dir: str, ks: tuple = (10, 100)) -> pa.Table:
             "total": pa.array([total] * len(out_k), pa.int64()),
         }
     )
+
+
+def doc_bigram_novelty(sf_dir: str) -> pa.Table:
+    """Cross-document novelty signal: per doc, how many of its word
+    bigrams are UNIQUE in the whole corpus (total occurrence count 1).
+    Low novelty = templated/boilerplate text repeated across documents
+    — the cross-doc complement of `repetition_scores` (within-doc) and
+    `dup_ngram_spans` (exact 8-gram spans); the CCNet/Gopher family's
+    cheap corpus-repetition filter.
+
+    Output: (doc_id, n_bigrams, n_unique, novelty) for every doc with
+    at least one bigram; novelty = n_unique / n_bigrams (exact IEEE
+    int/int division, same on the SQL side).
+
+    Ray shape (JOIN-FREE attribution): per-block (doc_id, bigram, n)
+    partials -> ONE bigram-keyed groupby computing (sum n, min doc_id).
+    A bigram with total 1 occurred in exactly one block of one doc, so
+    its min(doc_id) IS the owning doc — no join-back of the corpus
+    table against the doc table. The count-1 rows collapse through a
+    per-block combiner to doc-keyed partials (a doc-domain-sized
+    second shuffle); per-doc bigram totals are exact per block (one
+    row = one whole doc) and never shuffle.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .hashing import split_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows_d: list[int] = []
+        rows_b: list[str] = []
+        rows_n: list[int] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = split_words(text)
+            if len(words) < 2:
+                continue
+            grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+            uniq, counts = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+            rows_d.extend([did] * len(uniq))
+            rows_b.extend(uniq.tolist())
+            rows_n.extend(counts.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(rows_d, pa.int64()),
+                "bigram": pa.array(rows_b, pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+            }
+        )
+
+    pairs = _docs(sf_dir).map_batches(partial, batch_format="pyarrow").materialize()
+
+    # per-doc totals: one row per doc (docs never split across blocks)
+    def doc_totals(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bigrams": pa.array([], pa.int64())}
+            )
+        g = pa.TableGroupBy(batch.select(["doc_id", "n"]), ["doc_id"]).aggregate(
+            [("n", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_bigrams"])
+
+    totals_tbls = [
+        t for t in ray.get(
+            pairs.map_batches(doc_totals, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows
+    ]
+
+    # corpus pass: bigram-keyed (sum n, min doc) -> count-1 rows are
+    # attributable to min(doc_id); combiner collapses to doc partials
+    corpus = pairs.groupby("bigram").aggregate(Sum("n"), Min("doc_id"))
+
+    def unique_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum(n)" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_unique": pa.array([], pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        ones = batch.filter(pc.equal(batch.column("sum(n)"), 1))
+        if ones.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_unique": pa.array([], pa.int64())}
+            )
+        g = pa.TableGroupBy(
+            ones.select(["min(doc_id)"]).rename_columns(["doc_id"]), ["doc_id"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "n_unique"])
+
+    uniq_agg = (
+        corpus.map_batches(unique_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("n_unique")
+    )
+    uniq_tbls = [t for t in ray.get(uniq_agg.to_arrow_refs()) if t.num_rows]
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_bigrams": pa.array([], pa.int64()),
+         "n_unique": pa.array([], pa.int64()), "novelty": pa.array([], pa.float64())}
+    )
+    if not totals_tbls:
+        return empty
+    tot = pa.concat_tables(totals_tbls)
+    dids = tot.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    nbg = tot.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_unique = np.zeros(len(dids), np.int64)
+    if uniq_tbls:
+        u = pa.concat_tables(uniq_tbls)
+        udids = u.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uvals = u.column("sum(n_unique)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(dids, kind="stable")
+        pos = np.searchsorted(dids[order], udids)
+        n_unique[order[pos]] = uvals
+    out = pa.table(
+        {
+            "doc_id": pa.array(dids, pa.int64()),
+            "n_bigrams": pa.array(nbg, pa.int64()),
+            "n_unique": pa.array(n_unique, pa.int64()),
+            "novelty": pa.array(n_unique / nbg, pa.float64()),
+        }
+    )
+    return out.sort_by([("doc_id", "ascending")])

@@ -1178,6 +1178,9 @@ def queries() -> dict:
         "repetition_scores": lambda sf: text_analysis.repetition_scores(sf),
         # corpus n-gram LM count table (combiner-bounded shuffle)
         "bigram_counts": lambda sf: text_analysis.bigram_counts(sf),
+        # cross-doc novelty: fraction of a doc's bigrams unique in the
+        # corpus (join-free min-doc attribution of count-1 bigrams)
+        "doc_bigram_novelty": lambda sf: text_analysis.doc_bigram_novelty(sf),
         # FastSS fuzzy-join: word-type pairs within edit distance 2 via
         # deletion-neighborhood blocking + exact banded-DP verify
         "fuzzy_token_pairs": lambda sf: text_analysis.fuzzy_token_pairs(sf),
@@ -2463,6 +2466,18 @@ def oracle_sql() -> dict:
             "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), g AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2 AND words[1] <> ''), b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g) "
             "SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS n FROM b "
             "GROUP BY bg HAVING count(*) >= 5 ORDER BY bigram"
+        ),
+        # same tokenization CTEs; corpus-unique bigrams attributed to
+        # their single owning doc, exact int/int IEEE division
+        "doc_bigram_novelty": (
+            "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), g AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2 AND words[1] <> ''), b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g), "
+            "corpus AS (SELECT bg, count(*) AS c, min(doc_id) AS d FROM b GROUP BY 1), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams FROM b GROUP BY 1), "
+            "u AS (SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_unique FROM corpus WHERE c = 1 GROUP BY 1) "
+            "SELECT t.doc_id, t.n_bigrams, "
+            "CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique, "
+            "CAST(COALESCE(u.n_unique, 0) AS DOUBLE) / t.n_bigrams AS novelty "
+            "FROM tot t LEFT JOIN u ON t.doc_id = u.doc_id ORDER BY t.doc_id"
         ),
         # DuckDB replicates every CM cell load and the row-min exactly
         # (md5_number_lower(word#j) % 1024 both sides)

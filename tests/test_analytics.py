@@ -147,7 +147,7 @@ class TestOracleEquivalence:
          "ranked_text_search", "customer_order_histogram",
          "dbscan_clusters", "event_session_ids", "cms_token_counts",
          "incremental_tumbling_counts", "local_supplier_volume",
-         "brand_volume", "token_canonical_map", "neardup_clusters_fast",
+         "brand_volume", "token_canonical_map", "doc_bigram_novelty", "neardup_clusters_fast",
          "returned_item_customers", "forecast_revenue",
          "purchaser_clicks_salted", "docs_in_char_lang_box",
          "skyline_docs", "purchaser_clicks_auto", "dataset_mixture",
@@ -2772,3 +2772,28 @@ class TestReceiptTruthClassifierConstant:
         # receipt scaffolding strings are static; check them too
         for s in ("ltda", "emissao:", "sq.codigo desc", "valor total", "un x"):
             assert not any(k in s for k in KEYWORDS_VENDA), s
+
+
+class TestGeneratorTruthOracleBootstrap:
+    def test_oracle_sql_alone_provisions_truth_files(self):
+        """The driver may evaluate oracle SQL before (or without) running
+        the corresponding query: oracle_sql() itself must provision every
+        generator-truth parquet it references, from a cold /tmp state."""
+        import shutil
+
+        import duckdb
+
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        shutil.rmtree(ea._SPAN_TRUTH_ROOT, ignore_errors=True)
+        shutil.rmtree(ea._MM_TRUTH_ROOT, ignore_errors=True)
+        oracles = ea.oracle_sql()
+        con = duckdb.connect()
+        for name, min_rows in (
+            ("span_extract", 100), ("span_errors", 0), ("qrcode_urls", 10),
+            ("receipt_items", 10), ("html_totals", 10),
+            ("html_item_values", 10), ("skew_metrics", 2),
+            ("multimodal_features", 50), ("multimodal_segments", 50),
+        ):
+            df = con.execute(oracles[name]).df()
+            assert len(df) >= min_rows, (name, len(df))

@@ -144,7 +144,7 @@ DOC_QUERIES = [
     "minhash_pairs", "ngram_jaccard", "containment_pairs",
     "cross_snapshot_neardup_idx",
     "rare_token_scores",
-    "repetition_scores", "bigram_counts", "singleton_docs", "dataset_splits",
+    "repetition_scores", "bigram_counts", "doc_bigram_novelty", "singleton_docs", "dataset_splits",
     "leakage_safe_splits",
     "packed_sequences",
     "neardup_clusters", "neardup_clusters_fast",
