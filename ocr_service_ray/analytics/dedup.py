@@ -518,6 +518,124 @@ def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(sh, batch_format="pyarrow")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 lacks bitwise_count)."""
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(len(x), 64)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, bands: int = 4) -> pa.Table:
+    """SimHash near-duplicate PAIRS: (doc_a, doc_b, hamming) for every
+    pair of documents whose 64-bit SimHash fingerprints differ in at
+    most ``max_hamming`` bits — Manku/Jain/Das Sarma's web near-dup
+    detection (WWW 2007), the bit-sketch complement of the MinHash LSH
+    path.
+
+    EXACT by pigeonhole, not probabilistic: the fingerprint is split
+    into ``bands`` equal bit-chunks; a pair within hamming distance
+    ``max_hamming`` < ``bands`` differs in at most ``max_hamming``
+    chunks, so at least one chunk is IDENTICAL and the pair surfaces in
+    that chunk's bucket. Candidates are verified with the true popcount
+    in the same task (fingerprints travel with the bucket — no
+    join-back, no broadcast of the fingerprint table).
+
+    Ray shape: stateless fingerprint map -> (band, key) groupby (the
+    only shuffle; bucket rows carry (doc_id, simhash)) -> per-bucket
+    pair emission + exact hamming verify -> distinct-pair groupby
+    (a pair fires once per identical band). Identical-fingerprint
+    groups legitimately emit all-pairs (they ARE near-dups, hamming 0),
+    the same output class as the verified-Jaccard families.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    fp = simhash_fingerprints(sf_dir)
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+
+    def band_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "simhash": pa.array([], pa.int64())}
+            )
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        bs, ks, ds_, hs = [], [], [], []
+        for b in range(bands):
+            bs.append(np.full(n, b, np.int32))
+            ks.append(((h >> (band_bits * b)) & mask).astype(np.int64))
+            ds_.append(ids)
+            hs.append(h.view(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bs), pa.int32()),
+                "key": pa.array(np.concatenate(ks), pa.int64()),
+                "doc_id": pa.array(np.concatenate(ds_), pa.int64()),
+                "simhash": pa.array(np.concatenate(hs), pa.int64()),
+            }
+        )
+
+    collect_rows = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda acc, block: acc
+        + list(zip(block.column("doc_id").to_pylist(),
+                   block.column("simhash").to_pylist())),
+        merge=lambda a, b: a + b,
+        name="members",
+    )
+    buckets = fp.map_batches(band_partial, batch_format="pyarrow").groupby(
+        ["band", "key"]
+    ).aggregate(collect_rows)
+
+    def emit_verified(batch: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_h: list[int] = []
+        for members in batch.column("members").to_pylist():
+            if len(members) < 2:
+                continue
+            # arrow roundtrips the (doc_id, simhash) tuples as lists
+            members = sorted({(m[0], m[1]) for m in members})
+            ids = np.array([m[0] for m in members], np.int64)
+            hsh = np.array([m[1] for m in members], np.int64).view(np.uint64)
+            ia, ib = np.triu_indices(len(ids), 1)
+            ham = _popcount64(np.bitwise_xor(hsh[ia], hsh[ib]))
+            keep = ham <= max_hamming
+            out_a.extend(ids[ia][keep].tolist())
+            out_b.extend(ids[ib][keep].tolist())
+            out_h.extend(ham[keep].tolist())
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()),
+             "doc_b": pa.array(out_b, pa.int64()),
+             "hamming": pa.array(out_h, pa.int64())}
+        )
+
+    distinct = (
+        buckets.map_batches(emit_verified, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .min("hamming")
+    )
+    tbl = _collect(
+        distinct,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("min(hamming)", pa.int64())]),
+    )
+    return pa.table(
+        {
+            "doc_a": tbl.column("doc_a"),
+            "doc_b": tbl.column("doc_b"),
+            "hamming": tbl.column("min(hamming)")
+            if "min(hamming)" in tbl.column_names else tbl.column("hamming"),
+        }
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 # ----------------------------------------------------------------------
 # Embedding cosine near-dup
 

@@ -1027,6 +1027,9 @@ def queries() -> dict:
         # asymmetric containment (quote/boilerplate detection)
         "containment_pairs": lambda sf: dedup.containment_pairs(sf),
         "simhash": dedup.simhash_fingerprints,
+        # SimHash near-dup pairs (Manku et al. WWW'07): hamming<=3 via
+        # band buckets — EXACT by pigeonhole (4 bands > 3 differing bits)
+        "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
         # SemDeDup: kmeans-bucketed within-cluster cosine dedup — the
         # sub-quadratic semantic route (no SQL oracle: kmeans
@@ -1732,6 +1735,29 @@ def oracle_sql() -> dict:
             "FROM bits GROUP BY 1) "
             "SELECT d.doc_id AS doc_id, COALESCE(p.simhash, 0) AS simhash "
             "FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id ORDER BY d.doc_id"
+        ),
+        # same fingerprint CTEs; all-pairs hamming via xor+bit_count
+        # (DuckDB bit_count on BIGINT is the two's-complement popcount,
+        # matching the uint64 view both sides)
+        "simhash_pairs": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word "
+            "FROM documents), "
+            "tc AS (SELECT doc_id, word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY 1, 2), "
+            "bits AS (SELECT doc_id, gs.b AS bitpos, "
+            "sum(CASE WHEN (md5_number_lower(word) >> gs.b) & 1 = 1 THEN cnt ELSE -cnt END) AS score "
+            "FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs GROUP BY 1, 2), "
+            "packed AS (SELECT doc_id, "
+            "CAST(sum(CASE WHEN score > 0 AND bitpos < 63 THEN (CAST(1 AS BIGINT) << bitpos) "
+            "WHEN score > 0 AND bitpos = 63 THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS simhash "
+            "FROM bits GROUP BY 1), "
+            "f AS (SELECT d.doc_id AS doc_id, COALESCE(p.simhash, 0) AS simhash "
+            "FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM f a JOIN f b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 "
+            "ORDER BY doc_a, doc_b"
         ),
         "tumbling_counts": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, "

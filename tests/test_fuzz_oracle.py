@@ -141,7 +141,7 @@ DOC_QUERIES = [
     "redact_pii", "hash_sample", "source_stats", "source_lang_rollup",
     "source_lang_cube",
     "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
-    "minhash_pairs", "ngram_jaccard", "containment_pairs",
+    "minhash_pairs", "ngram_jaccard", "containment_pairs", "simhash_pairs",
     "cross_snapshot_neardup_idx",
     "rare_token_scores",
     "repetition_scores", "bigram_counts", "doc_bigram_novelty", "singleton_docs", "dataset_splits",
