@@ -215,6 +215,8 @@ def run_queries(num_cpus: int) -> dict:
             "vocab_coverage": lambda: text_analysis.vocab_coverage(sf_dir()),
             "dataset_card": lambda: curation.dataset_card(sf_dir()),
             "curation_rates_by_source": lambda: curation.curation_rates_by_source(sf_dir()),
+            "doc_bigram_novelty": lambda: text_analysis.doc_bigram_novelty(sf_dir()),
+            "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir()),
         }.items():
             served_from_memo = _memo_probe(name, sf_dir())
             t0 = time.perf_counter()
