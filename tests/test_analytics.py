@@ -2861,3 +2861,22 @@ class TestSimhashPairsPigeonhole:
         got = _popcount64(xs)
         want = np.array([bin(int(x)).count("1") for x in xs], np.int64)
         assert np.array_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpanTruthScaleSwitch:
+    def test_marker_rebuild_on_scale_change(self):
+        """check_oracles runs query-then-oracle per name at ONE sf dir;
+        the truth files must follow the most recent scale requested."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        p_small = ea._ensure_span_truth("small")
+        n_small = pq.read_table(p_small["spans"]).num_rows
+        p_tiny = ea._ensure_span_truth("tiny")
+        n_tiny = pq.read_table(p_tiny["spans"]).num_rows
+        assert p_small["spans"] == p_tiny["spans"]  # same current path
+        assert n_tiny != n_small and n_tiny < n_small
+        # and back (idempotent marker round-trip)
+        assert pq.read_table(ea._ensure_span_truth("small")["spans"]).num_rows == n_small
