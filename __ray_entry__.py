@@ -32,7 +32,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return entry_api.queries()
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """The driver calls this with no args at sf=0.01; passing an sf_dir
+    resolves the span-family generator-truth parquets for that scale."""
     from ocr_service_ray.pipeline import entry_api
 
-    return entry_api.oracle_sql()
+    return entry_api.oracle_sql(sf_dir)

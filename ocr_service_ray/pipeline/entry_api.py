@@ -240,10 +240,15 @@ def blob_scan(scale: str) -> pa.Table:
 # corpus generator's ``expected`` table (and the blob sidecar's
 # qr_payload) already encode the INTENDED pipeline outputs — flattening
 # them to parquet lets the driver's SQL oracle hash-verify the flagship
-# spans instead of recording a rows-only check. The files are rebuilt
-# whenever a different scale is requested (atomic replace + SCALE
-# marker); oracle_sql() pins them to the driver's sf0.01 scale.
-_SPAN_TRUTH_ROOT = "/tmp/graft_span_truth/v1"
+# spans instead of recording a rows-only check. Files are keyed BY
+# SCALE (v2 layout: <root>/<scale>/current_*.parquet + DONE marker
+# written last) so runs at different scales never clobber each other's
+# truth set — the v1 single-mutable-set layout could silently compare a
+# query against another scale's ground truth if scales interleaved.
+_SPAN_TRUTH_ROOT = "/tmp/graft_span_truth/v2"
+_SPAN_TRUTH_KEYS = (
+    "spans", "qr", "html_totals", "html_items", "receipt_items", "skew_metrics"
+)
 
 
 def _flatten_expected(expected_root: str) -> pa.Table:
@@ -272,20 +277,15 @@ def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
 
     from ..ops.textops import clean_url
 
-    os.makedirs(_SPAN_TRUTH_ROOT, exist_ok=True)
-    paths = {
-        "spans": f"{_SPAN_TRUTH_ROOT}/current_spans.parquet",
-        "qr": f"{_SPAN_TRUTH_ROOT}/current_qr.parquet",
-        "html_totals": f"{_SPAN_TRUTH_ROOT}/current_html_totals.parquet",
-        "html_items": f"{_SPAN_TRUTH_ROOT}/current_html_items.parquet",
-        "receipt_items": f"{_SPAN_TRUTH_ROOT}/current_receipt_items.parquet",
-        "skew_metrics": f"{_SPAN_TRUTH_ROOT}/current_skew_metrics.parquet",
-    }
-    marker = f"{_SPAN_TRUTH_ROOT}/SCALE"
-    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == scale:
-                return paths
+    root = f"{_SPAN_TRUTH_ROOT}/{scale}"
+    os.makedirs(root, exist_ok=True)
+    paths = {k: f"{root}/current_{k}.parquet" for k in _SPAN_TRUTH_KEYS}
+    # DONE marker is written LAST: its presence means the whole per-scale
+    # file set is complete (each file is individually atomic via
+    # os.replace, the marker makes the GROUP atomic for readers)
+    marker = f"{root}/DONE"
+    if os.path.exists(marker) and all(os.path.exists(p) for p in paths.values()):
+        return paths
     info = span_corpus(scale)
     truth = _flatten_expected(info["expected"])
     pq.write_table(truth, paths["spans"] + ".tmp")
@@ -364,7 +364,7 @@ def _ensure_span_truth(scale: str = "small") -> dict[str, str]:
     os.replace(paths["skew_metrics"] + ".tmp", paths["skew_metrics"])
     with open(marker + ".tmp", "w") as f:
         f.write(scale)
-    os.replace(marker + ".tmp", marker)
+    os.replace(marker + ".tmp", marker)  # group-complete, written last
     return paths
 
 
@@ -1283,7 +1283,7 @@ def queries() -> dict:
     # hash-verified one.  Relative order within each group is kept (the
     # span family retains its in-path SpanVerificationError hard gate
     # regardless of position).
-    oracled = set(oracle_sql())
+    oracled = oracle_names()  # static name set: NO corpus/truth generation
     ordered = {k: v for k, v in base.items() if k in oracled}
     ordered.update((k, v) for k, v in base.items() if k not in oracled)
     return ordered
@@ -1363,14 +1363,36 @@ _BRUTE_TOPK_SQL = (
 )
 
 
-def oracle_sql() -> dict:
+def oracle_names() -> frozenset:
+    """Keys of ``oracle_sql()`` with ZERO filesystem side effects.
+
+    ``queries()`` needs only the oracled-name SET to order its dict;
+    calling ``oracle_sql()`` for that would generate corpora and truth
+    parquets under /tmp just to list names. Placeholder path dicts feed
+    the same literal so the name set can never drift from the real one
+    (pinned by a test)."""
+    sp = {k: "" for k in _SPAN_TRUTH_KEYS}
+    mm = {"multimodal_features": "", "multimodal_segments": ""}
+    return frozenset(_oracle_queries(sp, mm))
+
+
+def oracle_sql(sf_dir: str | None = None) -> dict:
+    """SQL oracles keyed by query name.
+
+    ``sf_dir`` resolves which scale's generator-truth parquets the
+    span-family oracles point at (each scale has its OWN file set under
+    ``_SPAN_TRUTH_ROOT``, so concurrent/interleaved scales never clobber
+    each other). The driver calls this with no args at sf0.01 — the
+    default is that scale ("small")."""
     # generator-truth parquets for the multimodal rows (pure driver-side
     # construction; written on first access so either the query or the
-    # oracle may run first)
+    # oracle may run first; scale-independent)
     mm = _ensure_mm_truth()
-    # span-family truth: pinned to the driver's sf0.01 scale by default;
-    # the query fns rebuild for other scales before their oracle runs
-    sp = _ensure_span_truth("small")
+    sp = _ensure_span_truth("small" if sf_dir is None else scale_for(sf_dir))
+    return _oracle_queries(sp, mm)
+
+
+def _oracle_queries(sp: dict, mm: dict) -> dict:
     return {
         "span_extract": (
             'SELECT doc_id, "offset", kind, text, media_ref '

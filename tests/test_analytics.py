@@ -429,6 +429,39 @@ class TestOracleEquivalence:
         assert sorted(got["doc_id"]) == list(range(t, k))
         assert (got["jaccard"] == 1.0).all()
 
+    def test_simhash_hot_bucket_stars_to_rep(self, tmp_path):
+        """Identical-fingerprint mega-cluster adversary for simhash_pairs:
+        every band bucket holds all k docs, so an uncapped task would emit
+        k(k-1)/2 pairs; with the star-cap it must emit exactly k-1 verified
+        hamming-0 pairs to the min-doc_id representative."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.dedup import simhash_pairs
+
+        k = 300
+        text = "the same boilerplate page body repeated on every mirror " * 4
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(k)), pa.int64()),
+            "text": pa.array([text] * k),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+        got = simhash_pairs(str(tmp_path), max_bucket=16).to_pandas()
+        assert len(got) == k - 1
+        assert (got["doc_a"] == 0).all()
+        assert sorted(got["doc_b"]) == list(range(1, k))
+        assert (got["hamming"] == 0).all()
+
+    def test_simhash_pairs_param_validation(self):
+        """max_hamming >= bands (or a ragged 64-bit split) would silently
+        drop qualifying pairs — must fail loudly instead."""
+        from ocr_service_ray.analytics.dedup import simhash_pairs
+
+        with pytest.raises(ValueError, match="max_hamming < bands"):
+            simhash_pairs("/nonexistent", max_hamming=4, bands=4)
+        with pytest.raises(ValueError, match="divide 64"):
+            simhash_pairs("/nonexistent", max_hamming=2, bands=7)
+
     def test_value_quantiles_mega_type_skew(self, con):
         """One type holding ~99% of all rows must still be exact — the
         distributed rank-pick never materializes a type in one task."""
@@ -2797,6 +2830,47 @@ class TestGeneratorTruthOracleBootstrap:
         ):
             df = con.execute(oracles[name]).df()
             assert len(df) >= min_rows, (name, len(df))
+
+    def test_oracle_names_matches_oracle_sql_keys(self):
+        """oracle_names() is the side-effect-free name set queries() uses
+        for ordering — it must never drift from the real oracle dict."""
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        assert ea.oracle_names() == frozenset(ea.oracle_sql())
+
+    def test_oracle_names_touches_no_filesystem(self, tmp_path, monkeypatch):
+        """Listing oracled names must not generate corpora or truth
+        parquets (the round-4 queries() ordering regression)."""
+        import shutil
+
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        def boom(*a, **k):  # any corpus/truth generation is a failure
+            raise AssertionError("oracle_names() must not touch /tmp")
+
+        monkeypatch.setattr(ea, "_ensure_span_truth", boom)
+        monkeypatch.setattr(ea, "_ensure_mm_truth", boom)
+        monkeypatch.setattr(ea, "span_corpus", boom)
+        names = ea.oracle_names()
+        assert len(names) > 100 and "span_extract" in names
+
+    def test_span_truth_scale_keyed_no_clobber(self):
+        """Two scales' truth sets coexist: building 'tiny' after 'small'
+        must leave the small files byte-identical (the v1 single-set
+        layout rebuilt them in place)."""
+        import hashlib
+
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        small = ea._ensure_span_truth("small")
+        digests = {
+            k: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for k, p in small.items()
+        }
+        tiny = ea._ensure_span_truth("tiny")
+        assert set(tiny.values()).isdisjoint(set(small.values()))
+        for k, p in small.items():
+            assert hashlib.md5(open(p, "rb").read()).hexdigest() == digests[k], k
 
 
 @pytest.mark.usefixtures("ray_session")

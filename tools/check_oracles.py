@@ -48,7 +48,7 @@ def main() -> int:
     import __ray_entry__ as e
 
     qs = e.queries()
-    oracles = e.oracle_sql()
+    oracles = e.oracle_sql(sf_dir)  # scale-keyed span-truth paths
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
