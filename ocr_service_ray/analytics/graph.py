@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -41,24 +42,41 @@ def pagerank_reference(
     return r
 
 
-def graph_pagerank(sf_dir: str, k: int = 5, iters: int = 8) -> pa.Table:
+def graph_pagerank(
+    sf_dir: str,
+    k: int = 5,
+    iters: int = 8,
+    broadcast_max_nodes: int = 200_000_000,
+) -> pa.Table:
     """PageRank over the exact kNN cosine graph of the embeddings
     table (each vector -> its k nearest neighbors, the `knn_join`
     edge set): centrality-based representative scoring.
 
-    Distributed shape:
+    Distributed shape — TWO legs computing the identical integer
+    recurrence (bit-identical; pinned by a both-branches test):
+
+    Broadcast leg (node-count <= ``broadcast_max_nodes``, i.e. the
+    dense int64 rank vector fits a worker heap — 200M nodes = 1.6 GB):
       - edge build: the `knn_join` block tasks, kept as OBJECT-STORE
         refs (`from_arrow_refs`) — edges never gather on the driver;
       - per iteration (BSP superstep): the rank vector is broadcast
-        once via ``ray.put`` (dense int64, the Pregel-aggregator
-        pattern — fine while node-count x 8B fits a worker; beyond
-        that the documented alternative is rank-as-Dataset with a
-        dst-keyed join), each edge block computes vectorized
-        ``rank[src] // k`` contributions reduced per-dst INSIDE the
-        block (TableGroupBy combiner), and one dst-keyed groupby
-        sums partials — the only shuffle, sized by distinct dst per
-        block, not edge count;
-      - the new rank vector applies the integer damping recurrence.
+        once via ``ray.put`` (the Pregel-aggregator pattern), each
+        edge block computes vectorized ``rank[src] // k``
+        contributions reduced per-dst INSIDE the block (TableGroupBy
+        combiner), and one dst-keyed groupby sums partials — the only
+        shuffle, sized by distinct dst per block, not edge count.
+
+    Dataset leg (node-count > threshold — the 10^12-doc path): ranks
+    live as a ``(vec_id, r)`` Dataset in the object store; no O(n)
+    driver or single-worker state at any point of the iteration.
+      - reduce-side join: union-tag rank rows (dst = -1 sentinel)
+        with edge rows, groupby(src), per-group emit ``r // k`` per
+        out-edge [shuffle 1];
+      - contribution sum: union the per-dst partials with a domain-
+        zero fill (every node, c = 0) so no-in-edge nodes surface,
+        groupby(dst).sum [shuffle 2], then the integer damping map;
+      - ranks materialize per superstep (object store, spillable) so
+        lineage stays O(1) deep across iterations.
 
     Every node has exactly ``k`` out-edges (kNN), so there is no
     dangling mass and out-degree needs no join. Returns
@@ -95,6 +113,8 @@ def graph_pagerank(sf_dir: str, k: int = 5, iters: int = 8) -> pa.Table:
         raise ValueError("graph_pagerank expects a contiguous vec_id domain")
 
     edges_ds = ray.data.from_arrow_refs(edge_refs)
+    if n > broadcast_max_nodes:
+        return _pagerank_dataset_leg(edges_ds, n, k, iters)
     rank = np.full(n, 1_000_000, dtype=np.int64)
     for _ in range(iters):
         rank_ref = ray.put(rank)
@@ -122,6 +142,133 @@ def graph_pagerank(sf_dir: str, k: int = 5, iters: int = 8) -> pa.Table:
                 s[d] = c
         rank = 150_000 + (85 * s) // 100
 
+    order = np.lexsort((np.arange(n), -rank))
+    ordinal = np.empty(n, dtype=np.int64)
+    ordinal[order] = np.arange(1, n + 1)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "score_micros": pa.array(rank, pa.int64()),
+            "rank": pa.array(ordinal, pa.int64()),
+        }
+    )
+
+
+def _pagerank_dataset_leg(
+    edges_ds: "ray.data.Dataset", n: int, k: int, iters: int
+) -> pa.Table:
+    """Rank-as-Dataset BSP supersteps (see graph_pagerank docstring).
+
+    All state between supersteps is a materialized ``(vec_id, r)``
+    Dataset — nothing node-count-sized ever lives on the driver or in
+    one task. Integer arithmetic is identical to the broadcast leg
+    (sum of ``r // k`` per dst is order-free), so results are
+    bit-identical across legs and block layouts.
+    """
+    edges_tagged = edges_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "key": b.column("vec_id").cast(pa.int64())
+                if "vec_id" in b.column_names
+                else pa.array([], pa.int64()),
+                "dst": b.column("neighbor_id").cast(pa.int64())
+                if "neighbor_id" in b.column_names
+                else pa.array([], pa.int64()),
+                "r": pa.nulls(
+                    b.num_rows if "vec_id" in b.column_names else 0, pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").cast(pa.int64())
+        return pa.table(
+            {
+                "vec_id": ids,
+                "r": pa.array(np.full(len(ids), 1_000_000, np.int64)),
+            }
+        )
+
+    domain = ray.data.range(n)
+    ranks = domain.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    # domain-zero fill rows, built once: every node surfaces in the
+    # contribution sum even with no in-edges (s = 0 -> r' = 150_000)
+    zeros = domain.map_batches(
+        lambda b: pa.table(
+            {
+                "dst": b.column("id").cast(pa.int64()),
+                "c": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def join_emit(group: pa.Table) -> pa.Table:
+        # one rank row (dst == -1 sentinel) + the key's out-edges
+        dst = np.asarray(group.column("dst"), dtype=np.int64)
+        is_rank = dst == -1
+        # edge rows carry a null r: fill before the numpy view so the
+        # int64 dtype survives (nulls would otherwise float the column)
+        r_arr = (
+            pc.fill_null(group.column("r"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        r = int(r_arr[is_rank][0])
+        out = dst[~is_rank]
+        if len(out) == 0:
+            return pa.table(
+                {"dst": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "dst": pa.array(out, pa.int64()),
+                "c": pa.array(np.full(len(out), r // k, np.int64)),
+            }
+        )
+
+    for _ in range(iters):
+        ranks_tagged = ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("vec_id"),
+                    "dst": pa.array(np.full(b.num_rows, -1, np.int64)),
+                    "r": b.column("r"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contribs = (
+            edges_tagged.union(ranks_tagged)
+            .groupby("key")
+            .map_groups(join_emit, batch_format="pyarrow")
+        )
+        summed = zeros.union(contribs).groupby("dst").sum("c")
+        ranks = summed.map_batches(
+            lambda b: pa.table(
+                {
+                    "vec_id": b.column("dst"),
+                    "r": pa.array(
+                        150_000
+                        + (
+                            85
+                            * b.column("sum(c)")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                        )
+                        // 100,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    parts = [t for t in ray.get(ranks.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts).sort_by([("vec_id", "ascending")])
+    rank = tbl.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((np.arange(n), -rank))
     ordinal = np.empty(n, dtype=np.int64)
     ordinal[order] = np.arange(1, n + 1)

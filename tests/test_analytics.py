@@ -1710,6 +1710,28 @@ class TestGraphPagerank:
         # in-links vs <=4 for anyone else): the hub must rank first
         assert int(out.loc[out["rank"] == 1, "vec_id"].iloc[0]) == 0
 
+    def test_dataset_leg_bit_identical(self):
+        """broadcast_max_nodes=0 forces the rank-as-Dataset join leg
+        (the 10^12-node path, no O(n) driver state): it must produce
+        the BIT-IDENTICAL table the broadcast leg produces, and both
+        must match the pure-Python reference."""
+        import numpy as np
+
+        from ocr_service_ray.analytics.graph import (
+            graph_pagerank,
+            pagerank_reference,
+        )
+        from ocr_service_ray.analytics.similarity import knn_join
+
+        broadcast = graph_pagerank(SF, k=5, iters=4)
+        dataset = graph_pagerank(SF, k=5, iters=4, broadcast_max_nodes=0)
+        assert broadcast.equals(dataset)
+        e = knn_join(SF, k=5)
+        edges = list(zip(e.column("vec_id").to_pylist(),
+                         e.column("neighbor_id").to_pylist()))
+        ref = pagerank_reference(edges, broadcast.num_rows, 5, 4)
+        assert np.array_equal(np.asarray(dataset.column("score_micros")), ref)
+
 
 class TestTriangleCount:
     """The sf co-occurrence graph is complete (every item pair meets
