@@ -1481,11 +1481,22 @@ def _greedy_dedup_scan(
     return keep, dup_of
 
 
+def derived_n_clusters(n_vectors: int, target_cluster_size: int = 512) -> int:
+    """SemDeDup cluster count scaled to the corpus: k = ceil(n / target)
+    with a floor of 8. The paper runs ~100k clusters over web-scale
+    corpora for exactly this reason — a FIXED k makes each cluster's
+    O(size * d) vector payload grow linearly with the corpus until one
+    group no longer fits a task; deriving k from n keeps the expected
+    group payload constant (target_cluster_size * d) at any scale."""
+    return max(8, -(-n_vectors // target_cluster_size))
+
+
 def semantic_dedup(
     sf_dir: str,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     threshold: float = 0.45,
     kmeans_iters: int = 8,
+    target_cluster_size: int = 512,
 ) -> pa.Table:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then run
@@ -1512,9 +1523,12 @@ def semantic_dedup(
          never O(cluster_size^2) — an oversized duplicate-heavy cluster
          (which a second k-means level could NOT split: identical
          vectors tie on every centroid) keeps n_kept ~ 1 and runs in
-         near-constant memory.  n_clusters remains the knob that bounds
-         the group's O(size * d) vector payload itself (paper uses
-         ~100k clusters at web scale).
+         near-constant memory.  n_clusters bounds the group's
+         O(size * d) vector payload itself; when not given explicitly
+         it is DERIVED from the corpus size (``derived_n_clusters``:
+         ceil(n / target_cluster_size), floor 8 — the paper's ~100k
+         clusters at web scale fall out of the same rule) from parquet
+         ROW-COUNT METADATA, no data read.
     Compute is O(sum size * kept * d) <= n^2/k vs the exact join's n^2.
 
     No SQL oracle (kmeans assignment is not SQL-expressible); pinned by
@@ -1523,6 +1537,11 @@ def semantic_dedup(
     """
     from .similarity import _norm_rows, kmeans_fit
 
+    if n_clusters is None:
+        import pyarrow.parquet as pq
+
+        n_vectors = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+        n_clusters = derived_n_clusters(n_vectors, target_cluster_size)
     cent = kmeans_fit(sf_dir, n_clusters=n_clusters, iters=kmeans_iters)
     cent_ref = ray.put(cent)
 

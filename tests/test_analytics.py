@@ -1956,6 +1956,36 @@ class TestSemanticDedup:
         # keeps never carry a dup_of
         assert out[out["keep"]]["dup_of"].isna().all()
 
+    def test_data_derived_k_two_values(self):
+        """n_clusters=None derives k from corpus size (ceil(n/target),
+        floor 8): exact reference parity at two different auto-derived
+        k values, and the derivation rule itself is pinned."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.dedup import (
+            derived_n_clusters,
+            semantic_dedup,
+        )
+
+        n = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+        assert derived_n_clusters(n, 512) == 8          # floor binds
+        assert derived_n_clusters(n, 32) == -(-n // 32)  # ceil(n/32) > 8
+        assert derived_n_clusters(10**12, 512) == -(-(10**12) // 512)
+        for target in (512, 32):
+            k = derived_n_clusters(n, target)
+            out = (
+                semantic_dedup(SF, target_cluster_size=target)
+                .to_pandas()
+                .set_index("vec_id")
+            )
+            clusters, ids, keep, dup_of = self._reference(SF, n_clusters=k)
+            assert len(out) == len(ids)
+            for i, vid in enumerate(ids):
+                assert out.loc[vid, "cluster"] == clusters[i]
+                assert bool(out.loc[vid, "keep"]) == keep[int(vid)]
+                if not keep[int(vid)]:
+                    assert int(out.loc[vid, "dup_of"]) == dup_of[int(vid)]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestEmbeddingPca:
