@@ -783,9 +783,11 @@ def _bpe_vocab_impl(sf_dir: str, n_merges: int = 10) -> pa.Table:
     Distributed shape: one corpus pass builds the WORD-FREQUENCY table
     via the usual combiner (per-batch np.unique + groupby(word).sum) —
     after that every BPE iteration runs over the word-type table, not
-    the corpus: map_batches emits (pair, weighted count) partials from
-    each word's current symbol sequence, a tiny groupby(pair).sum
-    reduces, the driver picks the global argmax (broadcast as the next
+    the corpus: map_batches emits IN-BLOCK-REDUCED (pair, weighted
+    count) partials from each word's current symbol sequence, the
+    driver merges the domain-sized partials (distinct pairs are
+    bounded by the symbol vocabulary — no Dataset groupby needed per
+    iteration) and picks the global argmax (broadcast as the next
     merge rule), and a vectorized map applies the merge to the symbol
     sequences. The word-type table is the right unit at web scale (it
     is orders of magnitude smaller than the corpus and shrinks no
@@ -798,18 +800,28 @@ def _bpe_vocab_impl(sf_dir: str, n_merges: int = 10) -> pa.Table:
     """
 
     def word_partial(batch: pa.Table) -> pa.Table:
-        words: list[str] = []
-        for text in batch.column("text").to_pylist():
-            words.extend(_TERM.findall((text or "").lower()))
-        if not words:
+        import pyarrow.compute as pc
+
+        # fully Arrow-kernel corpus pass (this is the only stage that
+        # touches every byte of the corpus): lower -> regex split on
+        # non-token runs -> flatten -> drop boundary empties. Identical
+        # to _TERM.findall(text.lower()) per row — split on the
+        # complement class yields exactly the [a-z0-9]+ runs plus empty
+        # head/tail strings, which the filter removes.
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)  # null rows (null text) drop out
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
             return pa.table(
                 {"word": pa.array([], pa.string()), "freq": pa.array([], pa.int64())}
             )
-        uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        vc = pc.value_counts(flat)  # in-batch combiner, C++ hash table
         return pa.table(
             {
-                "word": pa.array(list(uniq), pa.string()),
-                "freq": pa.array(counts.astype(np.int64), pa.int64()),
+                "word": vc.field("values"),
+                "freq": vc.field("counts").cast(pa.int64()),
             }
         )
 
@@ -864,25 +876,33 @@ def _bpe_vocab_impl(sf_dir: str, n_merges: int = 10) -> pa.Table:
                 {"pair": pa.array(list(uniq), pa.string()), "n": pa.array(w, pa.int64())}
             )
 
+        # partials are already in-block-reduced (np.unique combiner), so
+        # the merge is a DRIVER reduction over domain-sized tables —
+        # distinct pairs per block, bounded by the symbol vocabulary,
+        # never by corpus or word-type count. This replaces a full
+        # Dataset groupby per iteration (Ray 2.49's sort-based groupby
+        # carries a ~1 s fixed overhead that dominated bpe_vocab's
+        # runtime: the customer_order_histogram / profile_tables
+        # precedent applies verbatim).
         counts = [
             t
             for t in ray.get(
-                state.map_batches(pair_partial, batch_format="pyarrow")
-                .groupby("pair")
-                .sum("n")
-                .to_arrow_refs()
+                state.map_batches(pair_partial, batch_format="pyarrow").to_arrow_refs()
             )
             if t.num_rows
         ]
         if not counts:
             break
         ct = pa.concat_tables(counts)
-        pairs_arr = np.asarray(ct.column("pair").to_pylist(), dtype=object)
-        n_arr = ct.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs_all = np.asarray(ct.column("pair").to_pylist(), dtype=object)
+        n_all = ct.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(pairs_all, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, n_all)  # exact int64, order-free
         # global argmax, tie-break lexicographic asc on the pair string
-        best_i = np.lexsort((pairs_arr, -n_arr))[0]
-        left, right = pairs_arr[best_i].split("\x00")
-        merges.append((left, right, int(n_arr[best_i])))
+        best_i = np.lexsort((uniq, -sums))[0]
+        left, right = uniq[best_i].split("\x00")
+        merges.append((left, right, int(sums[best_i])))
         bigram = f"{left} {right}"
         merged = f"{left}{right}"
 
