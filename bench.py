@@ -38,6 +38,33 @@ def default_cpus() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def host_load() -> dict:
+    """Machine-checkable host-load snapshot (loadavg + top CPU eaters):
+    headline throughput on this box swings ±20% with EXTERNAL load, so
+    every bench artifact carries the evidence needed to attribute
+    variance instead of asserting it."""
+    snap: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            snap["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        snap["loadavg"] = None
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "comm,%cpu", "--sort=-%cpu", "--no-headers"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.splitlines()
+        top = []
+        for line in out[:3]:
+            parts = line.rsplit(None, 1)
+            if len(parts) == 2:
+                top.append([parts[0], float(parts[1])])
+        snap["top"] = top
+    except Exception:
+        snap["top"] = None
+    return snap
+
+
 def one_run(num_cpus: int, scale: str) -> dict:
     """Fresh-session timed pipeline run; returns metrics dict."""
     import ray
@@ -61,6 +88,7 @@ def one_run(num_cpus: int, scale: str) -> dict:
             "wall_s": round(wall, 3),
             "docs_per_sec": round(info["n_docs"] / wall, 3),
             "match_rate": check["match_rate"],
+            "load": host_load(),
         }
     finally:
         ray.shutdown()
@@ -355,6 +383,7 @@ def main() -> int:
                 "sf": sf_dir(),
                 "num_cpus": args.num_cpus or default_cpus(),
                 "headline": head,
+                "load": host_load(),
             },
             separators=(",", ":"),
         )

@@ -2414,6 +2414,11 @@ def item_cooccurrence(
         }
     )
     if not tables:
+        # same metadata contract as the normal path: consumers read
+        # truncation counters unconditionally
+        empty = empty.replace_schema_metadata(
+            {b"truncated_items": b"0", b"truncated_baskets": b"0"}
+        )
         _COOC_CACHE[key] = empty
         return empty
     tbl = pa.concat_tables(tables)

@@ -1225,7 +1225,7 @@ def queries() -> dict:
         # semi-structured JSON field extraction + combiner aggregate
         "props_k_stats": lambda sf: windows.props_k_stats(sf),
         # market-basket pair support over (user, props.k) baskets
-        "item_cooccurrence": lambda sf: windows.item_cooccurrence(sf),
+        "item_cooccurrence": _q_item_cooccurrence,
         # calendar gap-fill resample (explicit 0 rows on missing days)
         "daily_counts_filled": lambda sf: windows.daily_counts_filled(sf),
         # sweep-line max interval overlap per user (+1/-1 cumsum)
@@ -2926,6 +2926,25 @@ def _zorder_box_query(sf_dir: str) -> pa.Table:
     from .cluster import docs_in_char_lang_box
 
     return docs_in_char_lang_box(sf_dir)
+
+
+def _q_item_cooccurrence(sf_dir: str) -> pa.Table:
+    """Oracle-compared wrapper: the SQL oracle is the EXACT all-pairs
+    query, so a binding mega-basket cap would silently diverge from it
+    (hash-red with only schema-metadata breadcrumbs). Fail loudly at
+    the source instead — a truncated basket in the oracle path means
+    max_basket needs raising for this corpus, not a wrong answer."""
+    from ..analytics import windows
+
+    t = windows.item_cooccurrence(sf_dir)
+    truncated = int((t.schema.metadata or {}).get(b"truncated_baskets", b"0"))
+    if truncated:
+        raise ValueError(
+            f"item_cooccurrence truncated {truncated} basket(s) at "
+            f"max_basket=4096 — the exact SQL oracle would diverge; raise "
+            f"max_basket (or accept the cap explicitly outside the oracle path)"
+        )
+    return t
 
 
 def _q_curation_status(sf_dir: str) -> pa.Table:

@@ -2642,6 +2642,50 @@ class TestItemCooccurrenceScaleGuards:
         # user 2's unsupported items never surface
         assert df["k_b"].max() < 20_000
 
+    def test_empty_result_carries_truncation_metadata(self, tmp_path):
+        """The no-pairs early return must attach the same zeroed
+        truncation metadata the normal path always attaches — consumers
+        read it unconditionally."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import item_cooccurrence
+
+        # every item is a singleton (support 1): Apriori prunes all,
+        # zero pairs emitted
+        tbl = pa.table({
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "props": pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}'], pa.string()),
+        })
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = item_cooccurrence(str(tmp_path), min_support=2)
+        assert got.num_rows == 0
+        assert int(got.schema.metadata[b"truncated_items"]) == 0
+        assert int(got.schema.metadata[b"truncated_baskets"]) == 0
+
+    def test_oracle_path_raises_on_binding_cap(self, tmp_path, monkeypatch):
+        """The oracle-compared queries() entry must fail LOUDLY when the
+        mega-basket cap binds (the exact SQL oracle would silently
+        hash-diverge otherwise)."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics import windows
+        from ocr_service_ray.pipeline.entry_api import _q_item_cooccurrence
+
+        n_items = 5000
+        users = [0] * n_items + [1] * n_items
+        ks = list(range(n_items)) * 2
+        tbl = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "props": pa.array(['{"k": %d}' % k for k in ks], pa.string()),
+        })
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        orig = windows.item_cooccurrence
+        monkeypatch.setattr(
+            windows, "item_cooccurrence", lambda sf: orig(sf, max_basket=128)
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            _q_item_cooccurrence(str(tmp_path))
+
     def test_cap_not_binding_is_exact_and_unstamped(self, tmp_path):
         """Default cap far above basket sizes: result equals the exact
         DuckDB pair support and truncation counters read zero."""
