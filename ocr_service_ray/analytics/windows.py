@@ -83,6 +83,19 @@ def tumbling_counts(sf_dir: str, window: str = "h") -> pa.Table:
     return pa.Table.from_pandas(final, preserve_index=False)
 
 
+def _sorted_ts_group(group: pa.Table) -> tuple[pa.Table, np.ndarray]:
+    """Arrow-native prologue shared by the per-user map_groups kernels:
+    stable (ts, event_id) sort + a µs-int64 view of ts. Replaces the
+    former ``group.to_pandas().sort_values([...])`` round-trip — groups
+    are per-user (bounded) so this was overhead rather than a scale
+    limit, but it removes a DataFrame construction per group across
+    ~10 operators. The total order equals the pandas one exactly
+    (event_id is unique, both sorts are stable multi-key)."""
+    g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    ts_us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return g, ts_us
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Per (user_id, session_idx): event count + duration.
 
@@ -92,28 +105,27 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     gap_us = gap_minutes * 60 * 1_000_000
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        brk = np.zeros(len(ts_us), dtype=np.int64)
-        if len(ts_us) > 1:
+        g, ts_us = _sorted_ts_group(group)
+        n = len(ts_us)
+        brk = np.zeros(n, dtype=np.int64)
+        if n > 1:
             brk[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
-        sess = np.cumsum(brk)
-        out = (
-            pd.DataFrame(
-                {
-                    "user_id": df["user_id"].to_numpy(),
-                    "session_idx": sess,
-                    "ts_us": ts_us,
-                }
-            )
-            .groupby(["user_id", "session_idx"], sort=True)
-            .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max"))
-            .reset_index()
+        # sessions are CONTIGUOUS runs in the sorted order: boundary
+        # indexing replaces the former pandas groupby-agg (one user per
+        # group, session_idx already ascending)
+        starts = np.flatnonzero(np.r_[np.int64(1), brk[1:]])
+        ends = np.r_[starts[1:], n]
+        uid = int(g.column("user_id")[0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid, np.int64)),
+                "session_idx": pa.array(np.cumsum(brk)[starts], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "duration_s": pa.array(
+                    (ts_us[ends - 1] - ts_us[starts]) / 1_000_000.0, pa.float64()
+                ),
+            }
         )
-        out["duration_s"] = (out["end_us"] - out["start_us"]) / 1_000_000.0
-        out = out.drop(columns=["start_us", "end_us"])
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     ds = _events(sf_dir, ["event_id", "ts", "user_id"])
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
@@ -188,10 +200,9 @@ def asof_last_purchase(sf_dir: str) -> pa.Table:
     """
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        etypes = df["event_type"].to_numpy()
-        eids = df["event_id"].to_numpy()
+        g, ts_us = _sorted_ts_group(group)
+        etypes = np.asarray(g.column("event_type"))
+        eids = np.asarray(g.column("event_id"), dtype=np.int64)
         is_click = etypes == "click"
         is_buy = etypes == "purchase"
         click_ts, click_id = ts_us[is_click], eids[is_click]
@@ -1487,9 +1498,8 @@ def funnel_counts(sf_dir: str) -> pa.Table:
     stages = ("view", "click", "purchase")
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        et = df["event_type"].to_numpy()
+        g, ts = _sorted_ts_group(group)
+        et = np.asarray(g.column("event_type"))
         reached = 0
         prev_t = -1
         for st in stages:
@@ -1500,7 +1510,7 @@ def funnel_counts(sf_dir: str) -> pa.Table:
             reached += 1
         return pa.table(
             {
-                "user_id": pa.array([df["user_id"].iloc[0]], pa.int64()),
+                "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
                 "reached": pa.array([reached], pa.int64()),
             }
         )
@@ -1739,9 +1749,9 @@ def user_journeys(sf_dir: str, prefix_len: int = 8) -> pa.Table:
     """
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        path = ">".join(df["event_type"].head(prefix_len))
-        return pa.table({"path": pa.array([path], pa.string())})
+        g, _ = _sorted_ts_group(group)
+        et = np.asarray(g.column("event_type"))[:prefix_len]
+        return pa.table({"path": pa.array([">".join(et)], pa.string())})
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "path" not in batch.column_names:
@@ -1786,8 +1796,8 @@ def event_transitions(sf_dir: str) -> pa.Table:
     """
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        et = df["event_type"].to_numpy()
+        g, _ = _sorted_ts_group(group)
+        et = np.asarray(g.column("event_type"))
         if len(et) < 2:
             return pa.table(
                 {
@@ -2155,23 +2165,27 @@ def debounced_events(sf_dir: str, quiet_s: int = 60) -> pa.Table:
     q_us = quiet_s * 1_000_000
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["event_type", "ts", "event_id"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        et = df["event_type"].to_numpy()
-        first = np.empty(len(df), dtype=bool)
+        g = group.sort_by(
+            [("event_type", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        ts_us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type"))
+        n = len(ts_us)
+        first = np.empty(n, dtype=bool)
         first[0] = True
         first[1:] = et[1:] != et[:-1]
-        gap = np.empty(len(df), dtype=np.int64)
+        gap = np.empty(n, dtype=np.int64)
         gap[0] = -1
         gap[1:] = ts_us[1:] - ts_us[:-1]
         gap[first] = -1
         keep = first | (gap > q_us)
-        kept = df[keep]
+        kept = g.filter(pa.array(keep))
         return pa.table(
             {
-                "event_id": pa.array(kept["event_id"].to_numpy(), pa.int64()),
-                "user_id": pa.array(kept["user_id"].to_numpy(), pa.int64()),
-                "event_type": pa.array(kept["event_type"].to_numpy(), pa.string()),
+                "event_id": kept.column("event_id"),
+                "user_id": kept.column("user_id"),
+                "event_type": kept.column("event_type"),
                 "gap_us": pa.array(gap[keep], pa.int64()),
             }
         )
@@ -2206,9 +2220,8 @@ def interval_coverage(sf_dir: str) -> pa.Table:
     """
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        s = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        v = df["value"].to_numpy(dtype=np.float64)
+        g, s = _sorted_ts_group(group)
+        v = g.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
         dur = np.floor(np.abs(v) * 1_000_000 + 0.5).astype(np.int64)
         e = s + dur
         # running max of interval ends over all EARLIER intervals
@@ -2224,7 +2237,7 @@ def interval_coverage(sf_dir: str) -> pa.Table:
         covered = int((ends - starts).sum())
         return pa.table(
             {
-                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "user_id": pa.array([int(g.column("user_id")[0].as_py())], pa.int64()),
                 "n_islands": pa.array([int(new_island.sum())], pa.int64()),
                 "covered_us": pa.array([covered], pa.int64()),
             }
@@ -2539,9 +2552,8 @@ def max_concurrency(sf_dir: str) -> pa.Table:
     """
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        s = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        v = df["value"].to_numpy(dtype=np.float64)
+        s = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
         dur = np.floor(np.abs(v) * 1_000_000 + 0.5).astype(np.int64)
         e = s + dur
         t = np.concatenate([s, e])
@@ -2554,7 +2566,9 @@ def max_concurrency(sf_dir: str) -> pa.Table:
         at = int(t[order][int(np.argmax(occ))])
         return pa.table(
             {
-                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "user_id": pa.array(
+                    [int(group.column("user_id")[0].as_py())], pa.int64()
+                ),
                 "max_concurrent": pa.array([peak], pa.int64()),
                 "first_at_us": pa.array([at], pa.int64()),
             }
@@ -2703,17 +2717,18 @@ def decayed_user_scores(sf_dir: str, horizon: int = 16) -> pa.Table:
     """
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        eid = df["event_id"].to_numpy()
-        v = df["value"].to_numpy(dtype=np.float64)
+        ts_us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
         cents = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
         order = np.lexsort((-eid, -ts_us))[:horizon]
         w = np.int64(1) << (15 - np.arange(len(order), dtype=np.int64))
         score = int((cents[order] * w).sum())
         return pa.table(
             {
-                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "user_id": pa.array(
+                    [int(group.column("user_id")[0].as_py())], pa.int64()
+                ),
                 "n_scored": pa.array([len(order)], pa.int64()),
                 "score_2p15": pa.array([score], pa.int64()),
             }
@@ -2748,20 +2763,20 @@ def event_session_ids(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     gap_us = gap_minutes * 60 * 1_000_000
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        new = np.ones(len(df), dtype=np.int64)
-        if len(df) > 1:
+        g, ts_us = _sorted_ts_group(group)
+        n = len(ts_us)
+        new = np.ones(n, dtype=np.int64)
+        if n > 1:
             new[1:] = (ts_us[1:] - ts_us[:-1] > gap_us).astype(np.int64)
         sid = np.cumsum(new)
         # ordinal within session: position - start offset of the session
         starts = np.flatnonzero(new == 1)
-        offs = np.repeat(starts, np.diff(np.append(starts, len(df))))
-        ordinal = np.arange(len(df), dtype=np.int64) - offs + 1
+        offs = np.repeat(starts, np.diff(np.append(starts, n)))
+        ordinal = np.arange(n, dtype=np.int64) - offs + 1
         return pa.table(
             {
-                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
-                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
                 "session_idx": pa.array(sid, pa.int64()),
                 "ordinal": pa.array(ordinal, pa.int64()),
             }
@@ -3192,10 +3207,9 @@ def time_to_conversion(sf_dir: str) -> pa.Table:
     """
 
     def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        etypes = df["event_type"].to_numpy()
-        eids = df["event_id"].to_numpy()
+        g, ts_us = _sorted_ts_group(group)
+        etypes = np.asarray(g.column("event_type"))
+        eids = np.asarray(g.column("event_id"), dtype=np.int64)
         is_click = etypes == "click"
         is_buy = etypes == "purchase"
         click_ts, click_id = ts_us[is_click], eids[is_click]
