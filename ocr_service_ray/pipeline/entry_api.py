@@ -1045,8 +1045,10 @@ def queries() -> dict:
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         # exact k-NN GRAPH build (top-k for every vector, self excluded)
         "knn_join": lambda sf: similarity.knn_join(sf),
-        # iterative BSP PageRank over the kNN graph (fixed-point int64;
-        # no SQL oracle — pinned by the exact pure-Python reference)
+        # iterative BSP PageRank over the kNN graph (fixed-point int64);
+        # SQL-oracled since r5: the integer recurrence unrolls exactly
+        # as chained CTEs (_pagerank_unrolled_sql), on top of the
+        # pure-Python reference pin
         "graph_pagerank": _q_graph_pagerank,
         # degree-oriented wedge triangle counting on the co-occurrence
         # graph (broadcast closure check; corner combiner)
@@ -1363,6 +1365,45 @@ _BRUTE_TOPK_SQL = (
 )
 
 
+def _pagerank_unrolled_sql(iters: int = 8, k: int = 5) -> str:
+    """SQL oracle for graph_pagerank: the fixed-point integer recurrence
+    r'(v) = 150000 + (85 * sum_{u->v}(r(u) // k)) // 100 UNROLLED as
+    ``iters`` chained CTEs over the exact kNN edge set (the same DuckDB
+    cosine + row_number expression the oracled ``knn_join`` is pinned
+    to). All arithmetic is BIGINT floor division on positive values —
+    identical to the distributed plan's int64 ops — so the oracle is
+    exact, not approximate. This promotes graph_pagerank from a
+    reference-pinned rows-only check to a driver-hash-verified query."""
+    edge = (
+        "SELECT vec_id AS src, neighbor_id AS dst FROM ("
+        "SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) AS sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY sim DESC, neighbor_id) <= {k}"
+    )
+    ctes = [
+        f"e AS ({edge})",
+        "nodes AS (SELECT vec_id FROM embeddings)",
+        "r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"r{t + 1} AS (SELECT n.vec_id AS vec_id, "
+            f"CAST(150000 + (85 * COALESCE(SUM(r{t}.r // {k}), 0)) // 100 "
+            "AS BIGINT) AS r "
+            "FROM nodes n LEFT JOIN e ON e.dst = n.vec_id "
+            f"LEFT JOIN r{t} ON r{t}.vec_id = e.src "
+            "GROUP BY n.vec_id)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT vec_id, r AS score_micros, "
+        "CAST(row_number() OVER (ORDER BY r DESC, vec_id) AS BIGINT) AS rank "
+        f"FROM r{iters} ORDER BY vec_id"
+    )
+
+
 def oracle_names() -> frozenset:
     """Keys of ``oracle_sql()`` with ZERO filesystem side effects.
 
@@ -1535,6 +1576,7 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "FROM s QUALIFY rank <= 5 ORDER BY vec_id, rank"
         ),
         "ann_ivf_exhaustive": _BRUTE_TOPK_SQL,
+        "graph_pagerank": _pagerank_unrolled_sql(),
         # the filtered variant: neighbors restricted to lang='en' docs
         "ann_topk_filtered": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
