@@ -70,8 +70,9 @@ def graph_pagerank(
     live as a ``(vec_id, r)`` Dataset in the object store; no O(n)
     driver or single-worker state at any point of the iteration.
       - reduce-side join: union-tag rank rows (dst = -1 sentinel)
-        with edge rows, groupby(src), per-group emit ``r // k`` per
-        out-edge [shuffle 1];
+        with edge rows, groupby(hash bucket of src) — B bounded groups,
+        vectorized sorted-key ``searchsorted`` join per bucket emitting
+        per-dst-combined ``r // k`` contributions [shuffle 1];
       - contribution sum: union the per-dst partials with a domain-
         zero fill (every node, c = 0) so no-in-edge nodes surface,
         groupby(dst).sum [shuffle 2], then the integer damping map;
@@ -155,19 +156,30 @@ def graph_pagerank(
 
 
 def _pagerank_dataset_leg(
-    edges_ds: "ray.data.Dataset", n: int, k: int, iters: int
+    edges_ds: "ray.data.Dataset", n: int, k: int, iters: int, n_buckets: int = 256
 ) -> pa.Table:
     """Rank-as-Dataset BSP supersteps (see graph_pagerank docstring).
 
     All state between supersteps is a materialized ``(vec_id, r)``
     Dataset — nothing node-count-sized ever lives on the driver or in
-    one task. Integer arithmetic is identical to the broadcast leg
-    (sum of ``r // k`` per dst is order-free), so results are
+    one task. The per-superstep reduce-side join is keyed by HASH
+    BUCKET (``src % n_buckets``), not by node: a bucket group holds
+    ~n/B rank rows + ~m/B edge rows and joins them with one vectorized
+    sort + ``searchsorted`` — B Python group calls per superstep
+    instead of n (per-NODE groups would mean 10^12 Python invocations
+    at target scale). Integer arithmetic is identical to the broadcast
+    leg (sum of ``r // k`` per dst is order-free), so results are
     bit-identical across legs and block layouts.
     """
     edges_tagged = edges_ds.map_batches(
         lambda b: pa.table(
             {
+                "bucket": pa.array(
+                    np.asarray(b.column("vec_id"), dtype=np.int64) % n_buckets,
+                    pa.int64(),
+                )
+                if "vec_id" in b.column_names
+                else pa.array([], pa.int64()),
                 "key": b.column("vec_id").cast(pa.int64())
                 if "vec_id" in b.column_names
                 else pa.array([], pa.int64()),
@@ -205,9 +217,11 @@ def _pagerank_dataset_leg(
         batch_format="pyarrow",
     ).materialize()
 
-    def join_emit(group: pa.Table) -> pa.Table:
-        # one rank row (dst == -1 sentinel) + the key's out-edges
+    def bucket_join(group: pa.Table) -> pa.Table:
+        # rank rows (dst == -1 sentinel) and edge rows of one hash
+        # bucket: vectorized rank lookup via sorted keys + searchsorted.
         dst = np.asarray(group.column("dst"), dtype=np.int64)
+        key = np.asarray(group.column("key"), dtype=np.int64)
         is_rank = dst == -1
         # edge rows carry a null r: fill before the numpy view so the
         # int64 dtype survives (nulls would otherwise float the column)
@@ -216,23 +230,32 @@ def _pagerank_dataset_leg(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        r = int(r_arr[is_rank][0])
-        out = dst[~is_rank]
+        rk, rv = key[is_rank], r_arr[is_rank]
+        order = np.argsort(rk, kind="stable")
+        rk, rv = rk[order], rv[order]
+        src, out = key[~is_rank], dst[~is_rank]
         if len(out) == 0:
             return pa.table(
                 {"dst": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
             )
-        return pa.table(
-            {
-                "dst": pa.array(out, pa.int64()),
-                "c": pa.array(np.full(len(out), r // k, np.int64)),
-            }
+        pos = np.searchsorted(rk, src)
+        contrib = rv[pos] // k
+        # in-bucket per-dst combine before the dst shuffle
+        t = pa.table(
+            {"dst": pa.array(out, pa.int64()), "c": pa.array(contrib, pa.int64())}
         )
+        g = pa.TableGroupBy(t, ["dst"]).aggregate([("c", "sum")])
+        return g.rename_columns(["dst", "c"])
 
     for _ in range(iters):
         ranks_tagged = ranks.map_batches(
             lambda b: pa.table(
                 {
+                    "bucket": pa.array(
+                        np.asarray(b.column("vec_id"), dtype=np.int64)
+                        % n_buckets,
+                        pa.int64(),
+                    ),
                     "key": b.column("vec_id"),
                     "dst": pa.array(np.full(b.num_rows, -1, np.int64)),
                     "r": b.column("r"),
@@ -242,8 +265,8 @@ def _pagerank_dataset_leg(
         )
         contribs = (
             edges_tagged.union(ranks_tagged)
-            .groupby("key")
-            .map_groups(join_emit, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_join, batch_format="pyarrow")
         )
         summed = zeros.union(contribs).groupby("dst").sum("c")
         ranks = summed.map_batches(
