@@ -338,6 +338,161 @@ def ivf_topk(
     )
 
 
+_LSH_FX_SCALE = 1 << 20  # fixed-point scale for signature dots
+
+
+def _lsh_plane_matrix(dim: int, n_bits: int, n_tables: int) -> np.ndarray:
+    """Deterministic INTEGER hyperplane bank, (n_tables, n_bits, dim)
+    int64 in [-1000, 1000]: component = md5-lower64("lsh:t:b:j") % 2001
+    - 1000 — the exact expression DuckDB's ``md5_number_lower`` computes,
+    so the whole signature step is SQL-replicable bit-for-bit (the
+    simhash/KMV precedent). Integer planes + fixed-point embeddings make
+    the sign decision EXACT int64 arithmetic: no float summation-order
+    hazard between numpy and the SQL oracle."""
+    from .hashing import md5_hash_tokens
+
+    toks = [
+        f"lsh:{t}:{b}:{j}"
+        for t in range(n_tables)
+        for b in range(n_bits)
+        for j in range(dim)
+    ]
+    h = md5_hash_tokens(toks)
+    p = (h % np.uint64(2001)).astype(np.int64) - 1000
+    return p.reshape(n_tables, n_bits, dim)
+
+
+def _lsh_keys(raw: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(rows, n_tables) int64 bucket keys from RAW (unnormalized)
+    embeddings: fixed-point quantize -> exact int64 dots -> sign bits
+    packed per table. floor(x * S + 0.5) matches the oracle's
+    floor()-based rounding exactly (np.rint's half-to-even would not)."""
+    n_tables, n_bits, dim = planes.shape
+    fx = np.floor(raw.astype(np.float64) * _LSH_FX_SCALE + 0.5).astype(np.int64)
+    dots = fx @ planes.reshape(n_tables * n_bits, dim).T  # exact int64
+    bits = (dots >= 0).astype(np.int64).reshape(len(raw), n_tables, n_bits)
+    weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+    return (bits * weights).sum(axis=2)  # (rows, n_tables)
+
+
+def lsh_topk(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 32,
+) -> pa.Table:
+    """LSH-bucketed ANN (random-hyperplane / SimHash-for-cosine — the
+    second named scale path next to IVF): a vector is a CANDIDATE for a
+    query iff they share a bucket key in ANY of the ``n_tables`` tables;
+    candidates are reranked with the exact cosine. Returns
+    (query_id, neighbor_id, rank) like ``brute_topk``/``ivf_topk``.
+
+    SQL-ORACLED OUTRIGHT (unlike IVF, whose index lives in /tmp): the
+    integer plane bank and fixed-point signature dots are replicated in
+    DuckDB exactly (md5_number_lower + BIGINT arithmetic), so candidate
+    sets are identical by construction and the driver hash-verifies the
+    full result, not just a recall bound. A recall >= 0.9 gate vs
+    ``brute_topk`` is additionally pinned in tests.
+
+    Ray shape: plane bank broadcast once (``ray.put``); ONE stateless
+    map over the embeddings computes block signatures (one int64
+    matmul), matches them against the broadcast query signatures, and
+    emits local top-k among the block's candidates; tiny driver merge
+    (n_queries x k x blocks rows), no shuffle at all. The default
+    (n_bits=4, n_tables=32) is tuned for the near-uniform synthetic
+    embeddings (the IVF high-nprobe argument, similarity.py:265): real
+    text-embedding corpora cluster far better and support much deeper
+    pruning (more bits, fewer candidates).
+    """
+    import pyarrow.compute as pc
+
+    # raw (unnormalized) query vectors: signatures must quantize the
+    # same values the oracle sees
+    qtbl = (
+        _emb(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), n_queries)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids = qtbl["vec_id"].to_numpy()
+    q_raw = np.vstack(qtbl["embedding"].to_numpy()).astype(np.float64)
+    if len(qids) == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
+    dim = q_raw.shape[1]
+    planes = _lsh_plane_matrix(dim, n_bits, n_tables)
+    q = _norm_rows(q_raw)
+    qkeys = _lsh_keys(q_raw, planes)  # (n_queries, n_tables)
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(q)
+    qkeys_ref = ray.put(qkeys)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table(
+                {"qi": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        pl = ray.get(planes_ref)
+        qm = ray.get(q_ref)
+        qk = ray.get(qkeys_ref)
+        ids = np.asarray(batch.column("vec_id"))
+        raw = _emb_matrix(batch.column("embedding")).astype(np.float64)
+        keys = _lsh_keys(raw, pl)  # (block, n_tables)
+        # candidate mask: any-table key equality (n_queries x block)
+        cand = (qk[:, None, :] == keys[None, :, :]).any(axis=2)
+        m = _norm_rows(raw)
+        out_q, out_n, out_s = [], [], []
+        for q_idx in range(qm.shape[0]):
+            mask = cand[q_idx]
+            if not mask.any():
+                continue
+            sims = qm[q_idx] @ m[mask].T
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -sims))[: min(k, len(sub_ids))]
+            out_q.extend([q_idx] * len(order))
+            out_n.extend(sub_ids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        ray.get(
+            _emb(sf_dir).map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    qi = np.asarray(partials.column("qi"))
+    nid = np.asarray(partials.column("neighbor_id"))
+    sim = np.asarray(partials.column("sim"))
+    rows = {"query_id": [], "neighbor_id": [], "rank": []}
+    for q_idx in range(len(qids)):
+        mask = qi == q_idx
+        order = np.lexsort((nid[mask], -sim[mask]))[:k]
+        rows["query_id"].extend([int(qids[q_idx])] * len(order))
+        rows["neighbor_id"].extend(nid[mask][order].tolist())
+        rows["rank"].extend(range(1, len(order) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------------------
 # Distributed k-means (iterative BSP over the full table)
 

@@ -1058,6 +1058,11 @@ def queries() -> dict:
         # build, hive-cell pruned read, per-cell masking, top-k merge);
         # the nprobe<k variant above stays the approximate scale demo.
         "ann_ivf_exhaustive": lambda sf: similarity.ivf_topk(sf, nprobe=16),
+        # LSH-bucketed ANN (random-hyperplane, integer plane bank):
+        # SQL-oracled OUTRIGHT — fixed-point signature dots match the
+        # DuckDB expression bit-for-bit, so the candidate set (not just
+        # a recall bound) is driver-verified; recall>=0.9 gate in tests
+        "ann_lsh_topk": lambda sf: similarity.lsh_topk(sf),
         # iterative BSP over the full table; no SQL oracle (iterative
         # float) — determinism across block layouts pinned by tests
         "embedding_clusters": lambda sf: similarity.embedding_clusters(sf),
@@ -1404,6 +1409,51 @@ def _pagerank_unrolled_sql(iters: int = 8, k: int = 5) -> str:
     )
 
 
+def _lsh_topk_sql(
+    n_queries: int = 8,
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 32,
+    max_dim: int = 256,
+) -> str:
+    """SQL oracle for ``similarity.lsh_topk``: the integer hyperplane
+    bank (md5_number_lower % 2001 - 1000) and the fixed-point signature
+    dots are pure BIGINT arithmetic, identical to the numpy side, so
+    bucket keys — and therefore the CANDIDATE SET — match exactly; the
+    rerank is the same cosine + row_number expression every ANN oracle
+    here uses. Plane rows beyond the table's true dimension are
+    generated but never joined (max_dim is a bound, not an assumption)."""
+    s = float(1 << 20)
+    return (
+        "WITH pl AS (SELECT rt.t AS t, rb.b AS b, rj.j AS j, "
+        "CAST(md5_number_lower('lsh:' || rt.t || ':' || rb.b || ':' || rj.j) "
+        "% 2001 AS BIGINT) - 1000 AS p "
+        f"FROM range({n_tables}) rt(t), range({n_bits}) rb(b), "
+        f"range({max_dim}) rj(j)), "
+        "fx AS (SELECT vec_id, "
+        "unnest(generate_series(1, len(embedding))) - 1 AS j, "
+        f"CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {s} + 0.5) AS BIGINT) "
+        "AS em FROM embeddings), "
+        "bits AS (SELECT f.vec_id, pl.t, pl.b, "
+        "CASE WHEN SUM(f.em * pl.p) >= 0 THEN 1 ELSE 0 END AS bit "
+        "FROM fx f JOIN pl ON pl.j = f.j GROUP BY f.vec_id, pl.t, pl.b), "
+        "keys AS (SELECT vec_id, t, SUM(bit * (1::BIGINT << b)) AS key "
+        "FROM bits GROUP BY vec_id, t), "
+        f"qk AS (SELECT vec_id AS query_id, t, key FROM keys WHERE vec_id < {n_queries}), "
+        "cand AS (SELECT DISTINCT qk.query_id, k2.vec_id AS neighbor_id "
+        "FROM qk JOIN keys k2 ON k2.t = qk.t AND k2.key = qk.key), "
+        "s AS (SELECT c.query_id, c.neighbor_id, "
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b2.embedding AS DOUBLE[])) AS sim "
+        "FROM cand c JOIN embeddings a ON a.vec_id = c.query_id "
+        "JOIN embeddings b2 ON b2.vec_id = c.neighbor_id) "
+        "SELECT query_id, neighbor_id, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank "
+        f"FROM s QUALIFY rank <= {k} ORDER BY query_id, rank"
+    )
+
+
 def oracle_names() -> frozenset:
     """Keys of ``oracle_sql()`` with ZERO filesystem side effects.
 
@@ -1577,6 +1627,7 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         ),
         "ann_ivf_exhaustive": _BRUTE_TOPK_SQL,
         "graph_pagerank": _pagerank_unrolled_sql(),
+        "ann_lsh_topk": _lsh_topk_sql(),
         # the filtered variant: neighbors restricted to lang='en' docs
         "ann_topk_filtered": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

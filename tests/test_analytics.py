@@ -530,6 +530,50 @@ class TestOracleEquivalence:
             recalls.append(len(exact & approx) / len(exact))
         assert np.mean(recalls) >= 0.9  # nprobe=10/16 cells, pruned read
 
+    def test_lsh_topk_recall_and_sql_parity(self):
+        """ann_lsh_topk: recall@10 >= 0.9 vs the exact baseline (the IVF
+        gate, same bar), AND full-result SQL parity — the fixed-point
+        integer signature path must reproduce DuckDB's plane bank and
+        bucket keys bit-for-bit, so the ORACLE check covers the exact
+        candidate set, not just a recall bound."""
+        import duckdb
+
+        from ocr_service_ray.analytics.similarity import brute_topk, lsh_topk
+        from ocr_service_ray.pipeline.entry_api import _lsh_topk_sql
+
+        brute = brute_topk(SF).to_pandas()
+        got = lsh_topk(SF).to_pandas()
+        recalls = []
+        for qid in brute["query_id"].unique():
+            exact = set(brute[brute.query_id == qid]["neighbor_id"])
+            approx = set(got[got.query_id == qid]["neighbor_id"])
+            recalls.append(len(exact & approx) / len(exact))
+        assert np.mean(recalls) >= 0.9
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+        )
+        want = con.execute(_lsh_topk_sql()).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+    def test_lsh_plane_bank_matches_duckdb_md5(self):
+        """The integer plane bank is the md5_number_lower expression —
+        pin a sample of components against DuckDB directly."""
+        import duckdb
+
+        from ocr_service_ray.analytics.similarity import _lsh_plane_matrix
+
+        pl = _lsh_plane_matrix(64, 5, 32)
+        con = duckdb.connect()
+        for t, b, j in ((0, 0, 0), (31, 4, 63), (7, 2, 11)):
+            want = con.execute(
+                "SELECT CAST(md5_number_lower(?) % 2001 AS BIGINT) - 1000",
+                [f"lsh:{t}:{b}:{j}"],
+            ).fetchone()[0]
+            assert int(pl[t, b, j]) == want
+
     def test_ivf_reads_only_probed_cells(self, tmp_path):
         # the index layout must allow partition pruning: every vector
         # sits in exactly one cell dir, and the union of all cells is
@@ -3035,9 +3079,12 @@ class TestSimhashPairsPigeonhole:
 
 @pytest.mark.usefixtures("ray_session")
 class TestSpanTruthScaleSwitch:
-    def test_marker_rebuild_on_scale_change(self):
-        """check_oracles runs query-then-oracle per name at ONE sf dir;
-        the truth files must follow the most recent scale requested."""
+    def test_scale_keyed_paths_and_idempotent_reuse(self):
+        """Truth files are keyed BY SCALE (v2 layout): each scale gets
+        its own file set, requesting another scale never rewrites an
+        existing one, and re-requests are idempotent (DONE-marker
+        fast path). Replaces the v1 single-mutable-set semantics this
+        class used to pin (the round-4 advisory's race)."""
         import pyarrow.parquet as pq
 
         from ocr_service_ray.pipeline import entry_api as ea
@@ -3046,7 +3093,10 @@ class TestSpanTruthScaleSwitch:
         n_small = pq.read_table(p_small["spans"]).num_rows
         p_tiny = ea._ensure_span_truth("tiny")
         n_tiny = pq.read_table(p_tiny["spans"]).num_rows
-        assert p_small["spans"] == p_tiny["spans"]  # same current path
+        assert p_small["spans"] != p_tiny["spans"]  # per-scale paths
+        assert f"{ea._SPAN_TRUTH_ROOT}/small/" in p_small["spans"]
+        assert f"{ea._SPAN_TRUTH_ROOT}/tiny/" in p_tiny["spans"]
         assert n_tiny != n_small and n_tiny < n_small
-        # and back (idempotent marker round-trip)
+        # small's file set is untouched by the tiny build and reuse is
+        # idempotent
         assert pq.read_table(ea._ensure_span_truth("small")["spans"]).num_rows == n_small
