@@ -125,11 +125,13 @@ def run_queries(num_cpus: int) -> dict:
             "triangle_count": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["triangle_count"]).triangle_count(sf_dir()),
             "graph_pagerank": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_pagerank"]).graph_pagerank(sf_dir()),
             "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),
+            "ann_lsh_topk": lambda: similarity.lsh_topk(sf_dir()),
             "lang_id": lambda: text_analysis.lang_id(sf_dir()).materialize(),
             "text_normalize": lambda: text_analysis.text_normalize(sf_dir()).materialize(),
             "token_counts": lambda: text_analysis.token_counts(sf_dir()).materialize(),
             "quality_scores": lambda: text_analysis.quality_scores(sf_dir()).materialize(),
             "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
+            "winnow_fingerprints": lambda: text_analysis.winnow_fingerprints(sf_dir()).materialize(),
             "pricing_summary": lambda: relational.pricing_summary(sf_dir()),
             "orders_by_nation": lambda: relational.orders_by_nation(sf_dir()),
             "top_docs_by_words": lambda: relational.top_docs_by_words(sf_dir()),

@@ -108,6 +108,86 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
 
 
+# Karp-Rabin winnowing parameters (Schleimer et al., SIGMOD'03 — the
+# MOSS local fingerprinting algorithm). K/W=8 gives the standard
+# guarantee: any shared substring of >= W+K-1 = 15 normalized chars is
+# caught by at least one shared fingerprint. B/M are fixed so the
+# polynomial is reproducible as an unrolled BIGINT expression in the
+# DuckDB oracle (terms <= 0x10FFFF * (M-1) * K < 2^63: no overflow on
+# either side).
+WINNOW_K = 8
+WINNOW_W = 8
+_KR_BASE = 257
+_KR_MOD = 1_000_000_007
+_KR_POW = np.array(
+    [pow(_KR_BASE, WINNOW_K - 1 - j, _KR_MOD) for j in range(WINNOW_K)], np.int64
+)
+
+
+def winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, pos, h): winnowed Karp-Rabin k-gram fingerprints.
+
+    Per document: dedup-normalize (lower / collapse ws / trim — the
+    same ``normalize_text`` the md5 fingerprints use), hash every
+    K-char gram with the Karp-Rabin polynomial
+    ``sum(cp[p+j] * B^(K-1-j)) mod M`` (the rolling-recurrence hash in
+    its windowed-dot form), then select the rightmost-minimum hash of
+    every W-consecutive-gram window (robust winnowing). Documents with
+    fewer than W grams contribute their single overall rightmost min;
+    documents shorter than K chars contribute nothing. ``pos`` is the
+    1-based gram start in the normalized text.
+
+    Ray shape: one stateless vectorized map over ``documents`` — no
+    shuffle; output is O(n_chars / W) rows per doc. At 100 TB this is
+    the fingerprint-extraction pass of a MOSS-style overlap pipeline;
+    selected prints then feed a (h)-keyed groupby exactly like the
+    n-gram postings ops.
+    """
+
+    def wf(batch: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_d: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        for d, t in zip(doc_ids, batch.column("text").to_pylist()):
+            s = normalize_text(t)
+            if len(s) < WINNOW_K:
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            H = (sliding_window_view(cp, WINNOW_K) @ _KR_POW) % _KR_MOD
+            n = H.shape[0]
+            if n <= WINNOW_W:
+                # single window over all grams; argmin of the reversed
+                # view picks the RIGHTMOST minimum
+                sel = np.array([n - 1 - int(np.argmin(H[::-1]))])
+            else:
+                win = sliding_window_view(H, WINNOW_W)
+                idx = WINNOW_W - 1 - np.argmin(win[:, ::-1], axis=1)
+                sel = np.unique(np.arange(win.shape[0]) + idx)
+            out_d.append(np.full(sel.shape[0], d, np.int64))
+            out_p.append(sel + 1)
+            out_h.append(H[sel])
+        if not out_d:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d)),
+                "pos": pa.array(np.concatenate(out_p)),
+                "h": pa.array(np.concatenate(out_h)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(wf, batch_format="pyarrow")
+
+
 def text_normalize(sf_dir: str) -> "ray.data.Dataset":
     """Reference M4 token normalization applied corpus-wide.
 

@@ -1085,6 +1085,9 @@ def queries() -> dict:
         "text_normalize": text_analysis.text_normalize,
         "quality_scores": text_analysis.quality_scores,
         "fingerprints": text_analysis.fingerprints,
+        # MOSS winnowing (Schleimer et al. SIGMOD'03): Karp-Rabin k-gram
+        # hashes + rightmost-min window selection, oracle-exact
+        "winnow_fingerprints": text_analysis.winnow_fingerprints,
         "lang_id": text_analysis.lang_id,
         # label-noise audit: declared lang vs heuristic prediction
         "lang_mismatch": lambda sf: text_analysis.lang_mismatch(sf),
@@ -1746,6 +1749,33 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         "fingerprints": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        # winnowing replicated exactly: the Karp-Rabin polynomial is the
+        # unrolled 8-term BIGINT sum below (POW[j] = 257^(7-j) mod 1e9+7;
+        # ascii() == Python ord() on any codepoint — parity-probed), the
+        # rightmost-min window pick is (h ASC, p DESC) row_number over
+        # every valid window start, short docs fall into the single
+        # greatest(1, ...) window
+        "winnow_fingerprints": (
+            "WITH norm AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+            "meta AS (SELECT doc_id, s, length(s) - 7 AS n_grams FROM norm "
+            "WHERE length(s) >= 8), "
+            "grams AS (SELECT m.doc_id, t.p, m.n_grams, ("
+            + " + ".join(
+                f"CAST(ascii(substr(m.s, CAST(t.p AS INT)+{j}, 1)) AS BIGINT) "
+                f"* {pow(257, 7 - j, 1_000_000_007)}"
+                for j in range(8)
+            )
+            + ") % 1000000007 AS h "
+            "FROM meta m, LATERAL (SELECT unnest(generate_series(1, m.n_grams)) AS p) t), "
+            "wins AS (SELECT a.doc_id, b.p AS p, b.h, "
+            "row_number() OVER (PARTITION BY a.doc_id, a.p ORDER BY b.h ASC, b.p DESC) AS rn "
+            "FROM grams a JOIN grams b ON b.doc_id = a.doc_id "
+            "AND b.p BETWEEN a.p AND a.p + 7 "
+            "WHERE a.p <= greatest(1, a.n_grams - 7)) "
+            "SELECT DISTINCT doc_id, p AS pos, h FROM wins WHERE rn = 1 "
+            "ORDER BY doc_id, pos"
         ),
         # every word 8-gram present in >= 2 distinct docs (DuckDB list
         # slicing is 1-based inclusive: t[i:i+7] is an 8-token window)

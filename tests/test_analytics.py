@@ -840,6 +840,120 @@ class TestTextPipelineOps:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWinnowFingerprints:
+    """MOSS winnowing (Schleimer et al. SIGMOD'03): parity vs a naive
+    per-window pure-Python reference, the DuckDB oracle on adversarial
+    (incl. unicode) text, and the paper's detection guarantee."""
+
+    ADVERSARIAL = [
+        "",                      # no grams
+        "short",                 # < K chars after normalize
+        "abcdefgh",              # exactly one gram
+        "abcdefghi",             # two grams, one window
+        "a  B\tc\nd EfGh ijK lmnop",      # ws collapse + case fold
+        "zzzzzzzzzzzzzzzzzzzzzzzz",       # all-identical hashes (tie storm)
+        "the quick brown fox jumps over the lazy dog " * 3,  # repeats
+        "é€ü abcdefgh xyz é€ βγδ ΑΒΓ χψω", # multibyte codepoints
+        "  leading and trailing   ",
+    ]
+
+    @staticmethod
+    def _naive(text: str):
+        """Direct transcription of the paper: hash every K-gram of the
+        normalized text, slide a W window, keep the rightmost minimum
+        of each window (dict-deduped)."""
+        from ocr_service_ray.analytics.hashing import normalize_text
+        from ocr_service_ray.analytics.text_analysis import (
+            WINNOW_K, WINNOW_W, _KR_BASE, _KR_MOD,
+        )
+
+        s = normalize_text(text)
+        hs = []
+        for p in range(len(s) - WINNOW_K + 1):
+            h = 0
+            for ch in s[p:p + WINNOW_K]:
+                h = (h * _KR_BASE + ord(ch)) % _KR_MOD
+            hs.append(h)
+        if not hs:
+            return []
+        sel = {}
+        for s0 in range(max(1, len(hs) - WINNOW_W + 1)):
+            win = hs[s0:s0 + WINNOW_W]
+            best = min(range(len(win)), key=lambda i: (win[i], -i))
+            sel[s0 + best] = win[best]
+        return sorted((p + 1, h) for p, h in sel.items())
+
+    def _write_docs(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_naive_reference_and_oracle_parity(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import winnow_fingerprints
+        from ocr_service_ray.pipeline import entry_api
+
+        sf = self._write_docs(tmp_path, self.ADVERSARIAL)
+        got = winnow_fingerprints(sf).to_pandas()
+        got = got.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        want_rows = []
+        for d, t in enumerate(self.ADVERSARIAL):
+            for p, h in self._naive(t):
+                want_rows.append((d, p, h))
+        assert list(map(tuple, got.itertuples(index=False))) == want_rows
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = con.execute(entry_api.oracle_sql()["winnow_fingerprints"]).df()
+        pd.testing.assert_frame_equal(
+            got, want.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        )
+
+    def test_detection_guarantee(self, tmp_path):
+        """Any shared substring of >= W+K-1 normalized chars must yield
+        at least one shared fingerprint hash (the winnowing guarantee)."""
+        from ocr_service_ray.analytics.text_analysis import winnow_fingerprints
+
+        shared = "qwertyuiopasdfg"  # 15 chars == W+K-1
+        assert len(shared) == 15
+        sf = self._write_docs(
+            tmp_path,
+            ["AAA " + shared + " BBB ccc ddd", "eee fff " + shared + " ZZZ"],
+        )
+        got = winnow_fingerprints(sf).to_pandas()
+        h0 = set(got[got.doc_id == 0]["h"])
+        h1 = set(got[got.doc_id == 1]["h"])
+        assert h0 & h1
+
+    def test_density_bound(self, tmp_path):
+        """Winnowing selects at most one print per window start: the
+        selected count is bounded by max(1, n_grams - W + 1) and is
+        ~2/(W+1) of grams in expectation — pin the hard bound."""
+        import numpy as np
+
+        from ocr_service_ray.analytics.hashing import normalize_text
+        from ocr_service_ray.analytics.text_analysis import (
+            WINNOW_K, WINNOW_W, winnow_fingerprints,
+        )
+
+        rng = np.random.default_rng(11)
+        texts = [
+            "".join(rng.choice(list("abcdefgh "), 400)) for _ in range(8)
+        ]
+        sf = self._write_docs(tmp_path, texts)
+        got = winnow_fingerprints(sf).to_pandas()
+        for d, t in enumerate(texts):
+            n_grams = len(normalize_text(t)) - WINNOW_K + 1
+            n_sel = int((got.doc_id == d).sum())
+            assert 1 <= n_sel <= max(1, n_grams - WINNOW_W + 1)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestUnicodeWhitespaceParity:
     """RE2 (DuckDB) treats \\s/\\b as ASCII and trim() strips Zs spaces;
     Python defaults are unicode-aware. Every SQL-mirrored operator is
