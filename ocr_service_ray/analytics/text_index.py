@@ -87,10 +87,21 @@ def build_text_index(sf_dir: str, n_buckets: int = 16) -> str:
     return root
 
 
+# process-level memo for the data-derived query terms: the derivation
+# is a full corpus pass + term groupby (seconds of fixed Ray overhead)
+# while the result is a deterministic pure function of the corpus —
+# text_search and ranked_text_search share one entry (the established
+# _COOC_CACHE / _FP_CACHE family pattern)
+_QUERY_TERMS_CACHE: dict[tuple, list] = {}
+
+
 def _top_query_terms(sf_dir: str, n_terms: int, min_count: int) -> list[str]:
     """Data-derived query: the ``n_terms`` RAREST corpus terms with at
     least ``min_count`` occurrences (ties -> term asc) — selective by
     construction on any corpus, derived by the usual count combiner."""
+    key = (os.path.abspath(sf_dir), n_terms, min_count)
+    if key in _QUERY_TERMS_CACHE:
+        return list(_QUERY_TERMS_CACHE[key])
     from .text_analysis import _TERM, _docs
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -120,6 +131,7 @@ def _top_query_terms(sf_dir: str, n_terms: int, min_count: int) -> list[str]:
         if t.num_rows:
             rows.append(t)
     if not rows:
+        _QUERY_TERMS_CACHE[key] = []
         return []
     tbl = pa.concat_tables(rows)
     terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
@@ -127,7 +139,9 @@ def _top_query_terms(sf_dir: str, n_terms: int, min_count: int) -> list[str]:
     keep = n >= min_count
     terms, n = terms[keep], n[keep]
     order = np.lexsort((terms.astype(str), n))[:n_terms]
-    return sorted(terms[order].astype(str).tolist())
+    out = sorted(terms[order].astype(str).tolist())
+    _QUERY_TERMS_CACHE[key] = out
+    return list(out)
 
 
 def text_search(
@@ -382,18 +396,38 @@ def phrase_search(sf_dir: str, n_buckets: int = 16) -> pa.Table:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    # top-1 needs no distributed sort: after the gram-keyed groupby,
+    # blocks hold DISJOINT grams, so each block's (n desc, gram asc)
+    # best row is a complete candidate — emit one row per block and
+    # pick the winner on the driver (O(n_blocks) rows, saves the
+    # whole sort-shuffle stage a .sort().limit(1) would run)
+    def block_top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        t = t.rename_columns(["gram", "n"])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        grams = np.asarray(t.column("gram").to_pylist(), dtype=object)
+        best = np.lexsort((grams.astype(str), -n))[0]
+        return pa.table(
+            {"gram": pa.array([str(grams[best])], pa.string()),
+             "n": pa.array([int(n[best])], pa.int64())}
+        )
+
     top = (
         docs.map_batches(bigram_partial, batch_format="pyarrow")
         .groupby("gram")
         .sum("n")
-        .map_batches(
-            lambda t: t.rename_columns(["gram", "n"]) if t.num_rows else t,
-            batch_format="pyarrow",
-        )
-        .sort(["n", "gram"], descending=[True, False])
-        .limit(1)
+        .map_batches(block_top1, batch_format="pyarrow")
     )
     rows = [t for t in ray.get(top.to_arrow_refs()) if t.num_rows]
+    if rows:
+        cand = pa.concat_tables(rows)
+        n = cand.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        grams = np.asarray(cand.column("gram").to_pylist(), dtype=object)
+        best = np.lexsort((grams.astype(str), -n))[0]
+        rows = [cand.slice(int(best), 1)]
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()),
          "n_occurrences": pa.array([], pa.int64())}
