@@ -2282,8 +2282,11 @@ def item_cooccurrence(
          support, so items whose bound is < min_support cannot appear
          in any qualifying pair — they are dropped from baskets before
          pair emission.  Item-domain-sized broadcast via ``ray.put``.
-      3. one user-keyed groupby; per-user ``np.unique`` + triu pair
-         emission.  Baskets larger than ``max_basket`` (post-filter)
+      3. one user-HASH-keyed groupby (B buckets, not n_users groups —
+         a user still lands wholly in one bucket); the per-bucket
+         kernel dedups (user, k) across blocks vectorized and emits
+         per-user triu pairs with an in-kernel (k_a, k_b) combine.
+         Baskets larger than ``max_basket`` (post-filter)
          are TRUNCATED to the max_basket globally-most-frequent items
          (ties -> smaller k) — the mega-basket guard mirroring the LSH
          hot-bucket star-cap (dedup.py ``max_bucket``): one power-law
@@ -2314,70 +2317,94 @@ def item_cooccurrence(
         g = pa.TableGroupBy(t, ["user_id", "k"]).aggregate([])
         return g
 
-    def per_user_pairs(group: pa.Table) -> pa.Table:
-        ks = np.unique(np.asarray(group.column("k"), dtype=np.int64))
-        # Apriori prefilter: items that cannot reach min_support never
-        # pair-qualify; dropping them here is exact and shrinks baskets.
-        f_items, f_counts = ray.get(freq_ref)
-        if len(f_items):
-            pos = np.clip(np.searchsorted(f_items, ks), 0, len(f_items) - 1)
-            mask = f_items[pos] == ks
-            kept_pos = pos[mask]
-            ks = ks[mask]
-        else:
-            kept_pos = np.array([], np.int64)
-            ks = ks[:0]
-        trunc_rows = []
-        if len(ks) > max_basket:
-            # mega-basket guard: keep the max_basket globally-most-
-            # frequent items (ties -> smaller k); count what fell off.
-            counts = f_counts[kept_pos]
-            order = np.lexsort((ks, -counts))
-            dropped = len(ks) - max_basket
-            ks = np.sort(ks[order[:max_basket]])
-            trunc_rows = [(_COOC_TRUNC_ITEMS, dropped), (_COOC_TRUNC_BASKETS, 1)]
-        if len(ks) < 2 and not trunc_rows:
-            return pa.table(
-                {
-                    "k_a": pa.array([], pa.int64()),
-                    "k_b": pa.array([], pa.int64()),
-                    "n_users": pa.array([], pa.int64()),
-                }
-            )
-        ia, ib = np.triu_indices(len(ks), 1)
-        k_a = np.concatenate([ks[ia], np.array([r[0] for r in trunc_rows], np.int64)])
-        k_b = np.concatenate([ks[ib], np.array([r[0] for r in trunc_rows], np.int64)])
-        n_u = np.concatenate(
-            [np.ones(len(ia), np.int64), np.array([r[1] for r in trunc_rows], np.int64)]
-        )
-        return pa.table(
+    def per_bucket_pairs(group: pa.Table) -> pa.Table:
+        # one vectorized kernel per user-hash BUCKET (B group calls,
+        # not n_users — the pagerank dataset-leg treatment): Apriori
+        # filter + cross-block (user, k) dedup over the whole bucket
+        # at once, then per-user triu emission with an in-kernel
+        # (k_a, k_b) combine.
+        empty = pa.table(
             {
-                "k_a": pa.array(k_a, pa.int64()),
-                "k_b": pa.array(k_b, pa.int64()),
-                "n_users": pa.array(n_u, pa.int64()),
+                "k_a": pa.array([], pa.int64()),
+                "k_b": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
             }
         )
-
-    def pair_combine(batch: pa.Table) -> pa.Table:
-        # combiner before the pair shuffle: many users' pair lists land
-        # in one block; collapsing them here bounds the shuffle at the
-        # distinct-pair domain per block instead of sum-of-baskets^2
-        if batch.num_rows == 0 or "k_a" not in batch.column_names:
-            return pa.table(
-                {
-                    "k_a": pa.array([], pa.int64()),
-                    "k_b": pa.array([], pa.int64()),
-                    "n_users": pa.array([], pa.int64()),
-                }
-            )
-        g = pa.TableGroupBy(batch, ["k_a", "k_b"]).aggregate([("n_users", "sum")])
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        f_items, f_counts = ray.get(freq_ref)
+        # Apriori prefilter: items that cannot reach min_support never
+        # pair-qualify; dropping them here is exact and shrinks baskets.
+        if len(f_items):
+            pos = np.clip(np.searchsorted(f_items, k), 0, len(f_items) - 1)
+            mask = f_items[pos] == k
+            u, k, pos = u[mask], k[mask], pos[mask]
+        else:
+            u, k, pos = u[:0], k[:0], np.array([], np.int64)
+        if len(u) == 0:
+            return empty
+        # distinct (user, k) across blocks (blocks were only
+        # in-block-distinct), sorted so each user's items are a
+        # contiguous ascending segment
+        order = np.lexsort((k, u))
+        u, k, pos = u[order], k[order], pos[order]
+        first = np.concatenate([[True], (np.diff(u) != 0) | (np.diff(k) != 0)])
+        u, k, pos = u[first], k[first], pos[first]
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(u) != 0]))
+        ends = np.append(starts[1:], len(u))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        n_trunc_items = 0
+        n_trunc_baskets = 0
+        for s, e in zip(starts, ends):
+            ks = k[s:e]
+            if len(ks) > max_basket:
+                # mega-basket guard: keep the max_basket globally-most-
+                # frequent items (ties -> smaller k); count what fell off.
+                counts = f_counts[pos[s:e]]
+                sel = np.lexsort((ks, -counts))
+                n_trunc_items += len(ks) - max_basket
+                n_trunc_baskets += 1
+                ks = np.sort(ks[sel[:max_basket]])
+            if len(ks) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ks), 1)
+            out_a.append(ks[ia])
+            out_b.append(ks[ib])
+            out_n.append(np.ones(len(ia), np.int64))
+        if n_trunc_items or n_trunc_baskets:
+            out_a.append(np.array([_COOC_TRUNC_ITEMS, _COOC_TRUNC_BASKETS], np.int64))
+            out_b.append(np.array([_COOC_TRUNC_ITEMS, _COOC_TRUNC_BASKETS], np.int64))
+            out_n.append(np.array([n_trunc_items, n_trunc_baskets], np.int64))
+        if not out_a:
+            return empty
+        t = pa.table(
+            {
+                "k_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "k_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "n_users": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, ["k_a", "k_b"]).aggregate([("n_users", "sum")])
         return g.rename_columns(["k_a", "k_b", "n_users"])
 
     # block-distinct (user, k) pairs, materialized ONCE: consumed by
     # both the item-count pass and the basket groupby (no re-extract).
+    # `bucket` pre-computes the user-hash shuffle key: grouping B
+    # buckets instead of n_users groups keeps the same co-location
+    # guarantee (a user lands wholly in one bucket) without n_users
+    # Python group invocations.
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = distinct_partial(batch)
+        b = np.asarray(t.column("user_id"), dtype=np.int64) % n_buckets
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
     pairs_ds = (
         _events(sf_dir, ["user_id", "props"])
-        .map_batches(distinct_partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
         .materialize()
     )
 
@@ -2388,37 +2415,53 @@ def item_cooccurrence(
         g = pa.TableGroupBy(batch.select(["k"]), ["k"]).aggregate([("k", "count")])
         return g.rename_columns(["k", "ub"])
 
-    item_tbls = [
-        t
-        for t in ray.get(
-            pairs_ds.map_batches(item_partial, batch_format="pyarrow")
-            .groupby("k")
-            .sum("ub")
-            .to_arrow_refs()
+    # the item aggregate ends up driver-resident either way (it IS the
+    # ray.put broadcast below), so skip the Ray groupby and stream-merge
+    # the domain-bounded per-block partials on the driver: O(domain)
+    # resident, one block partial in flight.
+    iks = np.array([], np.int64)
+    ubs = np.array([], np.int64)
+    for ref in pairs_ds.map_batches(item_partial, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        tk = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        tu = t.column("ub").to_numpy(zero_copy_only=False).astype(np.int64)
+        both = np.concatenate([iks, tk])
+        iks, inv = np.unique(both, return_inverse=True)
+        ubs = np.bincount(inv, weights=np.concatenate([ubs, tu]).astype(np.float64)).astype(
+            np.int64
         )
-        if t.num_rows
-    ]
-    if item_tbls:
-        items_all = pa.concat_tables(item_tbls)
-        iks = items_all.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
-        ubs = items_all.column("sum(ub)").to_numpy(zero_copy_only=False).astype(np.int64)
-        fmask = ubs >= min_support
-        order = np.argsort(iks[fmask], kind="stable")
-        freq_items = np.ascontiguousarray(iks[fmask][order])
-        freq_counts = np.ascontiguousarray(ubs[fmask][order])
-    else:
-        freq_items = np.array([], np.int64)
-        freq_counts = np.array([], np.int64)
+    fmask = ubs >= min_support
+    freq_items = np.ascontiguousarray(iks[fmask])
+    freq_counts = np.ascontiguousarray(ubs[fmask])
     freq_ref = ray.put((freq_items, freq_counts))
 
-    agg = (
-        pairs_ds.groupby("user_id")
-        .map_groups(per_user_pairs, batch_format="pyarrow")
-        .map_batches(pair_combine, batch_format="pyarrow")
-        .groupby(["k_a", "k_b"])
-        .sum("n_users")
+    # cross-bucket combine happens ON THE DRIVER as a streaming merge:
+    # the query contract materializes the pair table driver-side
+    # anyway, and each bucket's output is already (k_a, k_b)-combined
+    # and pair-domain-bounded — so a second Ray shuffle would only
+    # re-sort what the driver is about to hold. O(pair domain)
+    # resident, one bucket output in flight.
+    bucketed = pairs_ds.groupby("bucket").map_groups(
+        per_bucket_pairs, batch_format="pyarrow"
     )
-    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    ka = np.array([], np.int64)
+    kb = np.array([], np.int64)
+    n = np.array([], np.int64)
+    for ref in bucketed.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        a2 = np.concatenate([ka, t.column("k_a").to_numpy(zero_copy_only=False).astype(np.int64)])
+        b2 = np.concatenate([kb, t.column("k_b").to_numpy(zero_copy_only=False).astype(np.int64)])
+        n2 = np.concatenate([n, t.column("n_users").to_numpy(zero_copy_only=False).astype(np.int64)])
+        order = np.lexsort((b2, a2))
+        a2, b2, n2 = a2[order], b2[order], n2[order]
+        first = np.concatenate([[True], (np.diff(a2) != 0) | (np.diff(b2) != 0)])
+        idx = np.flatnonzero(first)
+        ka, kb = a2[first], b2[first]
+        n = np.add.reduceat(n2, idx)
     empty = pa.table(
         {
             "k_a": pa.array([], pa.int64()),
@@ -2426,7 +2469,7 @@ def item_cooccurrence(
             "n_users": pa.array([], pa.int64()),
         }
     )
-    if not tables:
+    if len(ka) == 0:
         # same metadata contract as the normal path: consumers read
         # truncation counters unconditionally
         empty = empty.replace_schema_metadata(
@@ -2434,10 +2477,6 @@ def item_cooccurrence(
         )
         _COOC_CACHE[key] = empty
         return empty
-    tbl = pa.concat_tables(tables)
-    ka = tbl.column("k_a").to_numpy(zero_copy_only=False).astype(np.int64)
-    kb = tbl.column("k_b").to_numpy(zero_copy_only=False).astype(np.int64)
-    n = tbl.column("sum(n_users)").to_numpy(zero_copy_only=False).astype(np.int64)
     # strip + surface the truncation partials (schema metadata, never
     # silent, never polluting the result rows)
     trunc_items = int(n[ka == _COOC_TRUNC_ITEMS].sum())
