@@ -27,6 +27,8 @@ sub-quadratic approximate route is IVF/LSH in similarity.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -404,6 +406,13 @@ def ngram_jaccard_pairs(
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
+# process memo for the shared inverted-index core: ngram_jaccard_pairs
+# and containment_pairs call it with identical default params and only
+# differ in final scoring — one entry serves both (the _PAIRS_CACHE /
+# _SIG_CACHE family pattern; result is pair-domain bounded).
+_SHINGLE_CACHE: dict[tuple, tuple] = {}
+
+
 def _shingle_intersections(
     sf_dir: str, shingle_k: int, max_posting: int
 ) -> tuple[pa.Table, dict]:
@@ -413,6 +422,10 @@ def _shingle_intersections(
     |shingle set|} sizes for every candidate. Same plan, hot-posting
     truncation and hashing notes as documented on ngram_jaccard_pairs."""
     from ray.data.aggregate import AggregateFn
+
+    memo_key = (os.path.abspath(sf_dir), shingle_k, max_posting)
+    if memo_key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[memo_key]
 
     docs = _docs(sf_dir)
 
@@ -441,18 +454,25 @@ def _shingle_intersections(
     )
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
-        out_a: list[int] = []
-        out_b: list[int] = []
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
         for ids in batch.column("docs").to_pylist():
             if len(ids) < 2:
                 continue
-            ids = sorted(set(ids))[:max_posting]  # deterministic stop-shingle truncation
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+            # deterministic stop-shingle truncation
+            uniq = np.unique(np.asarray(ids, dtype=np.int64))[:max_posting]
+            if len(uniq) < 2:
+                continue
+            ia, ib = np.triu_indices(len(uniq), 1)
+            out_a.append(uniq[ia])
+            out_b.append(uniq[ib])
+        if not out_a:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
         return pa.table(
-            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+            {"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+             "doc_b": pa.array(np.concatenate(out_b), pa.int64())}
         )
 
     inter = (
@@ -465,6 +485,7 @@ def _shingle_intersections(
         pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("count()", pa.int64())]),
     )
     if len(inter_tbl) == 0:
+        _SHINGLE_CACHE[memo_key] = (inter_tbl, {})
         return inter_tbl, {}
     a_ids = inter_tbl.column("doc_a").to_pylist()
     b_ids = inter_tbl.column("doc_b").to_pylist()
@@ -488,6 +509,7 @@ def _shingle_intersections(
         pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]),
     )
     sizes = dict(zip(sz_tbl.column("doc_id").to_pylist(), sz_tbl.column("n").to_pylist()))
+    _SHINGLE_CACHE[memo_key] = (inter_tbl, sizes)
     return inter_tbl, sizes
 
 
