@@ -90,17 +90,23 @@ def graph_pagerank(
     edge_refs = [_knn_block.remote(r, refs, k) for r in refs]
     # node ids are the contiguous 0..n-1 vec_id domain of the table;
     # verified here rather than assumed
-    ids_tbl = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
-        .groupby("vec_id")
-        .count()
+    # per-block unique partials merged on the driver: the ids end up
+    # driver-resident either way (the contiguity check below), so a
+    # Ray groupby would only pre-sort what the driver is about to hold
+    ids_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"vec_id": pa.array(np.unique(np.asarray(t.column("vec_id"), dtype=np.int64)))}
+        ),
+        batch_format="pyarrow",
     )
     parts = [
         np.asarray(t.column("vec_id"))
-        for t in ray.get(ids_tbl.to_arrow_refs())
+        for t in ray.get(ids_ds.to_arrow_refs())
         if t.num_rows
     ]
-    ids = np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+    ids = np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
     n = len(ids)
     if n == 0:
         return pa.table(
@@ -134,13 +140,20 @@ def graph_pagerank(
             g = pa.TableGroupBy(t, ["dst"]).aggregate([("c", "sum")])
             return g.rename_columns(["dst", "c"])
 
-        agg = edges_ds.map_batches(contrib, batch_format="pyarrow").groupby("dst").sum("c")
+        # the superstep needs no Ray shuffle in THIS leg: the driver
+        # already owns the O(n) rank vector (that is the leg's
+        # documented regime), and each block partial is per-dst
+        # combined, so summing partials into s driver-side replaces a
+        # dst-keyed groupby whose output the driver was about to pull
+        # anyway. Integer adds are order-free — bit-identical across
+        # block layouts (reference-equality test).
         s = np.zeros(n, dtype=np.int64)
-        for t in ray.get(agg.to_arrow_refs()):
+        for ref in edges_ds.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
             if t.num_rows:
                 d = np.asarray(t.column("dst"), dtype=np.int64)
-                c = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
-                s[d] = c
+                c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+                s[d] += c  # d is unique within a combined partial
         rank = 150_000 + (85 * s) // 100
 
     order = np.lexsort((np.arange(n), -rank))
