@@ -132,6 +132,7 @@ def run_queries(num_cpus: int) -> dict:
             "quality_scores": lambda: text_analysis.quality_scores(sf_dir()).materialize(),
             "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
             "winnow_fingerprints": lambda: text_analysis.winnow_fingerprints(sf_dir()).materialize(),
+            "fingerprint_matches": lambda: text_analysis.fingerprint_matches(sf_dir()),
             "pricing_summary": lambda: relational.pricing_summary(sf_dir()),
             "orders_by_nation": lambda: relational.orders_by_nation(sf_dir()),
             "top_docs_by_words": lambda: relational.top_docs_by_words(sf_dir()),

@@ -188,6 +188,111 @@ def winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(wf, batch_format="pyarrow")
 
 
+def fingerprint_matches(
+    sf_dir: str, max_df: int = 8, min_shared: int = 2, n_buckets: int = 64
+) -> pa.Table:
+    """MOSS overlap detection over the winnowed fingerprints: pairs of
+    documents sharing >= ``min_shared`` RARE winnowed prints, where
+    rare means document frequency <= ``max_df`` (high-df prints are
+    boilerplate by definition — dropping them is part of the MATCH
+    SEMANTICS, mirrored exactly by the SQL oracle, not a lossy cap).
+
+    The df filter doubles as the hot-posting bound: every surviving
+    posting list has <= max_df members, so per-bucket pair emission is
+    O(max_df^2) by construction — no truncation caveat anywhere.
+
+    Ray shape: the winnow_fingerprints map (no shuffle) -> per-batch
+    distinct (doc_id, h) prints with an h-hash ``bucket`` column ->
+    ONE bucket-keyed groupby (B group calls, not n_h) whose kernel
+    segments by h, applies the df filter, emits triu pairs and
+    combines (doc_a, doc_b) in-kernel -> one pair-keyed groupby sum
+    (pair domain, unbounded at corpus scale — stays a Dataset
+    shuffle) -> driver HAVING filter on the reduced aggregate.
+    """
+
+    def prints(batch: pa.Table) -> pa.Table:
+        # a document's winnow rows are emitted inside one batch, so
+        # in-batch distinct (doc_id, h) is globally distinct
+        g = pa.TableGroupBy(batch.select(["doc_id", "h"]), ["doc_id", "h"]).aggregate([])
+        b = (
+            np.asarray(g.column("h"), dtype=np.int64) % n_buckets
+        )
+        return g.append_column("bucket", pa.array(b, pa.int64()))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+        h = np.asarray(group.column("h"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(h) != 0]))
+        ends = np.append(starts[1:], len(h))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if not 2 <= e - s <= max_df:
+                continue
+            ds_ = d[s:e]
+            ia, ib = np.triu_indices(len(ds_), 1)
+            out_a.append(ds_[ia])
+            out_b.append(ds_[ib])
+        if not out_a:
+            return empty
+        t = pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "n_shared": pa.array(
+                    np.ones(sum(len(a) for a in out_a), np.int64), pa.int64()
+                ),
+            }
+        )
+        g = pa.TableGroupBy(t, ["doc_a", "doc_b"]).aggregate([("n_shared", "sum")])
+        return g.rename_columns(["doc_a", "doc_b", "n_shared"])
+
+    agg = (
+        winnow_fingerprints(sf_dir)
+        .map_batches(prints, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .sum("n_shared")
+    )
+    import ray
+
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+    tbl = pa.concat_tables(tables)
+    n = tbl.column("sum(n_shared)").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = n >= min_shared
+    return pa.table(
+        {
+            "doc_a": pa.array(
+                tbl.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)[keep],
+                pa.int64(),
+            ),
+            "doc_b": pa.array(
+                tbl.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)[keep],
+                pa.int64(),
+            ),
+            "n_shared": pa.array(n[keep], pa.int64()),
+        }
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def text_normalize(sf_dir: str) -> "ray.data.Dataset":
     """Reference M4 token normalization applied corpus-wide.
 

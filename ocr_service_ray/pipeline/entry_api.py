@@ -250,6 +250,30 @@ _SPAN_TRUTH_KEYS = (
     "spans", "qr", "html_totals", "html_items", "receipt_items", "skew_metrics"
 )
 
+# shared winnowing CTE (text_analysis.winnow_fingerprints replicated in
+# SQL): norm -> k-gram Karp-Rabin hashes (unrolled 8-term polynomial,
+# POW[j] = 257^(7-j) mod 1e9+7) -> rightmost-min window pick. Used by
+# both the winnow_fingerprints and fingerprint_matches oracles.
+_WINNOW_CTE = (
+    "WITH norm AS (SELECT doc_id, "
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+    "meta AS (SELECT doc_id, s, length(s) - 7 AS n_grams FROM norm "
+    "WHERE length(s) >= 8), "
+    "grams AS (SELECT m.doc_id, t.p, m.n_grams, ("
+    + " + ".join(
+        f"CAST(ascii(substr(m.s, CAST(t.p AS INT)+{j}, 1)) AS BIGINT) "
+        f"* {pow(257, 7 - j, 1_000_000_007)}"
+        for j in range(8)
+    )
+    + ") % 1000000007 AS h "
+    "FROM meta m, LATERAL (SELECT unnest(generate_series(1, m.n_grams)) AS p) t), "
+    "wins AS (SELECT a.doc_id, b.p AS p, b.h, "
+    "row_number() OVER (PARTITION BY a.doc_id, a.p ORDER BY b.h ASC, b.p DESC) AS rn "
+    "FROM grams a JOIN grams b ON b.doc_id = a.doc_id "
+    "AND b.p BETWEEN a.p AND a.p + 7 "
+    "WHERE a.p <= greatest(1, a.n_grams - 7))"
+)
+
 
 def _flatten_expected(expected_root: str) -> pa.Table:
     tables = []
@@ -1088,6 +1112,8 @@ def queries() -> dict:
         # MOSS winnowing (Schleimer et al. SIGMOD'03): Karp-Rabin k-gram
         # hashes + rightmost-min window selection, oracle-exact
         "winnow_fingerprints": text_analysis.winnow_fingerprints,
+        # MOSS overlap pairs over rare (df<=8) winnowed prints
+        "fingerprint_matches": text_analysis.fingerprint_matches,
         "lang_id": text_analysis.lang_id,
         # label-noise audit: declared lang vs heuristic prediction
         "lang_mismatch": lambda sf: text_analysis.lang_mismatch(sf),
@@ -1751,31 +1777,29 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "FROM documents"
         ),
         # winnowing replicated exactly: the Karp-Rabin polynomial is the
-        # unrolled 8-term BIGINT sum below (POW[j] = 257^(7-j) mod 1e9+7;
-        # ascii() == Python ord() on any codepoint — parity-probed), the
-        # rightmost-min window pick is (h ASC, p DESC) row_number over
-        # every valid window start, short docs fall into the single
-        # greatest(1, ...) window
+        # unrolled 8-term BIGINT sum in _WINNOW_CTE (POW[j] = 257^(7-j)
+        # mod 1e9+7; ascii() == Python ord() on any codepoint —
+        # parity-probed), the rightmost-min window pick is (h ASC,
+        # p DESC) row_number over every valid window start, short docs
+        # fall into the single greatest(1, ...) window
         "winnow_fingerprints": (
-            "WITH norm AS (SELECT doc_id, "
-            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
-            "meta AS (SELECT doc_id, s, length(s) - 7 AS n_grams FROM norm "
-            "WHERE length(s) >= 8), "
-            "grams AS (SELECT m.doc_id, t.p, m.n_grams, ("
-            + " + ".join(
-                f"CAST(ascii(substr(m.s, CAST(t.p AS INT)+{j}, 1)) AS BIGINT) "
-                f"* {pow(257, 7 - j, 1_000_000_007)}"
-                for j in range(8)
-            )
-            + ") % 1000000007 AS h "
-            "FROM meta m, LATERAL (SELECT unnest(generate_series(1, m.n_grams)) AS p) t), "
-            "wins AS (SELECT a.doc_id, b.p AS p, b.h, "
-            "row_number() OVER (PARTITION BY a.doc_id, a.p ORDER BY b.h ASC, b.p DESC) AS rn "
-            "FROM grams a JOIN grams b ON b.doc_id = a.doc_id "
-            "AND b.p BETWEEN a.p AND a.p + 7 "
-            "WHERE a.p <= greatest(1, a.n_grams - 7)) "
-            "SELECT DISTINCT doc_id, p AS pos, h FROM wins WHERE rn = 1 "
+            _WINNOW_CTE
+            + " SELECT DISTINCT doc_id, p AS pos, h FROM wins WHERE rn = 1 "
             "ORDER BY doc_id, pos"
+        ),
+        # same winnow CTE; rare = df <= 8 prints (the MOSS boilerplate
+        # drop, part of the match SEMANTICS on both sides), pairs
+        # sharing >= 2 rare prints
+        "fingerprint_matches": (
+            _WINNOW_CTE
+            + ", prints AS (SELECT DISTINCT doc_id, h FROM wins WHERE rn = 1), "
+            "rare AS (SELECT doc_id, h FROM prints WHERE h IN "
+            "(SELECT h FROM prints GROUP BY h HAVING count(*) <= 8)), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2 "
+            "ORDER BY doc_a, doc_b"
         ),
         # every word 8-gram present in >= 2 distinct docs (DuckDB list
         # slicing is 1-based inclusive: t[i:i+7] is an 8-token window)

@@ -930,6 +930,36 @@ class TestWinnowFingerprints:
         h1 = set(got[got.doc_id == 1]["h"])
         assert h0 & h1
 
+    def test_fingerprint_matches_positive_and_boilerplate_drop(self, tmp_path):
+        """Two docs sharing a long rare substring must pair; a
+        boilerplate footer shared by MORE than max_df docs must
+        contribute nothing (its prints are dropped by definition)."""
+        from ocr_service_ray.analytics.text_analysis import fingerprint_matches
+        from ocr_service_ray.pipeline import entry_api
+
+        shared = "zqxjkvbnmwpfhdlg uryeitoa zqxvbnm"  # rare, > 2 windows
+        footer = " common footer boilerplate all docs carry verbatim"
+        texts = (
+            ["AAA " + shared + " one" + footer, "BBB two " + shared + footer]
+            + [f"doc {i} distinct words only here {i}" + footer for i in range(9)]
+        )
+        sf = self._write_docs(tmp_path, texts)
+        got = fingerprint_matches(sf, max_df=8, min_shared=2)
+        pairs = set(zip(got.column("doc_a").to_pylist(), got.column("doc_b").to_pylist()))
+        assert (0, 1) in pairs
+        # footer-only pairs (any pair among docs 2..10) must be absent:
+        # the footer's prints have df = 11 > max_df
+        assert not any(a >= 2 and b >= 2 for a, b in pairs)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = con.execute(entry_api.oracle_sql()["fingerprint_matches"]).df()
+        pd.testing.assert_frame_equal(
+            got.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+            want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        )
+
     def test_density_bound(self, tmp_path):
         """Winnowing selects at most one print per window start: the
         selected count is bounded by max(1, n_grams - W + 1) and is

@@ -136,7 +136,7 @@ EVENT_QUERIES = [
 
 DOC_QUERIES = [
     "token_counts", "quality_scores", "fingerprints", "winnow_fingerprints",
-    "text_normalize",
+    "fingerprint_matches", "text_normalize",
     "lang_id", "lang_mismatch", "exact_dedup", "simhash", "distinctive_terms",
     "dup_ngram_spans", "latest_doc_versions", "chunk_documents",
     "redact_pii", "hash_sample", "source_stats", "source_lang_rollup",
