@@ -193,6 +193,7 @@ def run_queries(num_cpus: int) -> dict:
             "max_concurrency": lambda: windows.max_concurrency(sf_dir()),
             "long_tail_docs": lambda: relational.long_tail_docs(sf_dir()),
             "curation_status": lambda: curation.curation_status(sf_dir()),
+            "shuffle_shards": lambda: curation.shuffle_shards(sf_dir()),
             "cross_snapshot_dupes": lambda: dedup.cross_snapshot_dupes(sf_dir()),
             "cross_snapshot_neardup": lambda: dedup.cross_snapshot_neardup(sf_dir()),
             "snapshot_set_ops": lambda: dedup.snapshot_set_ops(sf_dir()),

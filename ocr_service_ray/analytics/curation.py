@@ -502,3 +502,91 @@ def curation_rates_by_source(sf_dir: str, min_words: int = 10) -> pa.Table:
             "n_docs": pa.array([int(n) for n in ns], pa.int64()),
         }
     ).sort_by([("source", "ascending"), ("status", "ascending")])
+
+
+# ----------------------------------------------------------------------
+# deterministic global shuffle -> training shards
+
+
+def shuffle_shards(sf_dir: str, n_shards: int = 16, seed: int = 0) -> pa.Table:
+    """Deterministic GLOBAL SHUFFLE + shard/position placement — the
+    last verb of a training-data pipeline: randomize document order
+    corpus-wide (so no training batch sees crawl/source order), split
+    into ``n_shards`` balanced output shards, and fix each document's
+    position inside its shard. Everything is a pure function of
+    (doc_id, seed): re-runs, resumes and different cluster sizes
+    produce the identical placement (unlike ``random_shuffle``, whose
+    permutation depends on RNG state and block layout), and changing
+    ``seed`` yields an independent permutation for a new epoch.
+
+    Key construction (SQL-replicable, driver-hash-verified): h =
+    md5-lower64(decimal doc_id) XOR md5-lower64('seed:<seed>') — the
+    per-doc hash is the same ``md5_batch_int_ids`` kernel as
+    ``hash_sample``/``dataset_splits``, the seed folds in as a fixed
+    64-bit mask, shard = h mod n_shards, pos = rank of (h, doc_id)
+    within the shard.
+
+    Ray shape: stateless vectorized key map -> ONE shard-keyed shuffle
+    (``groupby(shard).map_groups``) -> in-group vectorized lexsort
+    ranking. Partitioning assumption, as for ``export_curated``: a
+    shard must fit one task, so at real scale size n_shards to
+    ~corpus_bytes / 1 GiB (thousands of shards for 100 TB — md5 keys
+    make them uniform; there is no hot-key risk). The placement map is
+    O(1 row/doc); actual payload export streams through
+    ``export_curated``-style per-shard writers ordered by pos.
+    """
+    import numpy as np
+
+    from .hashing import md5_batch_int_ids, md5_hash_tokens
+
+    mask = np.uint64(md5_hash_tokens([f"seed:{seed}"])[0])
+    ns = np.uint64(n_shards)
+
+    def key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "shard": pa.array([], pa.int32()),
+                 "h": pa.array([], pa.int64())}
+            )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = md5_batch_int_ids(ids)
+        h = d[:, 8:16].copy().view(np.uint64).ravel() ^ mask
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array((h % ns).astype(np.int32)),
+                "h": pa.array(h.view(np.int64)),
+            }
+        )
+
+    def rank(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))  # ties (h) broken by doc_id, as the oracle
+        pos = np.empty(len(order), np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "shard": group.column("shard"),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shard": pa.array([], pa.int32()),
+             "pos": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables).sort_by(
+        [("shard", "ascending"), ("pos", "ascending")]
+    )

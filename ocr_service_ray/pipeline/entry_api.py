@@ -1232,6 +1232,8 @@ def queries() -> dict:
         "long_tail_docs": lambda sf: relational.long_tail_docs(sf),
         # capstone curation ladder (length -> exact-dup -> near-dup)
         "curation_status": _q_curation_status,
+        # deterministic global shuffle -> (shard, pos) training placement
+        "shuffle_shards": _q_shuffle_shards,
         # quality-aware retention: per near-dup cluster keep the member
         # with max n_chars (ties -> min doc_id); others map to it
         "canonical_docs": _q_canonical_docs,
@@ -2597,6 +2599,17 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "WHERE n.doc_id >= t.ts AND b.doc_id < t.ts "
             "GROUP BY n.doc_id ORDER BY n.doc_id"
         ),
+        # deterministic global shuffle: same md5-lower64 ^ seed-mask key,
+        # shard = h mod 16, pos = rank of (h, doc_id) within the shard
+        "shuffle_shards": (
+            "WITH k AS (SELECT doc_id, "
+            "xor(md5_number_lower(CAST(doc_id AS VARCHAR)), "
+            "md5_number_lower('seed:0')) AS h FROM documents) "
+            "SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 "
+            "ORDER BY h, doc_id) - 1 AS BIGINT) AS pos "
+            "FROM k ORDER BY shard, pos"
+        ),
         # curation ladder CASE chain over fingerprints + closure
         "curation_status": (
             "WITH RECURSIVE fp AS (SELECT doc_id, "
@@ -3098,6 +3111,12 @@ def _q_curation_status(sf_dir: str) -> pa.Table:
     from ..analytics.curation import curation_status
 
     return curation_status(sf_dir)
+
+
+def _q_shuffle_shards(sf_dir: str) -> pa.Table:
+    from ..analytics.curation import shuffle_shards
+
+    return shuffle_shards(sf_dir)
 
 
 def _q_canonical_docs(sf_dir: str) -> pa.Table:

@@ -3244,3 +3244,46 @@ class TestSpanTruthScaleSwitch:
         # small's file set is untouched by the tiny build and reuse is
         # idempotent
         assert pq.read_table(ea._ensure_span_truth("small")["spans"]).num_rows == n_small
+
+
+class TestShuffleShards:
+    """Deterministic global shuffle -> (shard, pos) placement."""
+
+    def test_permutation_complete_and_positions_contiguous(self):
+        import numpy as np
+
+        from ocr_service_ray.analytics.curation import shuffle_shards
+
+        got = shuffle_shards(SF, n_shards=8).to_pandas()
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        # every doc exactly once
+        assert sorted(got["doc_id"]) == sorted(docs["doc_id"])
+        # per shard: pos is exactly 0..k-1
+        for _, g in got.groupby("shard"):
+            assert sorted(g["pos"]) == list(range(len(g)))
+
+    def test_deterministic_and_seed_varies(self):
+        from ocr_service_ray.analytics.curation import shuffle_shards
+
+        a = shuffle_shards(SF, n_shards=8, seed=0).to_pandas()
+        b = shuffle_shards(SF, n_shards=8, seed=0).to_pandas()
+        assert a.equals(b)  # pure function of (doc_id, seed)
+        c = shuffle_shards(SF, n_shards=8, seed=1).to_pandas()
+        ka = list(zip(a["doc_id"], a["shard"], a["pos"]))
+        kc = list(zip(c["doc_id"], c["shard"], c["pos"]))
+        assert ka != kc  # a new seed is a new permutation
+
+    def test_order_is_not_input_order(self):
+        """The point of the op: within a shard, doc order must not be
+        the crawl (doc_id) order."""
+        from ocr_service_ray.analytics.curation import shuffle_shards
+
+        got = shuffle_shards(SF, n_shards=4).to_pandas()
+        scrambled = 0
+        for _, g in got.groupby("shard"):
+            ids = g.sort_values("pos")["doc_id"].tolist()
+            if ids != sorted(ids):
+                scrambled += 1
+        assert scrambled == len(got["shard"].unique())

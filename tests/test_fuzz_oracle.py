@@ -155,7 +155,7 @@ DOC_QUERIES = [
     "benchmark_contamination", "fuzzy_token_pairs", "cms_token_counts",
     "priority_sample", "text_search", "ranked_text_search", "phrase_search",
     "token_canonical_map", "skyline_docs", "dataset_mixture",
-    "table_checksum", "vocab_coverage", "dataset_card",
+    "table_checksum", "vocab_coverage", "dataset_card", "shuffle_shards",
 ]
 
 TPCH_QUERIES = [
