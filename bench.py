@@ -65,6 +65,29 @@ def host_load() -> dict:
     return snap
 
 
+def settle(max_wait_s: float = 60.0, target_load: float = 4.0) -> float:
+    """Wait (bounded) for the box to quiesce before a TIMED child run.
+
+    Measured this round: a headline child launched seconds after a
+    previous Ray session exited read 796 docs/s while back-to-back
+    standalone runs on the idle box read 1,329/1,408 — draining workers
+    from the PREVIOUS measurement, not the code, set the number. The
+    wait is recorded in the artifact (`settle_s`) alongside the load
+    snapshot, so a reading taken on a still-busy box is visible rather
+    than silently low."""
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait_s:
+        try:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+        except OSError:
+            break
+        if load1 < target_load:
+            break
+        time.sleep(2.0)
+    return round(time.perf_counter() - t0, 1)
+
+
 def one_run(num_cpus: int, scale: str) -> dict:
     """Fresh-session timed pipeline run; returns metrics dict."""
     import ray
@@ -282,6 +305,7 @@ def _memo_probe(name: str, sf: str) -> bool:
 
 def child_run(num_cpus: int, scale: str, env_extra: dict | None = None) -> dict:
     """Spawn a FRESH process for a timed pipeline run."""
+    settle_s = settle()
     env = dict(os.environ)
     if env_extra:
         env.update(env_extra)
@@ -295,7 +319,9 @@ def child_run(num_cpus: int, scale: str, env_extra: dict | None = None) -> dict:
     )
     for line in reversed(out.stdout.splitlines()):
         if line.startswith("{"):
-            return json.loads(line)
+            result = json.loads(line)
+            result["settle_s"] = settle_s
+            return result
     raise RuntimeError(f"child failed: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
