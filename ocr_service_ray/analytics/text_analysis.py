@@ -2006,3 +2006,304 @@ def doc_bigram_novelty(sf_dir: str) -> pa.Table:
         }
     )
     return out.sort_by([("doc_id", "ascending")])
+
+
+# fixed-point log-probability scale: 2^20 (the embedding_drift /
+# value_trend precedent — quantize the ONE float per distinct input,
+# keep every SUM integer so summation order can't diverge)
+_LM_FP = 1048576.0
+
+
+def _gram_batch(batch: pa.Table):
+    """Flat (doc_ids, grams, doc_lengths) word-bigram explode of a
+    batch — the shared kernel of the LM score pass."""
+    from .hashing import split_words
+
+    ids: list = []
+    grams: list[str] = []
+    lens: list[int] = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        words = split_words(text)
+        n = max(0, len(words) - 1)
+        if n == 0:
+            continue
+        ids.append(doc_id)
+        lens.append(n)
+        grams.extend(f"{a} {b}" for a, b in zip(words, words[1:]))
+    return ids, grams, lens
+
+
+def lm_doc_scores(sf_dir: str) -> pa.Table:
+    """Bigram-LM document quality scores — the CCNet/KenLM
+    perplexity-filter shape (Wenzek et al., LREC 2020): train an
+    add-one-smoothed bigram LM on the corpus, then score every document
+    by its total and mean log-probability under that LM. Low-probability
+    docs are gibberish/OCR noise; anomalously high ones are boilerplate
+    — both ends are standard curation cut points.
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1·) + V)
+
+    with c(w1·) the corpus count of bigrams starting w1 and V the
+    distinct-right-word vocabulary size.
+
+    Exactness: a float logprob SUM would drift by summation order (the
+    trap the rare_token_scores docstring names) — so each DISTINCT
+    bigram's log-prob is quantized ONCE to int64 fixed-point
+    (floor(ln(p) * 2^20)) and the per-doc reduction is an integer sum.
+    ln() is math.log (libm), bit-identical to DuckDB's ln() — pinned by
+    a grid test — and p is the same IEEE double expression both sides,
+    so the SQL oracle hash-verifies the scores exactly.
+
+    Ray shape: ONE bigram-keyed groupby over in-batch np.unique count
+    partials (the LM-training shuffle, same as bigram_counts); the
+    reduced bigram TYPE table (Zipf-bounded, the bpe_vocab argument)
+    lands on the driver where left-word totals and V are derived and
+    each bigram's contribution is quantized (math.log memoized per
+    distinct (c_bg, c_left) pair — Zipf collapses these to a handful);
+    the {bigram -> fp} map broadcasts once via ray.put; pass 2 streams
+    the corpus through a stateless vectorized searchsorted lookup with
+    np.add.reduceat per-doc sums. At web-scale vocab, swap the
+    broadcast for a bigram-keyed hash join (the distinctive_terms note
+    applies verbatim).
+    """
+    import math
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, grams, _ = _gram_batch(batch)
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(list(uniq), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir)
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby("bigram").sum("n")
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "logprob_fp": pa.array([], pa.int64()),
+            "avg_logprob": pa.array([], pa.float64()),
+        }
+    )
+    if not tables:
+        return empty
+    lm = pa.concat_tables(tables)
+    bigrams = np.asarray(lm.column("bigram").to_pylist(), dtype=object)
+    cbg = lm.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+    # left-word totals and the right-word vocabulary from the REDUCED table
+    lefts = np.asarray([b.split(" ", 1)[0] for b in bigrams], dtype=object)
+    rights = np.asarray([b.split(" ", 1)[1] for b in bigrams], dtype=object)
+    uls, inv = np.unique(lefts, return_inverse=True)
+    cl_per_left = np.zeros(len(uls), np.int64)
+    np.add.at(cl_per_left, inv, cbg)
+    cl = cl_per_left[inv]
+    v = int(len(np.unique(rights)))
+    # quantize once per distinct (c_bg, c_left) pair (Zipf collapses
+    # these to a handful): math.log == DuckDB ln, bit-for-bit
+    pairs = np.stack([cbg, cl], axis=1)
+    upairs, inv2 = np.unique(pairs, axis=0, return_inverse=True)
+    ufp = np.fromiter(
+        (
+            math.floor(math.log((int(a) + 1) / (int(b) + v)) * _LM_FP)
+            for a, b in upairs
+        ),
+        np.int64,
+        count=len(upairs),
+    )
+    fp = ufp[inv2]
+    order = np.argsort(bigrams, kind="stable")
+    lm_ref = ray.put((bigrams[order], fp[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, fps = ray.get(lm_ref)
+        ids, grams, lens = _gram_batch(batch)
+        if not ids:
+            return empty
+        flat = np.asarray(grams, dtype=object)
+        contrib = fps[np.searchsorted(keys, flat)]
+        starts = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))[:-1]))
+        sums = np.add.reduceat(contrib, starts)
+        n = np.asarray(lens, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(n, pa.int64()),
+                "logprob_fp": pa.array(sums.astype(np.int64), pa.int64()),
+                "avg_logprob": pa.array(
+                    sums.astype(np.float64) / n.astype(np.float64) / _LM_FP,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return empty
+    return pa.concat_tables(tbls).sort_by([("doc_id", "ascending")])
+
+
+def dsir_weights(sf_dir: str, target_lang: str = "en") -> pa.Table:
+    """DSIR importance-resampling log-weights (Xie et al., NeurIPS
+    2023): score every document by how much more likely its unigrams
+    are under the TARGET distribution (here the ``target_lang`` slice —
+    the in-corpus analog of DSIR's Wikipedia-vs-CommonCrawl setup) than
+    under the RAW corpus distribution:
+
+        log w(doc) = sum over token occurrences of
+                     ln p_target(w) - ln p_raw(w)
+
+    with both distributions add-one-smoothed over the shared vocabulary
+    (V = distinct words corpus-wide). Sampling proportionally to w
+    reweights raw data toward the target domain — the published recipe
+    for LLM pretraining data selection.
+
+    Exactness: per-WORD contribution quantized once to int64 fixed
+    point (floor((ln(pt) - ln(pr)) * 2^20)); math.log == DuckDB ln
+    bit-for-bit and both ratios are the same IEEE doubles both sides,
+    so per-doc integer sums hash-verify against the SQL oracle.
+
+    Ray shape: one word-keyed groupby over in-batch (word, n_all,
+    n_target) np.unique count partials (the word-TYPE table, Zipf-
+    bounded — bpe_vocab precedent); contributions quantized on the
+    driver (memoized per distinct (c_target, c_raw) pair) and broadcast
+    once via ray.put; pass 2 streams the corpus through the same
+    searchsorted + reduceat kernel as lm_doc_scores. Web-scale vocab:
+    swap the broadcast for a word-keyed hash join.
+    """
+    import math
+
+    import ray
+
+    from .hashing import split_words
+
+    def word_batch(batch: pa.Table):
+        ids: list = []
+        words: list[str] = []
+        lens: list[int] = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = split_words(text)
+            if not ws:
+                continue
+            ids.append(doc_id)
+            lens.append(len(ws))
+            words.extend(ws)
+        return ids, words, lens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .hashing import split_words as sw
+
+        all_words: list[str] = []
+        tgt_words: list[str] = []
+        for text, lang in zip(
+            batch.column("text").to_pylist(), batch.column("lang").to_pylist()
+        ):
+            ws = sw(text)
+            all_words.extend(ws)
+            if lang == target_lang:
+                tgt_words.extend(ws)
+        if not all_words:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "n_raw": pa.array([], pa.int64()),
+                    "n_tgt": pa.array([], pa.int64()),
+                }
+            )
+        uniq, counts = np.unique(np.asarray(all_words, dtype=object), return_counts=True)
+        n_tgt = np.zeros(len(uniq), np.int64)
+        if tgt_words:
+            tu, tc = np.unique(np.asarray(tgt_words, dtype=object), return_counts=True)
+            n_tgt[np.searchsorted(uniq, tu)] = tc
+        return pa.table(
+            {
+                "word": pa.array(list(uniq), pa.string()),
+                "n_raw": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_tgt": pa.array(n_tgt, pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum(["n_raw", "n_tgt"])
+    )
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "logweight_fp": pa.array([], pa.int64()),
+            "avg_logweight": pa.array([], pa.float64()),
+        }
+    )
+    if not tables:
+        return empty
+    vocab_tbl = pa.concat_tables(tables)
+    words = np.asarray(vocab_tbl.column("word").to_pylist(), dtype=object)
+    n_raw = vocab_tbl.column("sum(n_raw)").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tgt = vocab_tbl.column("sum(n_tgt)").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = int(len(words))
+    nr = int(n_raw.sum())
+    nt = int(n_tgt.sum())
+    pairs = np.stack([n_tgt, n_raw], axis=1)
+    upairs, inv2 = np.unique(pairs, axis=0, return_inverse=True)
+    ufp = np.fromiter(
+        (
+            math.floor(
+                (math.log((int(a) + 1) / (nt + v)) - math.log((int(b) + 1) / (nr + v)))
+                * _LM_FP
+            )
+            for a, b in upairs
+        ),
+        np.int64,
+        count=len(upairs),
+    )
+    fp = ufp[inv2]
+    order = np.argsort(words, kind="stable")
+    vocab_ref = ray.put((words[order], fp[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, fps = ray.get(vocab_ref)
+        ids, ws, lens = word_batch(batch)
+        if not ids:
+            return empty
+        flat = np.asarray(ws, dtype=object)
+        contrib = fps[np.searchsorted(keys, flat)]
+        starts = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))[:-1]))
+        sums = np.add.reduceat(contrib, starts)
+        n = np.asarray(lens, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "logweight_fp": pa.array(sums.astype(np.int64), pa.int64()),
+                "avg_logweight": pa.array(
+                    sums.astype(np.float64) / n.astype(np.float64) / _LM_FP,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return empty
+    return pa.concat_tables(tbls).sort_by([("doc_id", "ascending")])

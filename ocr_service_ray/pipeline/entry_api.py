@@ -1220,6 +1220,12 @@ def queries() -> dict:
         # cross-doc novelty: fraction of a doc's bigrams unique in the
         # corpus (join-free min-doc attribution of count-1 bigrams)
         "doc_bigram_novelty": lambda sf: text_analysis.doc_bigram_novelty(sf),
+        # CCNet-style bigram-LM perplexity quality scores (fixed-point
+        # int64 log-prob sums -> order-free and SQL-hash-exact)
+        "lm_doc_scores": lambda sf: text_analysis.lm_doc_scores(sf),
+        # DSIR importance-resampling log-weights toward the lang='en'
+        # target slice (Xie et al. 2023), same fixed-point contract
+        "dsir_weights": lambda sf: text_analysis.dsir_weights(sf),
         # FastSS fuzzy-join: word-type pairs within edit distance 2 via
         # deletion-neighborhood blocking + exact banded-DP verify
         "fuzzy_token_pairs": lambda sf: text_analysis.fuzzy_token_pairs(sf),
@@ -2686,6 +2692,36 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique, "
             "CAST(COALESCE(u.n_unique, 0) AS DOUBLE) / t.n_bigrams AS novelty "
             "FROM tot t LEFT JOIN u ON t.doc_id = u.doc_id ORDER BY t.doc_id"
+        ),
+        # CCNet-style bigram-LM quality scores: the fixed-point (2^20)
+        # per-bigram log-prob is quantized from the SAME IEEE double
+        # both sides (math.log == DuckDB ln, pinned by a grid test), so
+        # the integer per-doc sums hash-verify exactly
+        "lm_doc_scores": (
+            "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), g AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2 AND words[1] <> ''), "
+            "b AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2, words[i] || ' ' || words[i+1] AS bg FROM g), "
+            "cb AS (SELECT bg, min(w1) AS w1, count(*) AS cbg FROM b GROUP BY 1), "
+            "cl AS (SELECT w1, count(*) AS c FROM b GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w2) AS vv FROM b), "
+            "contrib AS (SELECT cb.bg, CAST(floor(ln(CAST(cb.cbg + 1 AS DOUBLE) / CAST(cl.c + v.vv AS DOUBLE)) * 1048576.0) AS BIGINT) AS fp FROM cb JOIN cl USING (w1) CROSS JOIN v) "
+            "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(c2.fp) AS BIGINT) AS logprob_fp, "
+            "CAST(sum(c2.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1048576.0 AS avg_logprob "
+            "FROM b JOIN contrib c2 USING (bg) GROUP BY 1 ORDER BY b.doc_id"
+        ),
+        # DSIR (Xie et al. 2023) importance log-weights: same
+        # fixed-point quantization contract, unigram grain, target =
+        # the lang='en' slice
+        "dsir_weights": (
+            "WITH w AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), "
+            "u AS (SELECT doc_id, lang, unnest(words) AS wd FROM w WHERE len(words) >= 1 AND words[1] <> ''), "
+            "cr AS (SELECT wd, count(*) AS c_raw, count(*) FILTER (WHERE lang = 'en') AS c_tgt FROM u GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS nr, CAST(sum(c_tgt) AS BIGINT) AS nt, count(*) AS vv FROM cr), "
+            "contrib AS (SELECT cr.wd, CAST(floor((ln(CAST(cr.c_tgt + 1 AS DOUBLE) / CAST(tot.nt + tot.vv AS DOUBLE)) - ln(CAST(cr.c_raw + 1 AS DOUBLE) / CAST(tot.nr + tot.vv AS DOUBLE))) * 1048576.0) AS BIGINT) AS fp FROM cr CROSS JOIN tot) "
+            "SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(c.fp) AS BIGINT) AS logweight_fp, "
+            "CAST(sum(c.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1048576.0 AS avg_logweight "
+            "FROM u JOIN contrib c ON u.wd = c.wd GROUP BY 1 ORDER BY u.doc_id"
         ),
         # DuckDB replicates every CM cell load and the row-min exactly
         # (md5_number_lower(word#j) % 1024 both sides)

@@ -3287,3 +3287,176 @@ class TestShuffleShards:
             if ids != sorted(ids):
                 scrambled += 1
         assert scrambled == len(got["shard"].unique())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLmQualityOps:
+    """lm_doc_scores (CCNet bigram-LM quality) + dsir_weights (DSIR
+    importance log-weights): the libm==DuckDB ln parity pin that the
+    fixed-point contract rests on, a pure-Python naive reference, and
+    the DuckDB oracle on adversarial fixtures."""
+
+    TEXTS = [
+        "",                                # no words
+        "solo",                            # 1 word -> no bigram
+        "a b",                             # single bigram
+        "a a a a",                         # repeated-bigram doc
+        "x Y  z\t x y Z",                  # ws collapse + case fold
+        "the quick brown fox " * 5,        # boilerplate repeats
+        "é€ βγ δδ é€ βγ",                  # multibyte
+        "b a b c b a",                     # shared-left-word fanout
+    ]
+    LANGS = ["en", "de", "en", "fr", "en", "de", "zh", "en"]
+
+    def _write_docs(self, tmp_path, texts, langs=None):
+        import pyarrow.parquet as pq
+
+        cols = {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+        if langs is not None:
+            cols["lang"] = pa.array(langs, pa.string())
+        pq.write_table(pa.table(cols), str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def _oracle(self, sf, name):
+        from ocr_service_ray.pipeline import entry_api
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        return con.execute(entry_api.oracle_sql()[name]).df()
+
+    def test_ln_parity_libm_vs_duckdb(self):
+        """The load-bearing assumption: math.log (libm) is bit-identical
+        to DuckDB's ln() for every double we feed it. numpy's vectorized
+        np.log is NOT (1-ulp drift) — which is exactly why the operators
+        quantize with math.log."""
+        import math
+
+        rng = np.random.default_rng(42)
+        num = rng.integers(1, 10**7, 50000)
+        den = rng.integers(1, 10**7, 50000)
+        p = num.astype(np.float64) / den.astype(np.float64)
+        con = duckdb.connect()
+        con.register("t", pa.table({"p": p}))
+        duck = con.sql("SELECT ln(p) AS l FROM t").fetchnumpy()["l"]
+        ours = np.fromiter((math.log(x) for x in p), np.float64, count=len(p))
+        assert np.array_equal(ours, duck)
+
+    @staticmethod
+    def _naive_lm(texts):
+        import math
+        from collections import Counter
+
+        from ocr_service_ray.analytics.hashing import split_words
+
+        bg = Counter()
+        for t in texts:
+            ws = split_words(t)
+            bg.update(zip(ws, ws[1:]))
+        cl = Counter()
+        for (w1, _), c in bg.items():
+            cl[w1] += c
+        v = len({w2 for (_, w2) in bg})
+        rows = {}
+        for d, t in enumerate(texts):
+            ws = split_words(t)
+            grams = list(zip(ws, ws[1:]))
+            if not grams:
+                continue
+            s = sum(
+                math.floor(math.log((bg[g] + 1) / (cl[g[0]] + v)) * 1048576)
+                for g in grams
+            )
+            rows[d] = (len(grams), s, s / len(grams) / 1048576.0)
+        return rows
+
+    def test_lm_doc_scores_naive_and_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import lm_doc_scores
+
+        sf = self._write_docs(tmp_path, self.TEXTS)
+        got = lm_doc_scores(sf).to_pandas()
+        want = self._naive_lm(self.TEXTS)
+        assert list(got["doc_id"]) == sorted(want)
+        for _, r in got.iterrows():
+            n, s, avg = want[r["doc_id"]]
+            assert (r["n_bigrams"], r["logprob_fp"]) == (n, s)
+            assert r["avg_logprob"] == avg
+        oracle = self._oracle(sf, "lm_doc_scores")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
+        # the repeated-boilerplate doc must outscore the one-off docs
+        by_id = dict(zip(got["doc_id"], got["avg_logprob"]))
+        assert by_id[5] > by_id[2]
+
+    @staticmethod
+    def _naive_dsir(texts, langs, target="en"):
+        import math
+        from collections import Counter
+
+        from ocr_service_ray.analytics.hashing import split_words
+
+        raw, tgt = Counter(), Counter()
+        for t, lang in zip(texts, langs):
+            ws = split_words(t)
+            raw.update(ws)
+            if lang == target:
+                tgt.update(ws)
+        v = len(raw)
+        nr = sum(raw.values())
+        nt = sum(tgt.values())
+        rows = {}
+        for d, t in enumerate(texts):
+            ws = split_words(t)
+            if not ws:
+                continue
+            s = sum(
+                math.floor(
+                    (math.log((tgt[w] + 1) / (nt + v))
+                     - math.log((raw[w] + 1) / (nr + v))) * 1048576
+                )
+                for w in ws
+            )
+            rows[d] = (len(ws), s, s / len(ws) / 1048576.0)
+        return rows
+
+    def test_dsir_weights_naive_and_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import dsir_weights
+
+        sf = self._write_docs(tmp_path, self.TEXTS, self.LANGS)
+        got = dsir_weights(sf).to_pandas()
+        want = self._naive_dsir(self.TEXTS, self.LANGS)
+        assert list(got["doc_id"]) == sorted(want)
+        for _, r in got.iterrows():
+            n, s, avg = want[r["doc_id"]]
+            assert (r["n_tokens"], r["logweight_fp"]) == (n, s)
+            assert r["avg_logweight"] == avg
+        oracle = self._oracle(sf, "dsir_weights")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
+        # an English-marked doc's words weight ABOVE a never-English word
+        # ("the quick brown fox" appears only in lang=de doc 5 -> its
+        # tokens are downweighted vs doc 2's English-slice tokens)
+        by_id = dict(zip(got["doc_id"], got["avg_logweight"]))
+        assert by_id[2] > by_id[5]
+
+    def test_dsir_no_target_docs(self, tmp_path):
+        """Target slice empty: pt = 1/V for every word, still exact."""
+        from ocr_service_ray.analytics.text_analysis import dsir_weights
+
+        texts = ["aa bb cc", "bb cc dd", "aa aa"]
+        sf = self._write_docs(tmp_path, texts, ["de", "fr", "zh"])
+        got = dsir_weights(sf).to_pandas()
+        want = self._naive_dsir(texts, ["de", "fr", "zh"])
+        for _, r in got.iterrows():
+            n, s, avg = want[r["doc_id"]]
+            assert (r["n_tokens"], r["logweight_fp"]) == (n, s)
+        oracle = self._oracle(sf, "dsir_weights")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )

@@ -144,7 +144,7 @@ DOC_QUERIES = [
     "top_docs_by_words", "snapshot_set_ops", "cross_snapshot_dupes",
     "minhash_pairs", "ngram_jaccard", "containment_pairs", "simhash_pairs",
     "cross_snapshot_neardup_idx",
-    "rare_token_scores",
+    "rare_token_scores", "lm_doc_scores", "dsir_weights",
     "repetition_scores", "bigram_counts", "doc_bigram_novelty", "singleton_docs", "dataset_splits",
     "leakage_safe_splits",
     "packed_sequences",
