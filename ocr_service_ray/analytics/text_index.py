@@ -223,6 +223,277 @@ def text_search(
     )
 
 
+def _build_tf_index(sf_dir: str, n_buckets: int) -> str:
+    """tf postings beside the boolean index (build-once per corpus):
+    hive bucket-partitioned (term, doc_id, tf) rows, bucket =
+    md5(term) % n_buckets. Serves ranked_text_search and bm25_search."""
+    from .hashing import md5_hash_tokens
+    from .text_analysis import _TERM
+
+    root = _index_root(sf_dir, n_buckets) + "-tf"
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ts: list[str] = []
+        ds_: list[int] = []
+        tf: list[int] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = _TERM.findall((text or "").lower())
+            if not words:
+                continue
+            u, c = np.unique(np.asarray(words, dtype=object), return_counts=True)
+            ts.extend(u.tolist())
+            ds_.extend([did] * len(u))
+            tf.extend(c.astype(np.int64).tolist())
+        if not ts:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int32()),
+                }
+            )
+        b = (md5_hash_tokens(ts) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "term": pa.array(ts, pa.string()),
+                "doc_id": pa.array(ds_, pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(postings, batch_format="pyarrow").write_parquet(
+        root, partition_cols=["bucket"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _build_norms(sf_dir: str, n_buckets: int) -> str:
+    """Doc-length sidecar (the Lucene "norms" file of this index):
+    (doc_id, len) bucketed by doc_id % n_buckets for pruned per-doc
+    lookup, plus a _STATS json with (n_docs, total_tokens) over docs
+    with >= 1 token — the corpus constants BM25 needs."""
+    import json
+
+    from .text_analysis import _TERM
+
+    root = _index_root(sf_dir, n_buckets) + "-norms"
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+
+    def lens(batch: pa.Table) -> pa.Table:
+        ds_: list[int] = []
+        ln: list[int] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            n = len(_TERM.findall((text or "").lower()))
+            if n:
+                ds_.append(did)
+                ln.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_, pa.int64()),
+                "len": pa.array(ln, pa.int64()),
+                "bucket": pa.array(
+                    (np.asarray(ds_, np.int64) % n_buckets).astype(np.int32)
+                    if ds_
+                    else np.array([], np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lens, batch_format="pyarrow").write_parquet(
+        root, partition_cols=["bucket"]
+    )
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column("len").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(arr)], pa.int64()),
+                "total": pa.array([int(arr.sum())], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(root, columns=["len"])
+            .map_batches(stats_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    n_docs = sum(int(x) for t in parts for x in t.column("n").to_pylist())
+    total = sum(int(x) for t in parts for x in t.column("total").to_pylist())
+    with open(os.path.join(root, "_STATS"), "w") as f:
+        json.dump({"n_docs": n_docs, "total_tokens": total}, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def bm25_search(
+    sf_dir: str,
+    terms: list[str] | None = None,
+    n_buckets: int = 16,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> pa.Table:
+    """Full BM25 ranked retrieval (Robertson/Lucene variant, k1=1.2,
+    b=0.75) over the pruned tf index + norms sidecar:
+
+        score(d) = sum over query terms t with tf_td > 0 of
+          ln((N - df_t + 0.5)/(df_t + 0.5) + 1) * tf_td*(k1+1)
+            / (tf_td + k1*(1 - b + b*len_d/avglen))
+
+    ranked desc (ties -> doc_id asc), top ``top_k``. With ``terms=None``
+    the query is the data-derived "3 rarest terms with >= min_count
+    occurrences" (ties -> term asc; deterministic on any corpus, SQL
+    mirrors the derivation).
+
+    Exactness (what ranked_text_search's docstring deferred): every
+    per-(doc, term) BM25 contribution is quantized ONCE to int64 fixed
+    point — floor(score_td * 2^20) — computed from the identical IEEE
+    double expression on both sides (math.log == DuckDB ln, the
+    lm_doc_scores contract), so per-doc integer sums, the ranking and
+    the surfaced double score all hash-verify against the SQL oracle.
+
+    Distributed shape: query-bucket PRUNED READ of tf postings (df_t =
+    posting count, exact) + pruned norms lookup for the hit docs only;
+    N/avglen come from the build-time _STATS constants. Rare-term
+    postings bound the merged state; for frequent terms swap the tail
+    for ranked_text_search's distributed (doc, tf) groupby + per-block
+    top-k — same plan, contributions instead of raw tf.
+    """
+    import json
+    import math
+
+    from .hashing import md5_hash_tokens
+
+    if terms is None:
+        terms = _top_query_terms(sf_dir, 3, min_count)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "score_fp": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if not terms:
+        return empty
+    root = _build_tf_index(sf_dir, n_buckets)
+    norms_root = _build_norms(sf_dir, n_buckets)
+    with open(os.path.join(norms_root, "_STATS")) as f:
+        stats = json.load(f)
+    n_docs, total = int(stats["n_docs"]), int(stats["total_tokens"])
+    if n_docs == 0:
+        return empty
+    need = sorted(
+        {int(h % np.uint64(n_buckets)) for h in md5_hash_tokens(list(terms))}
+    )
+    paths = [
+        f
+        for b in need
+        for f in sorted(glob.glob(os.path.join(root, f"bucket={b}", "*.parquet")))
+    ]
+    if not paths:
+        return empty
+    term_set = set(terms)
+
+    def hit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        mask = pa.array([t in term_set for t in batch.column("term").to_pylist()])
+        return batch.filter(mask).select(["term", "doc_id", "tf"])
+
+    hits_tbls = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(paths, columns=["term", "doc_id", "tf"])
+            .map_batches(hit, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not hits_tbls:
+        return empty
+    hits = pa.concat_tables(hits_tbls)
+    h_terms = np.asarray(hits.column("term").to_pylist(), dtype=object)
+    h_docs = hits.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    h_tf = hits.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    # df per term: each posting row is a distinct (term, doc) pair
+    ut, t_inv = np.unique(h_terms, return_inverse=True)
+    df = np.bincount(t_inv, minlength=len(ut)).astype(np.int64)
+    # pruned norms lookup for the hit docs only
+    hit_doc_set = np.unique(h_docs)
+    nbuckets_needed = sorted({int(d % n_buckets) for d in hit_doc_set})
+    npaths = [
+        f
+        for b in nbuckets_needed
+        for f in sorted(
+            glob.glob(os.path.join(norms_root, f"bucket={b}", "*.parquet"))
+        )
+    ]
+    import pyarrow.parquet as pq
+
+    lens_map: dict[int, int] = {}
+    want = set(int(d) for d in hit_doc_set)
+    for p in npaths:
+        t = pq.read_table(p, columns=["doc_id", "len"])
+        for d, ln in zip(t.column("doc_id").to_pylist(), t.column("len").to_pylist()):
+            if d in want:
+                lens_map[d] = ln
+    avglen = float(total) / float(n_docs)
+    # quantize each (doc, term) contribution: the identical IEEE chain
+    # ln(idf_arg) * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*len/avglen)) * 2^20
+    fp = np.empty(len(h_docs), np.int64)
+    for i in range(len(h_docs)):
+        dfi = int(df[t_inv[i]])
+        tfi = float(h_tf[i])
+        idf = math.log(((n_docs - dfi) + 0.5) / (dfi + 0.5) + 1.0)
+        denom = tfi + 1.2 * (0.25 + 0.75 * float(lens_map[int(h_docs[i])]) / avglen)
+        fp[i] = math.floor(idf * (tfi * 2.2) / denom * 1048576.0)
+    uids, d_inv = np.unique(h_docs, return_inverse=True)
+    score_fp = np.zeros(len(uids), np.int64)
+    np.add.at(score_fp, d_inv, fp)
+    order = np.lexsort((uids, -score_fp))[:top_k]
+    return pa.table(
+        {
+            "doc_id": pa.array(uids[order], pa.int64()),
+            "score_fp": pa.array(score_fp[order], pa.int64()),
+            "score": pa.array(
+                score_fp[order].astype(np.float64) / 1048576.0, pa.float64()
+            ),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
 def ranked_text_search(
     sf_dir: str,
     terms: list[str] | None = None,
@@ -244,7 +515,6 @@ def ranked_text_search(
     distributed-top-k tail (per-block local top-k + driver merge).
     """
     from .hashing import md5_hash_tokens
-    from .text_analysis import _TERM
 
     if terms is None:
         terms = _top_query_terms(sf_dir, 2, min_count)
@@ -257,53 +527,7 @@ def ranked_text_search(
     )
     if not terms:
         return empty
-    # tf postings live beside the boolean index: rebuild-once per corpus
-    root = _index_root(sf_dir, n_buckets) + "-tf"
-    marker = os.path.join(root, "_BUILT")
-    if not os.path.exists(marker):
-        shutil.rmtree(root, ignore_errors=True)
-
-        def postings(batch: pa.Table) -> pa.Table:
-            ts: list[str] = []
-            ds_: list[int] = []
-            tf: list[int] = []
-            for did, text in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-            ):
-                words = _TERM.findall((text or "").lower())
-                if not words:
-                    continue
-                u, c = np.unique(np.asarray(words, dtype=object), return_counts=True)
-                ts.extend(u.tolist())
-                ds_.extend([did] * len(u))
-                tf.extend(c.astype(np.int64).tolist())
-            if not ts:
-                return pa.table(
-                    {
-                        "term": pa.array([], pa.string()),
-                        "doc_id": pa.array([], pa.int64()),
-                        "tf": pa.array([], pa.int64()),
-                        "bucket": pa.array([], pa.int32()),
-                    }
-                )
-            b = (md5_hash_tokens(ts) % np.uint64(n_buckets)).astype(np.int32)
-            return pa.table(
-                {
-                    "term": pa.array(ts, pa.string()),
-                    "doc_id": pa.array(ds_, pa.int64()),
-                    "tf": pa.array(tf, pa.int64()),
-                    "bucket": pa.array(b, pa.int32()),
-                }
-            )
-
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).map_batches(postings, batch_format="pyarrow").write_parquet(
-            root, partition_cols=["bucket"]
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-
+    root = _build_tf_index(sf_dir, n_buckets)
     need = sorted(
         {int(h % np.uint64(n_buckets)) for h in md5_hash_tokens(list(terms))}
     )

@@ -1020,6 +1020,12 @@ def _q_ranked_text_search(sf_dir: str):
     return ranked_text_search(sf_dir)
 
 
+def _q_bm25_search(sf_dir: str):
+    from ..analytics.text_index import bm25_search
+
+    return bm25_search(sf_dir)
+
+
 def queries() -> dict:
     from ..analytics import dedup, relational, similarity, text_analysis, windows
 
@@ -1166,6 +1172,9 @@ def queries() -> dict:
         "text_search": _q_text_search,
         # ranked OR retrieval (total-tf desc) over the tf posting index
         "ranked_text_search": _q_ranked_text_search,
+        # full BM25 (k1=1.2, b=0.75) over the pruned tf index + norms
+        # sidecar; fixed-point contributions make it hash-exact
+        "bm25_search": _q_bm25_search,
         # deterministic ~90/5/5 train/val/test split + per-source rollup
         "dataset_splits": lambda sf: relational.dataset_splits(sf),
         # eval hygiene: splits keyed by near-dup cluster rep so whole
@@ -2858,6 +2867,32 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "HAVING count(*) = (SELECT count(*) FROM top2) ORDER BY doc_id"
         ),
         # OR-retrieval ranked by total tf of the derived query terms
+        # BM25: every per-(doc,term) contribution is floor(<identical
+        # IEEE double chain>*2^20) -> integer per-doc sums, exact rank
+        "bm25_search": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1 "
+            "HAVING count(*) >= 5), "
+            "topq AS (SELECT term FROM cnt ORDER BY n ASC, term ASC LIMIT 3), "
+            "lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1), "
+            "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len) AS BIGINT) AS total FROM lens), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok JOIN topq USING (term) GROUP BY 1, 2), "
+            "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+            "contrib AS (SELECT tf.doc_id, CAST(floor("
+            "ln((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0) "
+            "* (CAST(tf.tf AS DOUBLE) * 2.2) "
+            "/ (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(lens.len AS DOUBLE) "
+            "/ (CAST(stats.total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) "
+            "* 1048576.0) AS BIGINT) AS fp "
+            "FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats) "
+            "SELECT doc_id, CAST(sum(fp) AS BIGINT) AS score_fp, "
+            "CAST(sum(fp) AS DOUBLE) / 1048576.0 AS score, "
+            "CAST(row_number() OVER (ORDER BY sum(fp) DESC, doc_id) AS BIGINT) AS rank "
+            "FROM contrib GROUP BY 1 QUALIFY rank <= 20 ORDER BY rank"
+        ),
         "ranked_text_search": (
             "WITH tok AS (SELECT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "

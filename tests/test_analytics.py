@@ -155,7 +155,8 @@ class TestOracleEquivalence:
          "source_lang_cube", "embedding_drift", "containment_pairs",
          "lang_mismatch", "table_checksum", "leakage_safe_splits",
          "phrase_search", "vocab_coverage", "dataset_card",
-         "curation_rates_by_source"],
+         "curation_rates_by_source", "lm_doc_scores", "dsir_weights",
+         "bm25_search"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -3460,3 +3461,90 @@ class TestLmQualityOps:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), oracle.reset_index(drop=True)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25Search:
+    """Full BM25 over the pruned index: pure-Python naive reference,
+    the DuckDB oracle, and ranking sanity on a crafted fixture."""
+
+    @staticmethod
+    def _naive(texts, min_count=5, top_k=20):
+        import math
+        import re
+        from collections import Counter
+
+        term_re = re.compile(r"[a-z0-9]+")
+        toks = [term_re.findall((t or "").lower()) for t in texts]
+        cnt = Counter(w for ws in toks for w in ws)
+        q = sorted(
+            (w for w, c in cnt.items() if c >= min_count),
+            key=lambda w: (cnt[w], w),
+        )[:3]
+        lens = {d: len(ws) for d, ws in enumerate(toks) if ws}
+        n_docs = len(lens)
+        total = sum(lens.values())
+        if not q or not n_docs:
+            return []
+        avglen = float(total) / float(n_docs)
+        df = {t: sum(1 for ws in toks if t in ws) for t in q}
+        scores: dict[int, int] = {}
+        for d, ws in enumerate(toks):
+            c = Counter(ws)
+            s = 0
+            for t in q:
+                tf = c.get(t, 0)
+                if not tf:
+                    continue
+                idf = math.log(((n_docs - df[t]) + 0.5) / (df[t] + 0.5) + 1.0)
+                denom = float(tf) + 1.2 * (0.25 + 0.75 * float(lens[d]) / avglen)
+                s += math.floor(idf * (float(tf) * 2.2) / denom * 1048576.0)
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        return [
+            (d, s, s / 1048576.0, r + 1) for r, (d, s) in enumerate(ranked)
+        ]
+
+    def test_naive_reference_and_oracle(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_index import bm25_search
+        from ocr_service_ray.pipeline import entry_api
+
+        # rare terms "qq"/"ww"/"zz" (5 occurrences each) in docs of very
+        # different lengths -> length normalization must reorder them
+        texts = (
+            ["qq " * 5 + "filler " * 200]          # long doc, tf=5
+            + ["qq ww zz pad"]                      # short doc, tf=1 each
+            + ["ww " * 4 + "mid " * 30]             # medium, tf=4
+            + ["zz zz zz zz pad pad"]               # short, tf=4
+            + ["pad filler mid common " * 10] * 4   # background docs
+        )
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        sf = str(tmp_path)
+        got = bm25_search(sf).to_pandas()
+        want = self._naive(texts)
+        assert (
+            list(map(tuple, got[["doc_id", "score_fp", "score", "rank"]]
+                     .itertuples(index=False)))
+            == want
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        oracle = con.execute(entry_api.oracle_sql()["bm25_search"]).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
+        # sanity: the short doc hitting all three rare terms must beat
+        # the long doc with one inflated tf (idf+length normalization)
+        r = dict(zip(got["doc_id"], got["rank"]))
+        assert r[1] < r[0]
