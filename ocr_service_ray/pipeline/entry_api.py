@@ -565,6 +565,29 @@ def q_doc_status(sf_dir: str) -> pa.Table:
     return tbl.sort_by([("doc_id", "ascending")])
 
 
+def q_doc_status_class(sf_dir: str) -> pa.Table:
+    """Classification + message projection of ``doc_status``, SQL-oracled
+    against the generator span-truth sidecar: tipo_documento is the
+    reference keyword classifier (app/ocr_engine.py:162-163) over the
+    doc's text spans in offset order, mensagem the error-span counter —
+    both derivable from the EXPECTED span sequences, so the oracle
+    replays the classify semantics in SQL over generator truth.
+    ``confianca`` stays in the gate-verified q_doc_status: mean
+    recognizer confidence has no generator-independent ground truth."""
+    scale = scale_for(sf_dir)
+    _, out = run_span_pipeline(scale)
+    _ensure_span_truth(scale)
+    tables = []
+    for p in storage.list_parts(out):
+        tables.append(
+            storage.read_part(out, p, columns=["doc_id", "tipo_documento", "mensagem"])
+        )
+    tbl = pa.concat_tables(tables)
+    msg = pc.fill_null(tbl.column("mensagem"), "")
+    tbl = tbl.set_column(tbl.schema.get_field_index("mensagem"), "mensagem", msg)
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
 def q_html_totals(sf_dir: str) -> pa.Table:
     """HTML spans -> per-span (data_compra, total_nota) extraction
     (app/nfce_parser.py:81-95 semantics via stages/html_extract.py).
@@ -1038,6 +1061,7 @@ def queries() -> dict:
         "html_item_values": q_html_item_values,
         "html_totals": q_html_totals,
         "doc_status": q_doc_status,
+        "doc_status_class": q_doc_status_class,
         "qrcode_urls": q_qrcode_urls,
         "multimodal_features": q_multimodal_features,
         "multimodal_segments": q_multimodal_segments,
@@ -1555,6 +1579,27 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         "skew_metrics": (
             "SELECT part_id, n_docs, n_spans, n_errors "
             f"FROM '{sp['skew_metrics']}' ORDER BY part_id"
+        ),
+        # the reference keyword classifier + error-message rule replayed
+        # in SQL over the EXPECTED span sequences (offset-ordered join of
+        # text spans, keyword containment, erro-span counter)
+        "doc_status_class": (
+            "WITH d AS (SELECT doc_id, "
+            "count(*) FILTER (WHERE kind = 'text') AS n_text, "
+            "count(*) FILTER (WHERE kind = 'erro') AS n_err, "
+            "lower(coalesce(string_agg(text, chr(10) ORDER BY \"offset\") "
+            "FILTER (WHERE kind = 'text'), '')) AS low "
+            f"FROM '{sp['spans']}' GROUP BY doc_id) "
+            "SELECT doc_id, "
+            "CASE WHEN n_text = 0 THEN 'erro' "
+            "WHEN contains(low, 'recebido') OR contains(low, 'pix recebido') "
+            "OR contains(low, 'crédito em conta') OR contains(low, 'depósito') "
+            "OR contains(low, 'recibo') THEN 'venda' ELSE 'gasto' END "
+            "AS tipo_documento, "
+            "CASE WHEN n_text = 0 THEN 'Nenhuma linha OCR encontrada' "
+            "WHEN n_err > 0 THEN CAST(n_err AS VARCHAR) || ' spans com erro' "
+            "ELSE '' END AS mensagem "
+            "FROM d ORDER BY doc_id"
         ),
         "html_item_values": (
             'SELECT doc_id, "offset", item_idx, codigo, quantidade, '

@@ -3112,6 +3112,7 @@ class TestGeneratorTruthOracleBootstrap:
             ("receipt_items", 10), ("html_totals", 10),
             ("html_item_values", 10), ("skew_metrics", 2),
             ("multimodal_features", 50), ("multimodal_segments", 50),
+            ("doc_status_class", 100),
         ):
             df = con.execute(oracles[name]).df()
             assert len(df) >= min_rows, (name, len(df))
@@ -3548,3 +3549,84 @@ class TestBm25Search:
         # the long doc with one inflated tf (idf+length normalization)
         r = dict(zip(got["doc_id"], got["rank"]))
         assert r[1] < r[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocStatusClass:
+    """doc_status_class: the oracled classification/message projection of
+    doc_status (confianca stays gate-verified). The corpus never emits
+    'venda', so the SQL keyword branch gets a crafted parity fixture
+    (incl. unicode-lowercase keywords)."""
+
+    def test_query_matches_oracle_tiny(self):
+        import duckdb as dk
+
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        got = ea.q_doc_status_class(SF).to_pandas()
+        want = dk.connect().execute(
+            ea.oracle_sql(SF)["doc_status_class"]
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+        assert len(got) and set(got["tipo_documento"]) <= {"gasto", "venda", "erro"}
+
+    def test_sql_classifier_parity_on_crafted_spans(self, tmp_path):
+        import duckdb as dk
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.ops.textops import classify_document
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        rows = [
+            # doc, offset, kind, text
+            ("d0", 0, "text", "COMPRA NO MERCADO"),          # gasto
+            ("d1", 0, "text", "PIX RECEBIDO DE FULANO"),      # venda
+            ("d2", 0, "text", "CRÉDITO EM CONTA corrente"),   # venda (unicode lower)
+            ("d3", 0, "text", "Depósito efetuado"),           # venda (accented)
+            ("d4", 0, "erro", ""),                            # no text -> erro
+            ("d5", 0, "text", "linha ok"),                    # mixed: gasto + err count
+            ("d5", 1, "erro", ""),
+            ("d5", 2, "erro", ""),
+            ("d6", 0, "text", "RECI"),                        # keyword split across
+            ("d6", 1, "text", "BO"),                          # spans must NOT match
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.string()),
+                "offset": pa.array([r[1] for r in rows], pa.int32()),
+                "kind": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "media_ref": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        p = str(tmp_path / "spans.parquet")
+        pq.write_table(tbl, p)
+        sp = {k: p for k in ea._SPAN_TRUTH_KEYS}
+        mm = {"multimodal_features": "", "multimodal_segments": ""}
+        sql = ea._oracle_queries(sp, mm)["doc_status_class"]
+        got = dk.connect().execute(sql).df()
+        # pure-Python replay of the writer's status rule
+        want = {}
+        for d in ["d0", "d1", "d2", "d3", "d4", "d5", "d6"]:
+            spans = [r for r in rows if r[0] == d]
+            texts = [r[3] for r in spans if r[2] == "text"]
+            n_err = sum(1 for r in spans if r[2] == "erro")
+            if not texts:
+                want[d] = ("erro", "Nenhuma linha OCR encontrada")
+            else:
+                want[d] = (
+                    classify_document("\n".join(texts)),
+                    f"{n_err} spans com erro" if n_err else "",
+                )
+        assert {
+            r["doc_id"]: (r["tipo_documento"], r["mensagem"])
+            for _, r in got.iterrows()
+        } == want
+        # the crafted corpus exercises every branch
+        assert want["d1"][0] == "venda" and want["d2"][0] == "venda"
+        assert want["d3"][0] == "venda" and want["d0"][0] == "gasto"
+        assert want["d4"] == ("erro", "Nenhuma linha OCR encontrada")
+        assert want["d5"][1] == "2 spans com erro"
+        assert want["d6"][0] == "gasto"
