@@ -275,6 +275,9 @@ def run_queries(num_cpus: int) -> dict:
             "curation_rates_by_source": lambda: curation.curation_rates_by_source(sf_dir()),
             "doc_bigram_novelty": lambda: text_analysis.doc_bigram_novelty(sf_dir()),
             "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir()),
+            "entropy_scores": lambda: text_analysis.entropy_scores(sf_dir()),
+            "source_divergence": lambda: text_analysis.source_divergence(sf_dir()),
+            "late_event_counts": lambda: windows.late_event_counts(sf_dir()),
         }.items():
             served_from_memo = _memo_probe(name, sf_dir())
             t0 = time.perf_counter()

@@ -2307,3 +2307,232 @@ def dsir_weights(sf_dir: str, target_lang: str = "en") -> pa.Table:
     if not tbls:
         return empty
     return pa.concat_tables(tbls).sort_by([("doc_id", "ascending")])
+
+
+def entropy_scores(sf_dir: str) -> pa.Table:
+    """Per-document word-entropy quality signal (the token-diversity
+    member of the Gopher-rule family, next to ``repetition_scores``
+    (bigram repetition) and ``compression_ratios`` (zlib)): Shannon
+    entropy of the document's unigram distribution,
+
+        H(doc) = ln(n) - (sum over distinct words of c*ln(c)) / n
+
+    in nats. Template/boilerplate spam (few distinct words repeated)
+    scores near 0; diverse prose approaches ln(n_distinct). Both tails
+    are standard curation cut points.
+
+    Exactness: each distinct count's ln(c) is quantized ONCE to int64
+    fixed point (floor(ln(c) * 2^20) — the lm_doc_scores contract), so
+    the per-doc reduction sum(c * fp(c)) is an integer and the final
+    entropy is ONE identical IEEE expression both sides
+    (ln(n) - S/n/2^20). Docs with zero words are excluded (no
+    distribution to score), mirrored by the oracle's words[1] <> ''.
+
+    Ray shape: stateless vectorized map — NO shuffle and no corpus
+    state at all (entropy is per-doc). Per batch: one tokenize pass,
+    np.unique word-ids, a (doc_idx * n_vocab + word_id) combined-key
+    np.unique for per-doc counts, memoized math.log per DISTINCT count
+    value (Zipf collapses these to a handful), np.add.at per-doc sums.
+    """
+    import math
+
+    import ray
+
+    from .hashing import split_words
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "clnc_fp": pa.array([], pa.int64()),
+            "entropy": pa.array([], pa.float64()),
+        }
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        words: list[str] = []
+        lens: list[int] = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = split_words(text)
+            if not ws:
+                continue
+            ids.append(doc_id)
+            lens.append(len(ws))
+            words.extend(ws)
+        if not ids:
+            return empty
+        flat = np.asarray(words, dtype=object)
+        _, word_id = np.unique(flat, return_inverse=True)
+        n_vocab = int(word_id.max()) + 1
+        doc_idx = np.repeat(
+            np.arange(len(ids), dtype=np.int64), np.asarray(lens, np.int64)
+        )
+        key = doc_idx * n_vocab + word_id
+        ukey, counts = np.unique(key, return_counts=True)
+        # fixed-point ln once per DISTINCT count value (math.log ==
+        # DuckDB ln bit-for-bit; the lm_doc_scores grid test covers it)
+        uc, cinv = np.unique(counts, return_inverse=True)
+        ufp = np.fromiter(
+            (math.floor(math.log(int(c)) * _LM_FP) for c in uc),
+            np.int64,
+            count=len(uc),
+        )
+        term = counts.astype(np.int64) * ufp[cinv]
+        sums = np.zeros(len(ids), np.int64)
+        np.add.at(sums, ukey // n_vocab, term)
+        # ln(n) through math.log per DISTINCT length (np.log is not
+        # pinned to libm; math.log == DuckDB ln is)
+        ln_arr = np.asarray(lens, np.int64)
+        ulen, linv = np.unique(ln_arr, return_inverse=True)
+        uln = np.fromiter(
+            (math.log(float(x)) for x in ulen), np.float64, count=len(ulen)
+        )
+        n = ln_arr.astype(np.float64)
+        ent = uln[linv] - sums.astype(np.float64) / n / _LM_FP
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "clnc_fp": pa.array(sums, pa.int64()),
+                "entropy": pa.array(ent, pa.float64()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return empty
+    return pa.concat_tables(tbls).sort_by([("doc_id", "ascending")])
+
+
+def source_divergence(sf_dir: str) -> pa.Table:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the domain-shift dashboard for mixture construction (which sources
+    look like the corpus average, which are outliers worth reweighting;
+    the measurement side of DSIR's importance weights):
+
+        KL(p_s || p) = sum over words of (c_sw/T_s) * ln((c_sw*T)/(T_s*c_w))
+
+    reported as the T_s-scaled integer sum kl_fp = sum c_sw * fp(...)
+    plus the derived kl double. No smoothing needed: every word of
+    source s has c_sw >= 1 and hence c_w >= 1.
+
+    Exactness: per-(source,word) contribution quantized once to int64
+    fixed point; the ln argument is the identical CAST-then-multiply
+    double chain both sides (float(c_sw)*float(T) / (float(T_s)*
+    float(c_w))), so integer sums hash-verify. kl = kl_fp/T_s/2^20,
+    one shared IEEE expression.
+
+    Ray shape: one (source\\x00word)-keyed groupby over in-batch
+    vectorized count partials (combined-key np.unique — the
+    entropy_scores kernel with source in place of doc); the reduced
+    per-source type table (Zipf-bounded per source) lands on the
+    driver, where word totals, source totals and the fixed-point terms
+    are derived and summed to ONE row per source. At web-scale vocab
+    the driver reduce swaps for a word-keyed join producing per-word
+    contributions plus a source-keyed sum (the distinctive_terms note).
+    kl_fp is int64; at 100-TB token counts the per-source sum should be
+    carried as python-int / HUGEINT (the table_checksum precedent).
+    """
+    import math
+
+    import ray
+
+    from .hashing import split_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        words: list[str] = []
+        lens: list[int] = []
+        for source, text in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = split_words(text)
+            if not ws:
+                continue
+            srcs.append(source)
+            lens.append(len(ws))
+            words.extend(ws)
+        if not srcs:
+            return pa.table(
+                {
+                    "sk": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.asarray(words, dtype=object)
+        uw, word_id = np.unique(flat, return_inverse=True)
+        usrc, src_row = np.unique(np.asarray(srcs, dtype=object), return_inverse=True)
+        src_idx = np.repeat(src_row, np.asarray(lens, np.int64))
+        key = src_idx.astype(np.int64) * len(uw) + word_id
+        ukey, counts = np.unique(key, return_counts=True)
+        s = usrc[ukey // len(uw)]
+        w = uw[ukey % len(uw)]
+        return pa.table(
+            {
+                "sk": pa.array([f"{a}\x00{b}" for a, b in zip(s, w)], pa.string()),
+                "source": pa.array(list(s), pa.string()),
+                "word": pa.array(list(w), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby("sk").sum("n")
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "kl_fp": pa.array([], pa.int64()),
+            "kl": pa.array([], pa.float64()),
+        }
+    )
+    if not tables:
+        return empty
+    tbl = pa.concat_tables(tables)
+    sk = tbl.column("sk").to_pylist()
+    c_sw = tbl.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+    srcs = np.asarray([k.split("\x00", 1)[0] for k in sk], dtype=object)
+    words = np.asarray([k.split("\x00", 1)[1] for k in sk], dtype=object)
+    usrc, sinv = np.unique(srcs, return_inverse=True)
+    t_s = np.zeros(len(usrc), np.int64)
+    np.add.at(t_s, sinv, c_sw)
+    uw, winv = np.unique(words, return_inverse=True)
+    c_w = np.zeros(len(uw), np.int64)
+    np.add.at(c_w, winv, c_sw)
+    t = int(c_sw.sum())
+    # fixed-point term per row; memoized per distinct (c_sw, T_s, c_w)
+    triple = np.stack([c_sw, t_s[sinv], c_w[winv]], axis=1)
+    utriple, tinv = np.unique(triple, axis=0, return_inverse=True)
+    ufp = np.fromiter(
+        (
+            math.floor(
+                math.log(float(a) * float(t) / (float(b) * float(c))) * _LM_FP
+            )
+            for a, b, c in utriple
+        ),
+        np.int64,
+        count=len(utriple),
+    )
+    term = c_sw * ufp[tinv]
+    kl_fp = np.zeros(len(usrc), np.int64)
+    np.add.at(kl_fp, sinv, term)
+    return pa.table(
+        {
+            "source": pa.array(list(usrc), pa.string()),
+            "n_tokens": pa.array(t_s, pa.int64()),
+            "kl_fp": pa.array(kl_fp, pa.int64()),
+            "kl": pa.array(
+                kl_fp.astype(np.float64) / t_s.astype(np.float64) / _LM_FP,
+                pa.float64(),
+            ),
+        }
+    ).sort_by([("source", "ascending")])

@@ -3275,3 +3275,98 @@ def time_to_conversion(sf_dir: str) -> pa.Table:
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
     tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows])
     return tbl.sort_by([("event_id", "ascending")])
+
+
+def late_event_counts(sf_dir: str, lateness_s: int = 600) -> pa.Table:
+    """Watermark accounting — the streaming late-data verb (Beam/Flink
+    semantics in batch form): replay the stream in ARRIVAL order
+    (event_id), carry a low watermark = max event-time seen so far
+    minus ``lateness_s`` of allowed lateness, and count per tumbling
+    day how many events arrived on time vs late (event-time behind the
+    watermark at arrival). The on-time/late split is what sizes state
+    retention and triggers/allowed-lateness policy for a real streaming
+    deployment of the same pipeline.
+
+    An event is late iff some STRICTLY earlier arrival carried an
+    event-time more than ``lateness_s`` ahead of it; the first arrival
+    is on time by definition (empty prefix, SQL wm IS NULL).
+
+    Ray shape (the value_ranks prefix discipline, specialized to a
+    prefix MAX): one event_id range-partition sort — the only
+    all-to-all — then a metadata-only per-block pass (each block's max
+    event-time, one scalar per block), an O(blocks) driver exclusive
+    prefix-max, and one vectorized task per block combining the carried
+    prefix with the in-block exclusive cummax and emitting (day, n_on_time,
+    n_late) count partials. Driver state is O(blocks + days); row data
+    never leaves the cluster.
+    """
+    import ray
+
+    us = np.int64(86_400_000_000)
+    late_us = np.int64(lateness_s) * 1_000_000
+    refs = _events(sf_dir, ["event_id", "ts"]).sort("event_id").to_arrow_refs()
+
+    @ray.remote
+    def block_max(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return int(ts.max())
+
+    maxes = ray.get([block_max.remote(r) for r in refs])
+    prefixes: list = []
+    run = None
+    for m in maxes:
+        prefixes.append(run)
+        if m is not None:
+            run = m if run is None else max(run, m)
+
+    @ray.remote
+    def partial(tbl: pa.Table, prefix) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "day_s": pa.array([], pa.int64()),
+                    "n_on_time": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                }
+            )
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # sentinel for "empty prefix": min//2 keeps wm - late_us
+        # representable (no int64 wrap), and no real event-time can be
+        # below it, so the first arrival reads on-time with no mask
+        lo = np.iinfo(np.int64).min // 2
+        first = lo if prefix is None else np.int64(prefix)
+        shifted = np.concatenate(([first], np.maximum.accumulate(ts)[:-1]))
+        wm = np.maximum(shifted, first)
+        late = ts < wm - late_us
+        day_s = ts // us * 86_400
+        key = day_s * 2 + late
+        ukey, counts = np.unique(key, return_counts=True)
+        days = ukey // 2
+        is_late = (ukey % 2).astype(bool)
+        udays = np.unique(days)
+        on_t = np.zeros(len(udays), np.int64)
+        lt = np.zeros(len(udays), np.int64)
+        pos = np.searchsorted(udays, days)
+        np.add.at(lt, pos[is_late], counts[is_late])
+        np.add.at(on_t, pos[~is_late], counts[~is_late])
+        return pa.table(
+            {
+                "day_s": pa.array(udays, pa.int64()),
+                "n_on_time": pa.array(on_t, pa.int64()),
+                "n_late": pa.array(lt, pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get([partial.remote(r, p) for r, p in zip(refs, prefixes)])
+    )
+    if parts.num_rows == 0:
+        return parts
+    g = pa.TableGroupBy(parts, "day_s").aggregate(
+        [("n_on_time", "sum"), ("n_late", "sum")]
+    )
+    return g.rename_columns(["day_s", "n_on_time", "n_late"]).sort_by(
+        [("day_s", "ascending")]
+    )

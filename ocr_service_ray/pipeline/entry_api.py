@@ -1259,6 +1259,15 @@ def queries() -> dict:
         # DSIR importance-resampling log-weights toward the lang='en'
         # target slice (Xie et al. 2023), same fixed-point contract
         "dsir_weights": lambda sf: text_analysis.dsir_weights(sf),
+        # per-doc word-entropy quality signal (Gopher-rule family),
+        # fixed-point c*ln(c) sums -> order-free and SQL-hash-exact
+        "entropy_scores": lambda sf: text_analysis.entropy_scores(sf),
+        # per-source unigram KL divergence from the corpus distribution
+        # (domain-shift dashboard; same fixed-point ln contract)
+        "source_divergence": lambda sf: text_analysis.source_divergence(sf),
+        # watermark accounting: arrival-order replay, on-time vs late
+        # per day (streaming allowed-lateness semantics in batch form)
+        "late_event_counts": lambda sf: windows.late_event_counts(sf),
         # FastSS fuzzy-join: word-type pairs within edit distance 2 via
         # deletion-neighborhood blocking + exact banded-DP verify
         "fuzzy_token_pairs": lambda sf: text_analysis.fuzzy_token_pairs(sf),
@@ -2776,6 +2785,46 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "CAST(sum(c.fp) AS BIGINT) AS logweight_fp, "
             "CAST(sum(c.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1048576.0 AS avg_logweight "
             "FROM u JOIN contrib c ON u.wd = c.wd GROUP BY 1 ORDER BY u.doc_id"
+        ),
+        # per-doc Shannon word entropy: fixed-point c*ln(c) integer sums
+        # (order-free), final entropy is one shared IEEE expression
+        "entropy_scores": (
+            "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), "
+            "u AS (SELECT doc_id, unnest(words) AS wd FROM w WHERE len(words) >= 1 AND words[1] <> ''), "
+            "c AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2), "
+            "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT)) AS BIGINT) AS clnc_fp FROM c GROUP BY 1) "
+            "SELECT doc_id, n_tokens, clnc_fp, "
+            "ln(CAST(n_tokens AS DOUBLE)) - CAST(clnc_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1048576.0 AS entropy "
+            "FROM s ORDER BY doc_id"
+        ),
+        # per-source unigram KL vs the corpus: the ln argument is the
+        # identical CAST-then-multiply double chain both sides
+        "source_divergence": (
+            "WITH w AS (SELECT source, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), "
+            "u AS (SELECT source, unnest(words) AS wd FROM w WHERE len(words) >= 1 AND words[1] <> ''), "
+            "c AS (SELECT source, wd, CAST(count(*) AS BIGINT) AS c_sw FROM u GROUP BY 1, 2), "
+            "ts AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s FROM c GROUP BY 1), "
+            "cw AS (SELECT wd, CAST(sum(c_sw) AS BIGINT) AS c_w FROM c GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(c_sw) AS BIGINT) AS t FROM c), "
+            "k AS (SELECT c.source, CAST(sum(c.c_sw * CAST(floor(ln("
+            "CAST(c.c_sw AS DOUBLE) * CAST(tot.t AS DOUBLE) / "
+            "(CAST(ts.t_s AS DOUBLE) * CAST(cw.c_w AS DOUBLE))"
+            ") * 1048576.0) AS BIGINT)) AS BIGINT) AS kl_fp "
+            "FROM c JOIN ts USING (source) JOIN cw USING (wd) CROSS JOIN tot GROUP BY 1) "
+            "SELECT k.source, ts.t_s AS n_tokens, k.kl_fp, "
+            "CAST(k.kl_fp AS DOUBLE) / CAST(ts.t_s AS DOUBLE) / 1048576.0 AS kl "
+            "FROM k JOIN ts USING (source) ORDER BY k.source"
+        ),
+        # watermark accounting over arrival order (event_id): exact
+        # integer-microsecond comparison both sides
+        "late_event_counts": (
+            "WITH a AS (SELECT ts, max(ts) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM events) "
+            "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, "
+            "CAST(count(*) FILTER (WHERE wm IS NULL OR epoch_us(ts) >= epoch_us(wm) - 600000000) AS BIGINT) AS n_on_time, "
+            "CAST(count(*) FILTER (WHERE wm IS NOT NULL AND epoch_us(ts) < epoch_us(wm) - 600000000) AS BIGINT) AS n_late "
+            "FROM a GROUP BY 1 ORDER BY 1"
         ),
         # DuckDB replicates every CM cell load and the row-min exactly
         # (md5_number_lower(word#j) % 1024 both sides)

@@ -156,7 +156,8 @@ class TestOracleEquivalence:
          "lang_mismatch", "table_checksum", "leakage_safe_splits",
          "phrase_search", "vocab_coverage", "dataset_card",
          "curation_rates_by_source", "lm_doc_scores", "dsir_weights",
-         "bm25_search"],
+         "bm25_search", "entropy_scores", "source_divergence",
+         "late_event_counts"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -3630,3 +3631,191 @@ class TestDocStatusClass:
         assert want["d4"] == ("erro", "Nenhuma linha OCR encontrada")
         assert want["d5"][1] == "2 spans com erro"
         assert want["d6"][0] == "gasto"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEntropyDivergenceLateness:
+    """entropy_scores / source_divergence / late_event_counts: naive
+    pure-Python references + DuckDB oracle parity on adversarial
+    fixtures (repeat-heavy docs, single-word docs, multibyte, watermark
+    boundary at exactly the allowed lateness)."""
+
+    TEXTS = [
+        "",                                # excluded (no words)
+        "solo",                            # n=1 -> entropy 0
+        "a a a a a",                       # all-repeat -> entropy 0
+        "a b c d e",                       # all-distinct -> ln(5)
+        "x Y  z\t x y Z",                  # ws collapse + case fold
+        "the quick brown fox " * 5,        # boilerplate
+        "é€ βγ δδ é€ βγ",                  # multibyte
+    ]
+    SOURCES = ["s1", "s1", "s2", "s2", "s1", "s3", "s2"]
+
+    def _write_docs(self, tmp_path, texts, sources=None):
+        import pyarrow.parquet as pq
+
+        cols = {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+        if sources is not None:
+            cols["source"] = pa.array(sources, pa.string())
+        pq.write_table(pa.table(cols), str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def _oracle(self, sf, name, table="documents"):
+        from ocr_service_ray.pipeline import entry_api
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW {table} AS SELECT * FROM '{sf}/{table}.parquet'")
+        return con.execute(entry_api.oracle_sql()[name]).df()
+
+    @staticmethod
+    def _naive_entropy(texts):
+        import math
+        from collections import Counter
+
+        from ocr_service_ray.analytics.hashing import split_words
+
+        rows = {}
+        for d, t in enumerate(texts):
+            ws = split_words(t)
+            if not ws:
+                continue
+            n = len(ws)
+            s = sum(
+                c * math.floor(math.log(c) * 1048576)
+                for c in Counter(ws).values()
+            )
+            rows[d] = (n, s, math.log(n) - s / n / 1048576.0)
+        return rows
+
+    def test_entropy_scores_naive_and_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import entropy_scores
+
+        sf = self._write_docs(tmp_path, self.TEXTS)
+        got = entropy_scores(sf).to_pandas()
+        want = self._naive_entropy(self.TEXTS)
+        assert list(got["doc_id"]) == sorted(want)
+        for _, r in got.iterrows():
+            n, s, ent = want[r["doc_id"]]
+            assert (r["n_tokens"], r["clnc_fp"]) == (n, s)
+            assert r["entropy"] == ent
+        oracle = self._oracle(sf, "entropy_scores")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
+        by_id = dict(zip(got["doc_id"], got["entropy"]))
+        # semantic pins: degenerate docs at ~0 (doc 1 exactly — ln(1)=0
+        # has no floor residue; doc 2 carries the fixed-point floor's
+        # <=2^-20 quantization), diverse doc at ln(5), boilerplate between
+        assert by_id[1] == 0.0 and 0.0 <= by_id[2] < 1e-5
+        assert abs(by_id[3] - np.log(5)) < 1e-9
+        assert 0.0 < by_id[5] < by_id[3]
+
+    @staticmethod
+    def _naive_divergence(texts, sources):
+        import math
+        from collections import Counter
+
+        from ocr_service_ray.analytics.hashing import split_words
+
+        per_src: dict = {}
+        corpus = Counter()
+        for t, s in zip(texts, sources):
+            ws = split_words(t)
+            per_src.setdefault(s, Counter()).update(ws)
+            corpus.update(ws)
+        tot = sum(corpus.values())
+        rows = {}
+        for s, cnt in per_src.items():
+            if not cnt:
+                continue
+            t_s = sum(cnt.values())
+            kl = sum(
+                c * math.floor(math.log(
+                    float(c) * float(tot) / (float(t_s) * float(corpus[w]))
+                ) * 1048576)
+                for w, c in cnt.items()
+            )
+            rows[s] = (t_s, kl, kl / t_s / 1048576.0)
+        return rows
+
+    def test_source_divergence_naive_and_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import source_divergence
+
+        sf = self._write_docs(tmp_path, self.TEXTS, self.SOURCES)
+        got = source_divergence(sf).to_pandas()
+        want = self._naive_divergence(self.TEXTS, self.SOURCES)
+        assert list(got["source"]) == sorted(want)
+        for _, r in got.iterrows():
+            t_s, kl_fp, kl = want[r["source"]]
+            assert (r["n_tokens"], r["kl_fp"]) == (t_s, kl_fp)
+            assert r["kl"] == kl
+        oracle = self._oracle(sf, "source_divergence")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
+        # Gibbs: true KL >= 0; the per-term floor can shave at most
+        # 2^-20 per token off the quantized value
+        assert (got["kl"] > -1e-4).all()
+
+    def test_source_divergence_single_source_is_zero(self, tmp_path):
+        """One source == the corpus: every ln argument is exactly 1.0
+        -> fp terms all floor(0)=0 -> KL exactly 0."""
+        from ocr_service_ray.analytics.text_analysis import source_divergence
+
+        sf = self._write_docs(
+            tmp_path, ["a b c", "b c d", "a a"], ["only", "only", "only"]
+        )
+        got = source_divergence(sf).to_pandas()
+        assert list(got["kl_fp"]) == [0] and list(got["kl"]) == [0.0]
+
+    def test_late_event_counts_replay_and_oracle(self, tmp_path):
+        """Arrival-order watermark replay with hand-pinned boundaries:
+        first event on time; ts == wm - lateness on time (strict <);
+        one microsecond below -> late; watermark never regresses."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.windows import late_event_counts
+
+        base = pd.Timestamp("2024-03-01 12:00:00")
+        sec = pd.Timedelta(seconds=1)
+        us = pd.Timedelta(microseconds=1)
+        rows = [
+            # arrival order == event_id; event-times jump around
+            (1, base),                       # first -> on time, wm=base
+            (2, base + 3600 * sec),          # ahead -> on time, wm advances
+            (3, base + 3000 * sec),          # 600s behind wm exactly -> ON time
+            (4, base + 3000 * sec - us),     # 600s+1us behind -> LATE
+            (5, base - 86400 * sec),         # previous day, far behind -> LATE
+            (6, base + 7200 * sec),          # ahead again -> on time
+            (7, base + 6600 * sec - us),     # behind new wm by 600s+1us -> LATE
+        ]
+        df = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+                "user_id": [1] * len(rows),
+                "event_type": ["view"] * len(rows),
+                "value": [1.0] * len(rows),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+        got = late_event_counts(str(tmp_path)).to_pandas()
+        day0 = int(pd.Timestamp("2024-02-29").timestamp())
+        day1 = int(pd.Timestamp("2024-03-01").timestamp())
+        assert got.to_records(index=False).tolist() == [
+            (day0, 0, 1),      # event 5
+            (day1, 4, 2),      # events 1,2,3,6 on time; 4,7 late
+        ]
+        from ocr_service_ray.pipeline import entry_api
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        oracle = con.execute(entry_api.oracle_sql()["late_event_counts"]).df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      oracle.reset_index(drop=True))

@@ -131,7 +131,7 @@ EVENT_QUERIES = [
     "debounced_events", "interval_coverage", "item_cooccurrence",
     "triangle_count", "daily_counts_filled", "max_concurrency",
     "trimmed_mean", "decayed_user_scores", "event_session_ids",
-    "incremental_tumbling_counts",
+    "incremental_tumbling_counts", "late_event_counts",
 ]
 
 DOC_QUERIES = [
@@ -145,6 +145,7 @@ DOC_QUERIES = [
     "minhash_pairs", "ngram_jaccard", "containment_pairs", "simhash_pairs",
     "cross_snapshot_neardup_idx",
     "rare_token_scores", "lm_doc_scores", "dsir_weights",
+    "entropy_scores", "source_divergence",
     "repetition_scores", "bigram_counts", "doc_bigram_novelty", "singleton_docs", "dataset_splits",
     "leakage_safe_splits",
     "packed_sequences",
