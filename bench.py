@@ -275,6 +275,7 @@ def run_queries(num_cpus: int) -> dict:
             "curation_rates_by_source": lambda: curation.curation_rates_by_source(sf_dir()),
             "doc_bigram_novelty": lambda: text_analysis.doc_bigram_novelty(sf_dir()),
             "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir()),
+            "text_search_incr": lambda: __import__("ocr_service_ray.analytics.text_index", fromlist=["text_search_incremental"]).text_search_incremental(sf_dir()),
             "entropy_scores": lambda: text_analysis.entropy_scores(sf_dir()),
             "source_divergence": lambda: text_analysis.source_divergence(sf_dir()),
             "late_event_counts": lambda: windows.late_event_counts(sf_dir()),

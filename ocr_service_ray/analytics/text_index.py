@@ -51,6 +51,22 @@ def build_text_index(sf_dir: str, n_buckets: int = 16) -> str:
     if os.path.exists(marker):
         return root
     shutil.rmtree(root, ignore_errors=True)
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_postings_fn(n_buckets), batch_format="pyarrow").write_parquet(
+        root, partition_cols=["bucket"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _postings_fn(n_buckets: int):
+    """Stateless distinct-(term, doc_id) postings combiner with the
+    md5 bucket key — shared by the full build and the incremental
+    append (identical bytes layout is what makes append valid)."""
+    from .hashing import md5_hash_tokens
+    from .text_analysis import _TERM
 
     def postings(batch: pa.Table) -> pa.Table:
         terms: list[str] = []
@@ -77,14 +93,74 @@ def build_text_index(sf_dir: str, n_buckets: int = 16) -> str:
             }
         )
 
-    ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(postings, batch_format="pyarrow").write_parquet(
-        root, partition_cols=["bucket"]
+    return postings
+
+
+def build_text_index_incremental(sf_dir: str, n_buckets: int = 16) -> list[str]:
+    """Incremental index maintenance — the text-retrieval sibling of
+    ``cross_snapshot_neardup_indexed``'s persistent LSH index: the BASE
+    snapshot's postings (doc_id < T, the cross-snapshot split
+    T = (max+1)//2) are built once under ``<root>/base``; a NEW
+    snapshot's postings land as their own drop under ``<root>/incr``
+    with the IDENTICAL bucket-hive layout. The base files are never
+    rewritten or re-read during the append (mtime-pinned by a test) —
+    at web scale this is what makes a daily crawl drop O(new docs),
+    not O(archive).
+
+    Each drop is its own sub-root with its own ``_BUILT`` marker and
+    rmtree-on-retry, so a crashed half-written append is retried
+    WITHOUT duplicating postings and without touching the base (the
+    union-of-files layout has no cross-file state, but duplicate
+    posting FILES would double-count in the intersection — per-drop
+    atomicity is what rules that out).
+    """
+    root = _index_root(sf_dir, n_buckets) + "-incr"
+    t_split = None
+    subroots = []
+    for name, pred in (("base", "doc_id < {t}"), ("incr", "doc_id >= {t}")):
+        sub = os.path.join(root, name)
+        subroots.append(sub)
+        marker = os.path.join(sub, "_BUILT")
+        if os.path.exists(marker):
+            continue
+        if t_split is None:
+            t_split = (
+                int(
+                    ray.data.read_parquet(
+                        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+                    ).max("doc_id")
+                )
+                + 1
+            ) // 2
+        shutil.rmtree(sub, ignore_errors=True)
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).filter(expr=pred.format(t=t_split)).map_batches(
+            _postings_fn(n_buckets), batch_format="pyarrow"
+        ).write_parquet(sub, partition_cols=["bucket"])
+        with open(marker, "w") as f:
+            f.write(str(t_split))
+    return subroots
+
+
+def text_search_incremental(
+    sf_dir: str,
+    terms: list[str] | None = None,
+    n_buckets: int = 16,
+    min_count: int = 5,
+) -> pa.Table:
+    """``text_search``'s contract served from the incrementally
+    maintained index: base postings + appended new-snapshot postings,
+    searched by the SAME pruned-read intersection tail. The oracle is
+    the full-corpus SQL — incremental maintenance must be invisible to
+    the query."""
+    if terms is None:
+        terms = _top_query_terms(sf_dir, 2, min_count)
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return _search_index_root(
+        build_text_index_incremental(sf_dir, n_buckets), terms, n_buckets
     )
-    with open(marker, "w") as f:
-        f.write("ok")
-    return root
 
 
 # process-level memo for the data-derived query terms: the derivation
@@ -170,11 +246,27 @@ def text_search(
     if not terms:
         return empty
     root = build_text_index(sf_dir, n_buckets)
+    return _search_index_root(root, terms, n_buckets)
+
+
+def _search_index_root(
+    roots: str | list[str], terms: list[str], n_buckets: int
+) -> pa.Table:
+    """Shared AND-search tail over bucket-hive postings root(s) — the
+    full build passes one root, the incremental build its [base, incr]
+    drops; same layout, so one pruned-read + intersection plan serves
+    both."""
+    from .hashing import md5_hash_tokens
+
+    if isinstance(roots, str):
+        roots = [roots]
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
     need = sorted(
         {int(h % np.uint64(n_buckets)) for h in md5_hash_tokens(list(terms))}
     )
     paths = [
         f
+        for root in roots
         for b in need
         for f in sorted(glob.glob(os.path.join(root, f"bucket={b}", "*.parquet")))
     ]

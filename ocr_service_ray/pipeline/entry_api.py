@@ -1037,6 +1037,12 @@ def _q_text_search(sf_dir: str):
     return text_search(sf_dir)
 
 
+def _q_text_search_incr(sf_dir: str):
+    from ..analytics.text_index import text_search_incremental
+
+    return text_search_incremental(sf_dir)
+
+
 def _q_ranked_text_search(sf_dir: str):
     from ..analytics.text_index import ranked_text_search
 
@@ -1194,6 +1200,10 @@ def queries() -> dict:
         # inverted-index build (once, /tmp hive buckets) + PRUNED
         # conjunctive search for the two rarest >=5-count terms
         "text_search": _q_text_search,
+        # same contract from the incrementally-APPENDED index (base
+        # snapshot built once, new snapshot's postings appended beside
+        # it — no base rewrite/recompute)
+        "text_search_incr": _q_text_search_incr,
         # ranked OR retrieval (total-tf desc) over the tf posting index
         "ranked_text_search": _q_ranked_text_search,
         # full BM25 (k1=1.2, b=0.75) over the pruned tf index + norms
@@ -1377,6 +1387,18 @@ def queries() -> dict:
 
 # exact all-pairs word-5-shingle Jaccard (the ground truth for BOTH the
 # LSH sketch path and the inverted-index ngram path).
+_TEXT_SEARCH_SQL = (
+    "WITH tok AS (SELECT doc_id, "
+    "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+    "FROM documents), "
+    "cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok "
+    "GROUP BY 1 HAVING count(*) >= 5), "
+    "top2 AS (SELECT term FROM cnt ORDER BY n ASC, term ASC LIMIT 2), "
+    "d AS (SELECT DISTINCT doc_id, term FROM tok JOIN top2 USING (term)) "
+    "SELECT doc_id FROM d GROUP BY doc_id "
+    "HAVING count(*) = (SELECT count(*) FROM top2) ORDER BY doc_id"
+)
+
 _SHINGLE_JACCARD_SQL = (
     "WITH w AS (SELECT doc_id, "
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words "
@@ -2949,17 +2971,10 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences "
             "FROM bg JOIN top USING (w1, w2) GROUP BY doc_id ORDER BY doc_id"
         ),
-        "text_search": (
-            "WITH tok AS (SELECT doc_id, "
-            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
-            "FROM documents), "
-            "cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok "
-            "GROUP BY 1 HAVING count(*) >= 5), "
-            "top2 AS (SELECT term FROM cnt ORDER BY n ASC, term ASC LIMIT 2), "
-            "d AS (SELECT DISTINCT doc_id, term FROM tok JOIN top2 USING (term)) "
-            "SELECT doc_id FROM d GROUP BY doc_id "
-            "HAVING count(*) = (SELECT count(*) FROM top2) ORDER BY doc_id"
-        ),
+        "text_search": _TEXT_SEARCH_SQL,
+        # incremental maintenance must be invisible to the query: the
+        # appended-index plan answers the SAME full-corpus oracle
+        "text_search_incr": _TEXT_SEARCH_SQL,
         # OR-retrieval ranked by total tf of the derived query terms
         # BM25: every per-(doc,term) contribution is floor(<identical
         # IEEE double chain>*2^20) -> integer per-doc sums, exact rank

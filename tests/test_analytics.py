@@ -157,7 +157,7 @@ class TestOracleEquivalence:
          "phrase_search", "vocab_coverage", "dataset_card",
          "curation_rates_by_source", "lm_doc_scores", "dsir_weights",
          "bm25_search", "entropy_scores", "source_divergence",
-         "late_event_counts"],
+         "late_event_counts", "text_search_incr"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -2066,6 +2066,45 @@ class TestTextIndex:
             lower(text), '[a-z0-9]+')) AS term FROM '{SF}/documents.parquet')
             SELECT DISTINCT doc_id FROM tok WHERE term = 'the' ORDER BY doc_id"""
         ).fetch_arrow_table()
+        assert got.to_pylist() == want.to_pylist()
+
+    def test_incremental_append_equals_full(self):
+        """base+incr drops carry the full posting set; a crashed append
+        retry rebuilds ONLY the incr drop (base files byte/mtime
+        untouched, no duplicated postings); search over the appended
+        index == search over the full build."""
+        import glob
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics import text_index as ti
+
+        root = ti._index_root(SF, 16) + "-incr"
+        shutil.rmtree(root, ignore_errors=True)
+        subroots = ti.build_text_index_incremental(SF, 16)
+        base_files = sorted(glob.glob(os.path.join(subroots[0], "bucket=*", "*.parquet")))
+        incr_files = sorted(glob.glob(os.path.join(subroots[1], "bucket=*", "*.parquet")))
+        assert base_files and incr_files
+        n_rows = lambda fs: sum(pq.read_metadata(f).num_rows for f in fs)
+        full = glob.glob(os.path.join(ti.build_text_index(SF, 16), "bucket=*", "*.parquet"))
+        incr_rows = n_rows(incr_files)
+        assert n_rows(base_files) + incr_rows == n_rows(full)
+        mtimes = {f: os.path.getmtime(f) for f in base_files}
+        # crash-retry of the append: marker gone, files (possibly
+        # partial) present -> the retry must replace the incr drop
+        # only, never touch base, never double-count
+        os.remove(os.path.join(subroots[1], "_BUILT"))
+        ti.build_text_index_incremental(SF, 16)
+        assert {
+            f: os.path.getmtime(f)
+            for f in sorted(glob.glob(os.path.join(subroots[0], "bucket=*", "*.parquet")))
+        } == mtimes
+        incr_files2 = sorted(glob.glob(os.path.join(subroots[1], "bucket=*", "*.parquet")))
+        assert n_rows(incr_files2) == incr_rows
+        got = ti.text_search_incremental(SF)
+        want = ti.text_search(SF)
         assert got.to_pylist() == want.to_pylist()
 
 

@@ -155,7 +155,7 @@ DOC_QUERIES = [
     "top_docs_per_source", "stratified_sample", "long_tail_docs",
     "benchmark_contamination", "fuzzy_token_pairs", "cms_token_counts",
     "priority_sample", "text_search", "ranked_text_search", "phrase_search",
-    "bm25_search",
+    "bm25_search", "text_search_incr",
     "token_canonical_map", "skyline_docs", "dataset_mixture",
     "table_checksum", "vocab_coverage", "dataset_card", "shuffle_shards",
 ]
