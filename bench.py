@@ -153,6 +153,10 @@ def run_queries(num_cpus: int) -> dict:
             "text_normalize": lambda: text_analysis.text_normalize(sf_dir()).materialize(),
             "token_counts": lambda: text_analysis.token_counts(sf_dir()).materialize(),
             "quality_scores": lambda: text_analysis.quality_scores(sf_dir()).materialize(),
+            "gopher_filters": lambda: text_analysis.gopher_filters(sf_dir()).materialize(),
+            "blocklist_hits": lambda: text_analysis.blocklist_hits(sf_dir()).materialize(),
+            "dup_doc_fraction": lambda: text_analysis.dup_doc_fraction(sf_dir()),
+            "soft_dedup_weights": lambda: dedup.soft_dedup_weights(sf_dir()).materialize(),
             "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
             "winnow_fingerprints": lambda: text_analysis.winnow_fingerprints(sf_dir()).materialize(),
             "fingerprint_matches": lambda: text_analysis.fingerprint_matches(sf_dir()),

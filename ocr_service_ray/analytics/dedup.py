@@ -100,6 +100,59 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     return out.select_columns(["min(doc_id)"]).rename_columns({"min(doc_id)": "doc_id"})
 
 
+def soft_dedup_weights(sf_dir: str) -> "ray.data.Dataset":
+    """SoftDeDup: keep EVERY document but down-weight exact duplicates
+    to ``1 / n_copies`` so a sampler sees each distinct content once in
+    expectation (soft deduplication — reweight-not-remove, the
+    alternative the hard ``exact_dedup`` policy discards; cf. the
+    reference's dedupe-by-sq keep-best policy at
+    /root/reference/app/ocr_engine.py:253-263, which is the hard form).
+
+    Output: ``(doc_id, n_copies, weight)`` for every document.
+
+    Distributed shape: the memoized fingerprint pass, then ONE
+    groupby(h).count() whose *filtered* result (hashes with count >= 2
+    — O(dup groups), the duplicate rate, not the corpus) is broadcast
+    via ``ray.put`` and applied in a stateless map over the fingerprint
+    table. Unique docs (the overwhelming majority at 100 TB) never
+    leave their block: weight defaults to 1.0 without a lookup hit.
+    """
+    ds = fingerprint_table(sf_dir)
+    counts = ds.groupby("h").count()
+
+    def dups_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("count()"), pa.scalar(2)))
+
+    dup_tables = [
+        t
+        for t in ray.get(
+            counts.map_batches(dups_only, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    dup_counts: dict[str, int] = {}
+    for t in dup_tables:
+        dup_counts.update(
+            zip(t.column("h").to_pylist(), t.column("count()").to_pylist())
+        )
+    dup_ref = ray.put(dup_counts)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        dc = ray.get(dup_ref)
+        ns = [dc.get(h, 1) for h in batch.column("h").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_copies": pa.array(ns, pa.int64()),
+                "weight": pa.array([1.0 / n for n in ns], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(weigh, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------------
 # MinHash + LSH near-dup
 

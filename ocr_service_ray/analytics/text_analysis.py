@@ -92,6 +92,111 @@ def quality_scores(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(q, batch_format="pyarrow")
 
 
+# the 8 stop words of the Gopher rule "contains at least 2 of ..."
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1)
+_GOPHER_STOPS = frozenset(("the", "be", "to", "of", "and", "that", "have", "with"))
+# word-count band scaled to the synthetic corpus (Gopher: 50..100_000)
+_GOPHER_MIN_WORDS = 30
+_GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_filters(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher/MassiveText repetition-free quality rules, one boolean per
+    rule plus the conjunction (Rae et al. 2021, App. A1.1): word-count
+    band, mean-word-length in [3, 10], >80% of words contain an
+    alphabetic character, symbol-to-word ratio ('#' or '...') <= 0.1,
+    and >= 2 of the 8 canonical stop words present. Docs are KEPT as
+    rows either way — ``passed`` is the filter decision, so the same
+    table drives both the filter and its audit dashboard.
+
+    Ray shape: one stateless vectorized pass, no shuffle; every ratio
+    is a single IEEE division mirrored exactly by the DuckDB oracle.
+    """
+
+    def g(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_words_c, mean_len_c, alpha_c, sym_c, stop_c = [], [], [], [], []
+        for t in texts:
+            t = t or ""
+            words = _TOKEN.findall(t)
+            nw = len(words)
+            n_words_c.append(nw)
+            mean_len_c.append(sum(len(w) for w in words) / nw if nw else 0.0)
+            alpha_c.append(
+                sum(1 for w in words if _ALPHA.search(w)) / nw if nw else 0.0
+            )
+            sym_c.append(
+                (t.count("#") + t.count("...")) / nw if nw else 0.0
+            )
+            stop_c.append(len(_GOPHER_STOPS.intersection(_TERM.findall(t.lower()))))
+        nw_arr = pa.array(n_words_c, pa.int64())
+        ml_arr = pa.array(mean_len_c, pa.float64())
+        al_arr = pa.array(alpha_c, pa.float64())
+        sy_arr = pa.array(sym_c, pa.float64())
+        st_arr = pa.array(stop_c, pa.int64())
+        p_wc = [(_GOPHER_MIN_WORDS <= n <= _GOPHER_MAX_WORDS) for n in n_words_c]
+        p_ml = [(3.0 <= m <= 10.0) for m in mean_len_c]
+        p_al = [a > 0.8 for a in alpha_c]
+        p_sy = [s <= 0.1 for s in sym_c]
+        p_st = [s >= 2 for s in stop_c]
+        passed = [all(f) for f in zip(p_wc, p_ml, p_al, p_sy, p_st)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": nw_arr,
+                "mean_word_len": ml_arr,
+                "alpha_frac": al_arr,
+                "symbol_ratio": sy_arr,
+                "stop_hits": st_arr,
+                "pass_word_count": pa.array(p_wc, pa.bool_()),
+                "pass_mean_len": pa.array(p_ml, pa.bool_()),
+                "pass_alpha": pa.array(p_al, pa.bool_()),
+                "pass_symbols": pa.array(p_sy, pa.bool_()),
+                "pass_stops": pa.array(p_st, pa.bool_()),
+                "passed": pa.array(passed, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(g, batch_format="pyarrow")
+
+
+# C4-style badword blocklist, drawn from the synthetic vocabulary so
+# the filter exercises real hit paths at every sf (Raffel et al. 2020
+# filter docs containing any term of a public blocklist).
+_BLOCKLIST = frozenset(("spark", "dup", "slow"))
+
+
+def blocklist_hits(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style blocklist filter audit: per document, total blocked-term
+    occurrences, distinct blocked terms, and the drop decision
+    (``blocked`` = any hit). Matching is token-exact (the ``[a-z0-9]+``
+    lowercase tokenizer shared with the n-gram family), not substring —
+    'duplicate' does not hit 'dup'.
+
+    Ray shape: stateless vectorized pass with the (tiny, constant)
+    blocklist compiled per process; no shuffle. At 100 TB the list
+    rides the closure (or ``ray.put`` for large lists) — never re-read
+    per batch.
+    """
+
+    def b(batch: pa.Table) -> pa.Table:
+        hits_c, terms_c = [], []
+        for t in batch.column("text").to_pylist():
+            toks = _TERM.findall((t or "").lower())
+            hits_c.append(sum(1 for w in toks if w in _BLOCKLIST))
+            terms_c.append(len(_BLOCKLIST.intersection(toks)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_hits": pa.array(hits_c, pa.int64()),
+                "n_terms": pa.array(terms_c, pa.int64()),
+                "blocked": pa.array([h > 0 for h in hits_c], pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(b, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, fp): md5 of the dedup-normalized text."""
 
@@ -942,6 +1047,75 @@ def dup_ngram_spans(sf_dir: str, n: int = 8) -> pa.Table:
             ),
         }
     ).sort_by([("gram", "ascending")])
+
+
+def dup_doc_fraction(sf_dir: str, n: int = 8) -> pa.Table:
+    """Per-document duplicated-text fraction: of a doc's word
+    ``n``-gram positions, the share whose gram occurs in >= 2 distinct
+    documents — the doc-grain rollup Lee et al. 2022 use to decide
+    which documents exact-substring dedup actually touches. Docs with
+    fewer than ``n`` tokens carry no grams and are excluded (division
+    by zero has no meaning for them).
+
+    Distributed shape: the corpus-level dup-gram table comes from the
+    ``dup_ngram_spans`` plan (in-batch np.unique combiner, ONE
+    gram-keyed shuffle); its >= 2-docs survivors — O(duplicate rate),
+    not O(corpus) — are broadcast once via ``ray.put`` and probed in a
+    second stateless pass that re-derives each doc's grams in-batch.
+    When the dup-gram side outgrows the broadcast budget at 100 TB the
+    same result keeps the plan shape with a gram-keyed shuffle of
+    (gram, doc_id, count) partials joined against the survivor set —
+    documented fallback, same two-pass cost.
+    """
+    dup = dup_ngram_spans(sf_dir, n)
+    dup_ref = ray.put(frozenset(dup.column("gram").to_pylist()))
+
+    def frac(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        ids, n_grams_c, n_dup_c = [], [], []
+        for d, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TERM.findall((text or "").lower())
+            if len(toks) < n:
+                continue
+            total = len(toks) - n + 1
+            dup_pos = sum(
+                1
+                for j in range(total)
+                if " ".join(toks[j:j + n]) in dset
+            )
+            ids.append(d)
+            n_grams_c.append(total)
+            n_dup_c.append(dup_pos)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(n_grams_c, pa.int64()),
+                "n_dup": pa.array(n_dup_c, pa.int64()),
+                "dup_frac": pa.array(
+                    [d / t for d, t in zip(n_dup_c, n_grams_c)], pa.float64()
+                ),
+            }
+        )
+
+    tables = [
+        t
+        for t in ray.get(
+            _docs(sf_dir).map_batches(frac, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_dup": pa.array([], pa.int64()),
+                "dup_frac": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
 
 
 # trained merge tables shared by bpe_vocab / bpe_encode (the process-

@@ -1144,6 +1144,16 @@ def queries() -> dict:
         "benchmark_contamination": lambda sf: text_analysis.benchmark_contamination(sf),
         "text_normalize": text_analysis.text_normalize,
         "quality_scores": text_analysis.quality_scores,
+        # Gopher/MassiveText rule booleans + conjunction (Rae et al.
+        # 2021 App. A1.1), one stateless vectorized pass
+        "gopher_filters": text_analysis.gopher_filters,
+        # C4 badword blocklist audit (token-exact matching)
+        "blocklist_hits": text_analysis.blocklist_hits,
+        # doc-grain duplicated-ngram rollup (Lee et al. 2022):
+        # dup-gram table -> broadcast probe, fraction per doc
+        "dup_doc_fraction": lambda sf: text_analysis.dup_doc_fraction(sf),
+        # SoftDeDup reweight-not-remove: 1/n_copies per exact-dup group
+        "soft_dedup_weights": lambda sf: dedup.soft_dedup_weights(sf),
         "fingerprints": text_analysis.fingerprints,
         # MOSS winnowing (Schleimer et al. SIGMOD'03): Karp-Rabin k-gram
         # hashes + rightmost-min window selection, oracle-exact
@@ -1868,6 +1878,77 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         "fingerprints": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
             "FROM documents"
+        ),
+        # Gopher rules: every ratio is integer-sum-then-one-division on
+        # both sides (IEEE-identical); '...' count = non-overlapping
+        # replace-delta // 3 == Python str.count
+        "gopher_filters": (
+            "WITH w AS (SELECT doc_id, text, "
+            "regexp_extract_all(text, '\\S+') AS words, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+            "m AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, "
+            "CASE WHEN len(words) > 0 THEN "
+            "CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) "
+            "ELSE 0.0 END AS mean_word_len, "
+            "CASE WHEN len(words) > 0 THEN "
+            "CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) "
+            "/ len(words) ELSE 0.0 END AS alpha_frac, "
+            "CASE WHEN len(words) > 0 THEN "
+            "CAST((length(text) - length(replace(text, '#', ''))) "
+            "+ (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) "
+            "/ len(words) ELSE 0.0 END AS symbol_ratio, "
+            "CAST(len(list_intersect(list_distinct(toks), "
+            "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits "
+            "FROM w) "
+            "SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits, "
+            "(n_words BETWEEN 30 AND 100000) AS pass_word_count, "
+            "(mean_word_len BETWEEN 3.0 AND 10.0) AS pass_mean_len, "
+            "(alpha_frac > 0.8) AS pass_alpha, "
+            "(symbol_ratio <= 0.1) AS pass_symbols, "
+            "(stop_hits >= 2) AS pass_stops, "
+            "((n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) "
+            "AND (alpha_frac > 0.8) AND (symbol_ratio <= 0.1) AND (stop_hits >= 2)) "
+            "AS passed FROM m"
+        ),
+        # token-exact blocklist (same [a-z0-9]+ tokenizer as the n-gram
+        # family; substring matches do NOT count)
+        "blocklist_hits": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(list_filter(toks, x -> list_contains(['spark','dup','slow'], x))) "
+            "AS BIGINT) AS n_hits, "
+            "CAST(len(list_intersect(list_distinct(toks), ['spark','dup','slow'])) "
+            "AS BIGINT) AS n_terms, "
+            "len(list_filter(toks, x -> list_contains(['spark','dup','slow'], x))) > 0 "
+            "AS blocked FROM w"
+        ),
+        # doc-grain rollup of the dup_ngram_spans plan: same 8-gram CTE,
+        # LEFT JOIN keeps gram-bearing docs with zero dup positions
+        "dup_doc_fraction": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "idx AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i FROM toks), "
+            "g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM idx), "
+            "dup AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams "
+            "FROM g GROUP BY doc_id), "
+            "d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup "
+            "FROM g JOIN dup USING (gram) GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_grams, COALESCE(d.n_dup, 0) AS n_dup, "
+            "CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_grams AS dup_frac "
+            "FROM tot t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id"
+        ),
+        # SoftDeDup: weight = one IEEE division per row on both sides
+        "soft_dedup_weights": (
+            "WITH f AS (SELECT doc_id, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+            "FROM documents), "
+            "c AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY h) "
+            "SELECT f.doc_id, c.n AS n_copies, CAST(1.0 AS DOUBLE) / c.n AS weight "
+            "FROM f JOIN c USING (h) ORDER BY f.doc_id"
         ),
         # winnowing replicated exactly: the Karp-Rabin polynomial is the
         # unrolled 8-term BIGINT sum in _WINNOW_CTE (POW[j] = 257^(7-j)

@@ -157,7 +157,8 @@ class TestOracleEquivalence:
          "phrase_search", "vocab_coverage", "dataset_card",
          "curation_rates_by_source", "lm_doc_scores", "dsir_weights",
          "bm25_search", "entropy_scores", "source_divergence",
-         "late_event_counts", "text_search_incr"],
+         "late_event_counts", "text_search_incr", "gopher_filters",
+         "blocklist_hits", "dup_doc_fraction", "soft_dedup_weights"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -3858,3 +3859,100 @@ class TestEntropyDivergenceLateness:
         oracle = con.execute(entry_api.oracle_sql()["late_event_counts"]).df()
         pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                       oracle.reset_index(drop=True))
+
+
+class TestCurationFilters:
+    """Semantics pins for the round-5 curation-filter family (the SQL
+    equivalence itself is covered by TestOracleEquivalence)."""
+
+    def test_blocklist_token_exact_not_substring(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import blocklist_hits
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "duplicate sparkle slowly",  # substrings only: no hits
+                    "dup spark slow dup",        # 4 hits, 3 distinct terms
+                    "",                           # empty doc
+                ],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": pa.array([24, 19, 0], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        got = blocklist_hits(str(tmp_path)).to_pandas().sort_values("doc_id")
+        assert got["n_hits"].tolist() == [0, 4, 0]
+        assert got["n_terms"].tolist() == [0, 3, 0]
+        assert got["blocked"].tolist() == [False, True, False]
+
+    def test_soft_dedup_weights_sum_equals_distinct(self):
+        from ocr_service_ray.analytics.dedup import exact_dedup, soft_dedup_weights
+
+        w = soft_dedup_weights(SF).to_pandas()
+        n_docs = len(w)
+        n_distinct = exact_dedup(SF).count()
+        # every doc keeps a row; weights sum to the distinct-content count
+        assert n_docs == 500
+        assert abs(w["weight"].sum() - n_distinct) < 1e-9
+        assert (w.loc[w["n_copies"] == 1, "weight"] == 1.0).all()
+
+    def test_gopher_rules_fire_on_adversarial_docs(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import gopher_filters
+
+        good = "the quick brown fox jumps over a lazy dog and that is fine " * 5
+        short = "too short"
+        symbols = "# ... # ... " + "word " * 20  # 4 symbols / 24 words > 0.1
+        longwords = " ".join(["x" * 20] * 40)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [good, short, symbols, longwords],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": pa.array([len(good), len(short), len(symbols),
+                                     len(longwords)], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        got = (
+            gopher_filters(str(tmp_path)).to_pandas().set_index("doc_id")
+        )
+        assert bool(got.loc[1, "passed"])
+        assert not bool(got.loc[2, "pass_word_count"])
+        assert not bool(got.loc[3, "pass_symbols"])
+        assert not bool(got.loc[4, "pass_mean_len"])
+
+    def test_dup_doc_fraction_bounds_and_planted_dup(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import dup_doc_fraction
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        texts = [
+            shared + " one two three",
+            shared + " four five six",
+            "seven eight nine ten eleven twelve thirteen fourteen fifteen",
+            "tiny",  # < 8 tokens: excluded
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        got = dup_doc_fraction(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert 4 not in got.index
+        # docs 1/2 share exactly the one 8-gram prefix window
+        assert got.loc[1, "n_dup"] == 1 and got.loc[2, "n_dup"] == 1
+        assert got.loc[3, "n_dup"] == 0 and got.loc[3, "dup_frac"] == 0.0
+        assert ((got["dup_frac"] >= 0) & (got["dup_frac"] <= 1)).all()
