@@ -157,6 +157,10 @@ def run_queries(num_cpus: int) -> dict:
             "blocklist_hits": lambda: text_analysis.blocklist_hits(sf_dir()).materialize(),
             "dup_doc_fraction": lambda: text_analysis.dup_doc_fraction(sf_dir()),
             "soft_dedup_weights": lambda: dedup.soft_dedup_weights(sf_dir()).materialize(),
+            "ttr_scores": lambda: text_analysis.ttr_scores(sf_dir()).materialize(),
+            "pii_rates_by_source": lambda: text_analysis.pii_rates_by_source(sf_dir()),
+            "cdc_chunks": lambda: text_analysis.cdc_chunks(sf_dir()),
+            "cdc_dup_chunks": lambda: text_analysis.cdc_dup_chunks(sf_dir()),
             "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
             "winnow_fingerprints": lambda: text_analysis.winnow_fingerprints(sf_dir()).materialize(),
             "fingerprint_matches": lambda: text_analysis.fingerprint_matches(sf_dir()),

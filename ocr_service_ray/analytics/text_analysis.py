@@ -197,6 +197,250 @@ def blocklist_hits(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir).map_batches(b, batch_format="pyarrow")
 
 
+def ttr_scores(sf_dir: str) -> "ray.data.Dataset":
+    """Type-token ratio per document (lexical-diversity quality facet:
+    template/boilerplate spam has few types per token, prose is high):
+    ``(doc_id, n_tokens, n_types, ttr)`` over the shared ``[a-z0-9]+``
+    lowercase tokenizer. One stateless vectorized pass, no shuffle;
+    ttr is a single IEEE division mirrored by the oracle."""
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        n_tok, n_typ = [], []
+        for t in batch.column("text").to_pylist():
+            toks = _TERM.findall((t or "").lower())
+            n_tok.append(len(toks))
+            n_typ.append(len(set(toks)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_typ, pa.int64()),
+                "ttr": pa.array(
+                    [ty / to if to else 0.0 for ty, to in zip(n_typ, n_tok)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(ttr, batch_format="pyarrow")
+
+
+def pii_rates_by_source(sf_dir: str) -> pa.Table:
+    """Per-source PII scrub dashboard: doc counts, docs containing any
+    PII hit, total redaction count and the doc-level PII rate — the
+    rollup an operator reads after ``redact_pii`` runs over a crawl.
+
+    Distributed shape: one column-pruned pass reusing the redact_pii
+    RE2 count kernels (pyarrow.compute, zero Python per row), reduced
+    in-batch to per-source partials; the driver stream-merges the
+    domain-bounded partial tables (sources are a small fixed domain —
+    the item_cooccurrence/profile_tables precedent), so there is no
+    shuffle at all."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = pc.fill_null(batch.column("text"), "")
+        n = None
+        for pat, _ in _PII_PATTERNS:
+            c = pc.count_substring_regex(a, pat)
+            n = c if n is None else pc.add(n, c)
+        tbl = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_red": pc.cast(n, pa.int64()),
+            }
+        )
+        srcs = tbl.column("source").to_pylist()
+        reds = tbl.column("n_red").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for s, r in zip(srcs, reds):
+            e = agg.setdefault(s, [0, 0, 0])
+            e[0] += 1
+            e[1] += 1 if r > 0 else 0
+            e[2] += r
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "docs_with_pii": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "n_redactions": pa.array([agg[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).map_batches(partial, batch_format="pyarrow")
+    merged: dict[str, list[int]] = {}
+    for t in ray.get(ds.to_arrow_refs()):
+        for s, nd, dp, nr in zip(
+            t.column("source").to_pylist(),
+            t.column("n_docs").to_pylist(),
+            t.column("docs_with_pii").to_pylist(),
+            t.column("n_redactions").to_pylist(),
+        ):
+            e = merged.setdefault(s, [0, 0, 0])
+            e[0] += nd
+            e[1] += dp
+            e[2] += nr
+    keys = sorted(merged)
+    return pa.table(
+        {
+            "source": pa.array(keys, pa.string()),
+            "n_docs": pa.array([merged[k][0] for k in keys], pa.int64()),
+            "docs_with_pii": pa.array([merged[k][1] for k in keys], pa.int64()),
+            "n_redactions": pa.array([merged[k][2] for k in keys], pa.int64()),
+            "pii_rate": pa.array(
+                [merged[k][1] / merged[k][0] for k in keys], pa.float64()
+            ),
+        }
+    )
+
+
+# Content-defined chunking divisor: a cut falls after every Karp-Rabin
+# 8-gram whose hash ≡ 0 (mod 64) — expected chunk length 64 normalized
+# chars (LBFS/FastCDC gear at its simplest setting, public algorithm).
+# Reuses the winnow constants so the SQL oracle reuses the winnow CTE.
+CDC_DIVISOR = 64
+
+# cdc_chunks feeds both its own query and cdc_dup_chunks' rollup;
+# memoize the materialized chunk dataset per corpus (_FP_CACHE pattern)
+_CDC_CACHE: dict[str, "ray.data.Dataset"] = {}
+
+
+def cdc_chunks(sf_dir: str) -> "ray.data.Dataset":
+    """Content-defined chunking for storage-level dedup: per document,
+    chunks cut where the rolling Karp-Rabin 8-gram hash of the
+    dedup-normalized text ≡ 0 (mod ``CDC_DIVISOR``) — boundaries move
+    WITH the content, so an insertion only re-chunks its neighborhood
+    (the LBFS/FastCDC property fixed-size chunking lacks). Output:
+    ``(doc_id, chunk_idx, start, len, chunk_hash)`` with 1-based char
+    positions in the normalized text; docs shorter than the gram width
+    become one whole-doc chunk; empty docs emit nothing.
+
+    Ray shape: one stateless vectorized pass (the winnow hash kernel:
+    windowed dot against the power vector), no shuffle; output is
+    O(n_chars / DIVISOR) rows per doc. Chunk hashes then feed the
+    hash-keyed dedup rollup exactly like the n-gram postings ops.
+    """
+    ds = _CDC_CACHE.get(sf_dir)
+    if ds is not None:
+        return ds
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ids, idxs, starts, lens, hashes = [], [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            s = normalize_text(t)
+            L = len(s)
+            if L == 0:
+                continue
+            if L < WINNOW_K:
+                ends = [L]
+            else:
+                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                H = (sliding_window_view(cp, WINNOW_K) @ _KR_POW) % _KR_MOD
+                # gram at 0-based index j ends at 1-based char j + K
+                ends = (np.nonzero(H % CDC_DIVISOR == 0)[0] + WINNOW_K).tolist()
+                if not ends or ends[-1] != L:
+                    ends.append(L)
+            prev = 0
+            for ci, e in enumerate(ends, 1):
+                ids.append(d)
+                idxs.append(ci)
+                starts.append(prev + 1)
+                lens.append(e - prev)
+                hashes.append(md5_hex(s[prev:e]))
+                prev = e
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "start": pa.array(starts, pa.int64()),
+                "len": pa.array(lens, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(chunks, batch_format="pyarrow").materialize()
+    _CDC_CACHE[sf_dir] = ds
+    return ds
+
+
+def cdc_dup_chunks(sf_dir: str) -> pa.Table:
+    """Storage-dedup payoff view: every CDC chunk hash present in >= 2
+    distinct documents, with doc- and occurrence-counts — what a
+    chunk-store would actually deduplicate. Same plan as
+    ``dup_ngram_spans``: in-batch np.unique combiner over the memoized
+    chunk table, then ONE hash-keyed groupby + the >=2-docs filter."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "chunk_hash": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_occ": pa.array([], pa.int64()),
+                }
+            )
+        from collections import Counter
+
+        hs = batch.column("chunk_hash").to_pylist()
+        dids = batch.column("doc_id").to_pylist()
+        occ = Counter(hs)
+        docs = Counter(h for _, h in set(zip(dids, hs)))
+        keys = sorted(docs)
+        return pa.table(
+            {
+                "chunk_hash": pa.array(keys, pa.string()),
+                "n_docs": pa.array([docs[h] for h in keys], pa.int64()),
+                "n_occ": pa.array([occ[h] for h in keys], pa.int64()),
+            }
+        )
+
+    agg = (
+        cdc_chunks(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("chunk_hash")
+        .sum(["n_docs", "n_occ"])
+    )
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "chunk_hash": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_occ": pa.array([], pa.int64()),
+        }
+    )
+    if not tables:
+        return empty
+    tbl = pa.concat_tables(tables)
+    nd = tbl.column("sum(n_docs)").to_numpy(zero_copy_only=False)
+    keep = nd >= 2
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "chunk_hash": pa.array(
+                np.asarray(tbl.column("chunk_hash").to_pylist(), object)[keep],
+                pa.string(),
+            ),
+            "n_docs": pa.array(nd[keep].astype(np.int64), pa.int64()),
+            "n_occ": pa.array(
+                tbl.column("sum(n_occ)").to_numpy(zero_copy_only=False)[keep].astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        }
+    ).sort_by([("chunk_hash", "ascending")])
+
+
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, fp): md5 of the dedup-normalized text."""
 
@@ -969,7 +1213,21 @@ def distinctive_terms(sf_dir: str, top_k: int = 3) -> pa.Table:
     return tbl.sort_by([("doc_id", "ascending"), ("rnk", "ascending")])
 
 
+# dup_ngram_spans feeds both its own query and dup_doc_fraction's
+# broadcast probe; memoize the (small) dup-gram result table per
+# (corpus, n) so the family pays for ONE gram shuffle per process
+# (the _PAIRS_CACHE / _FP_CACHE pattern).
+_DUP_GRAMS_CACHE: dict[tuple, pa.Table] = {}
+
+
 def dup_ngram_spans(sf_dir: str, n: int = 8) -> pa.Table:
+    cached = _DUP_GRAMS_CACHE.get((sf_dir, n))
+    if cached is None:
+        cached = _DUP_GRAMS_CACHE[(sf_dir, n)] = _dup_ngram_spans_impl(sf_dir, n)
+    return cached
+
+
+def _dup_ngram_spans_impl(sf_dir: str, n: int) -> pa.Table:
     """Exact duplicated-substring detection: every word ``n``-gram that
     appears in >= 2 distinct documents, with its doc- and
     occurrence-counts — the corpus-level core of exact substring

@@ -254,8 +254,11 @@ _SPAN_TRUTH_KEYS = (
 # SQL): norm -> k-gram Karp-Rabin hashes (unrolled 8-term polynomial,
 # POW[j] = 257^(7-j) mod 1e9+7) -> rightmost-min window pick. Used by
 # both the winnow_fingerprints and fingerprint_matches oracles.
-_WINNOW_CTE = (
-    "WITH norm AS (SELECT doc_id, "
+# norm -> meta -> per-position Karp-Rabin 8-gram hashes: shared by the
+# winnow oracles AND the content-defined-chunking oracles (identical
+# hash kernel on both families by construction).
+_KR_GRAMS_FRAGMENT = (
+    "norm AS (SELECT doc_id, "
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
     "meta AS (SELECT doc_id, s, length(s) - 7 AS n_grams FROM norm "
     "WHERE length(s) >= 8), "
@@ -266,12 +269,37 @@ _WINNOW_CTE = (
         for j in range(8)
     )
     + ") % 1000000007 AS h "
-    "FROM meta m, LATERAL (SELECT unnest(generate_series(1, m.n_grams)) AS p) t), "
+    "FROM meta m, LATERAL (SELECT unnest(generate_series(1, m.n_grams)) AS p) t)"
+)
+
+_WINNOW_CTE = (
+    "WITH " + _KR_GRAMS_FRAGMENT + ", "
     "wins AS (SELECT a.doc_id, b.p AS p, b.h, "
     "row_number() OVER (PARTITION BY a.doc_id, a.p ORDER BY b.h ASC, b.p DESC) AS rn "
     "FROM grams a JOIN grams b ON b.doc_id = a.doc_id "
     "AND b.p BETWEEN a.p AND a.p + 7 "
     "WHERE a.p <= greatest(1, a.n_grams - 7))"
+)
+
+# content-defined chunking (text_analysis.cdc_chunks replicated): a cut
+# ends at char p+7 wherever the gram hash ≡ 0 (mod CDC_DIVISOR=64); the
+# doc end closes the final chunk; 1..7-char docs are one whole chunk.
+_CDC_CHUNKS_CORE = (
+    "WITH " + _KR_GRAMS_FRAGMENT + ", "
+    "cuts AS (SELECT doc_id, p + 7 AS e FROM grams WHERE h % 64 = 0), "
+    "ends AS (SELECT doc_id, e FROM cuts "
+    "UNION ALL SELECT m.doc_id, length(m.s) AS e FROM meta m "
+    "WHERE NOT EXISTS (SELECT 1 FROM cuts c WHERE c.doc_id = m.doc_id "
+    "AND c.e = length(m.s)) "
+    "UNION ALL SELECT doc_id, length(s) AS e FROM norm "
+    "WHERE length(s) BETWEEN 1 AND 7), "
+    "ch AS (SELECT doc_id, e, "
+    "COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS st, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY e) AS ci FROM ends) "
+    "SELECT c.doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(st AS BIGINT) AS start, "
+    "CAST(c.e - st + 1 AS BIGINT) AS len, "
+    "md5(substr(n.s, CAST(st AS INT), CAST(c.e - st + 1 AS INT))) AS chunk_hash "
+    "FROM ch c JOIN norm n USING (doc_id)"
 )
 
 
@@ -1154,6 +1182,14 @@ def queries() -> dict:
         "dup_doc_fraction": lambda sf: text_analysis.dup_doc_fraction(sf),
         # SoftDeDup reweight-not-remove: 1/n_copies per exact-dup group
         "soft_dedup_weights": lambda sf: dedup.soft_dedup_weights(sf),
+        # lexical-diversity quality facet (type-token ratio)
+        "ttr_scores": text_analysis.ttr_scores,
+        # per-source PII scrub dashboard (driver-merged partials)
+        "pii_rates_by_source": lambda sf: text_analysis.pii_rates_by_source(sf),
+        # content-defined chunking (LBFS/FastCDC boundary gear over the
+        # winnow Karp-Rabin kernel) + its cross-doc dedup payoff view
+        "cdc_chunks": lambda sf: text_analysis.cdc_chunks(sf),
+        "cdc_dup_chunks": lambda sf: text_analysis.cdc_dup_chunks(sf),
         "fingerprints": text_analysis.fingerprints,
         # MOSS winnowing (Schleimer et al. SIGMOD'03): Karp-Rabin k-gram
         # hashes + rightmost-min window selection, oracle-exact
@@ -1940,6 +1976,41 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "SELECT t.doc_id, t.n_grams, COALESCE(d.n_dup, 0) AS n_dup, "
             "CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_grams AS dup_frac "
             "FROM tot t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id"
+        ),
+        # type-token ratio: one IEEE division per row on both sides
+        "ttr_scores": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(toks)) AS BIGINT) AS n_types, "
+            "CASE WHEN len(toks) > 0 THEN "
+            "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) "
+            "ELSE 0.0 END AS ttr FROM w"
+        ),
+        # per-source rollup of the redact_pii count kernels (RE2 both
+        # sides); pii_rate = one IEEE division per source
+        "pii_rates_by_source": (
+            "WITH p AS (SELECT source, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "+ len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b')) "
+            "+ len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "AS BIGINT) AS n_red FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(*) FILTER (WHERE n_red > 0) AS BIGINT) AS docs_with_pii, "
+            "CAST(sum(n_red) AS BIGINT) AS n_redactions, "
+            "CAST(count(*) FILTER (WHERE n_red > 0) AS DOUBLE) / count(*) AS pii_rate "
+            "FROM p GROUP BY source ORDER BY source"
+        ),
+        # content-defined chunking: shared Karp-Rabin CTE, cuts at
+        # h ≡ 0 (mod 64), lag() closes chunks, md5 per chunk substring
+        "cdc_chunks": _CDC_CHUNKS_CORE + " ORDER BY c.doc_id, chunk_idx",
+        "cdc_dup_chunks": (
+            "SELECT chunk_hash, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_occ "
+            "FROM (" + _CDC_CHUNKS_CORE + ") "
+            "GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2 "
+            "ORDER BY chunk_hash"
         ),
         # SoftDeDup: weight = one IEEE division per row on both sides
         "soft_dedup_weights": (

@@ -158,7 +158,9 @@ class TestOracleEquivalence:
          "curation_rates_by_source", "lm_doc_scores", "dsir_weights",
          "bm25_search", "entropy_scores", "source_divergence",
          "late_event_counts", "text_search_incr", "gopher_filters",
-         "blocklist_hits", "dup_doc_fraction", "soft_dedup_weights"],
+         "blocklist_hits", "dup_doc_fraction", "soft_dedup_weights",
+         "ttr_scores", "pii_rates_by_source", "cdc_chunks",
+         "cdc_dup_chunks"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -3956,3 +3958,112 @@ class TestCurationFilters:
         assert got.loc[1, "n_dup"] == 1 and got.loc[2, "n_dup"] == 1
         assert got.loc[3, "n_dup"] == 0 and got.loc[3, "dup_frac"] == 0.0
         assert ((got["dup_frac"] >= 0) & (got["dup_frac"] <= 1)).all()
+
+
+class TestCdcChunks:
+    """Content-defined chunking semantics pins (SQL equivalence is in
+    TestOracleEquivalence)."""
+
+    @staticmethod
+    def _write_docs(tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_chunks_tile_the_normalized_text(self, tmp_path):
+        from ocr_service_ray.analytics.hashing import md5_hex, normalize_text
+        from ocr_service_ray.analytics.text_analysis import cdc_chunks
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 8,
+            "tiny",          # < 8 normalized chars: one whole chunk
+            "",              # empty: no rows
+            "spark row key " * 30,
+        ]
+        d = self._write_docs(tmp_path, texts)
+        got = cdc_chunks(d).to_pandas().sort_values(["doc_id", "chunk_idx"])
+        assert 3 not in set(got["doc_id"])
+        for doc_id, text in ((1, texts[0]), (2, texts[1]), (4, texts[3])):
+            s = normalize_text(text)
+            g = got[got["doc_id"] == doc_id]
+            # chunk_idx is 1..k dense; chunks tile [1, len(s)] exactly
+            assert g["chunk_idx"].tolist() == list(range(1, len(g) + 1))
+            assert g["start"].iloc[0] == 1
+            assert (g["start"] + g["len"]).iloc[-1] == len(s) + 1
+            assert (
+                g["start"].iloc[1:].to_numpy()
+                == (g["start"] + g["len"]).iloc[:-1].to_numpy()
+            ).all()
+            # hashes are md5 of the exact substrings
+            for _, r in g.iterrows():
+                seg = s[r["start"] - 1 : r["start"] - 1 + r["len"]]
+                assert md5_hex(seg) == r["chunk_hash"]
+
+    def test_boundaries_shift_with_content(self, tmp_path, tmp_path_factory):
+        """The CDC property: prepending text only re-chunks the prefix —
+        chunk hashes after the first new boundary are preserved."""
+        from ocr_service_ray.analytics.text_analysis import _CDC_CACHE, cdc_chunks
+
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        d1 = self._write_docs(tmp_path, [base])
+        h1 = cdc_chunks(d1).to_pandas()["chunk_hash"].tolist()
+        _CDC_CACHE.clear()
+        d2 = self._write_docs(tmp_path_factory.mktemp("shifted"), ["PREFIX " + base])
+        h2 = cdc_chunks(d2).to_pandas()["chunk_hash"].tolist()
+        _CDC_CACHE.clear()
+        # all but the first chunk of the original survive the prepend
+        assert len(h1) > 2
+        assert set(h1[1:]).issubset(set(h2))
+
+    def test_dup_chunks_planted(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import (
+            _CDC_CACHE,
+            cdc_chunks,
+            cdc_dup_chunks,
+        )
+
+        # this string has cuts every 44 normalized chars (probed) — the
+        # "merge sort ..." vocab string has NONE (periodic 8-grams that
+        # all miss ≡0 mod 64), a nice reminder that CDC boundaries are
+        # content luck, not guarantees
+        shared = "the quick brown fox jumps over the lazy dog " * 6
+        texts = [shared + "alpha suffix one", shared + "beta ending two",
+                 "completely different unrelated content here now"]
+        d = self._write_docs(tmp_path, texts)
+        _CDC_CACHE.clear()
+        dup = cdc_dup_chunks(d)
+        assert dup.num_rows >= 1
+        nd = dup.column("n_docs").to_pylist()
+        assert all(x >= 2 for x in nd)
+        # the duplicated chunks really exist in both docs' chunk sets
+        chunks = cdc_chunks(d).to_pandas()
+        for h in dup.column("chunk_hash").to_pylist():
+            docs = set(chunks.loc[chunks["chunk_hash"] == h, "doc_id"])
+            assert len(docs) >= 2
+        _CDC_CACHE.clear()
+
+    def test_ttr_and_pii_rollup_consistency(self):
+        from ocr_service_ray.analytics.text_analysis import (
+            pii_rates_by_source,
+            redact_pii,
+            ttr_scores,
+        )
+
+        t = ttr_scores(SF).to_pandas()
+        assert ((t["ttr"] >= 0) & (t["ttr"] <= 1)).all()
+        assert (t["n_types"] <= t["n_tokens"]).all()
+        roll = pii_rates_by_source(SF).to_pandas()
+        red = redact_pii(SF).to_pandas()
+        # rollup totals must equal the per-doc scrub pass totals
+        assert roll["n_redactions"].sum() == red["n_redactions"].sum()
+        assert roll["n_docs"].sum() == len(red)
