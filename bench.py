@@ -161,6 +161,7 @@ def run_queries(num_cpus: int) -> dict:
             "pii_rates_by_source": lambda: text_analysis.pii_rates_by_source(sf_dir()),
             "cdc_chunks": lambda: text_analysis.cdc_chunks(sf_dir()),
             "cdc_dup_chunks": lambda: text_analysis.cdc_dup_chunks(sf_dir()),
+            "dedup_clean_docs": lambda: text_analysis.dedup_clean_docs(sf_dir()),
             "fingerprints": lambda: text_analysis.fingerprints(sf_dir()).materialize(),
             "winnow_fingerprints": lambda: text_analysis.winnow_fingerprints(sf_dir()).materialize(),
             "fingerprint_matches": lambda: text_analysis.fingerprint_matches(sf_dir()),

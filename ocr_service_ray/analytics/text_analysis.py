@@ -1376,6 +1376,71 @@ def dup_doc_fraction(sf_dir: str, n: int = 8) -> pa.Table:
     return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
 
 
+def dedup_clean_docs(sf_dir: str, n: int = 8) -> pa.Table:
+    """Exact-substring dedup with the REMOVAL applied (Lee et al. 2022's
+    actionable output): every token covered by any corpus-duplicated
+    word ``n``-gram window is cut, and the survivors re-join to the
+    cleaned document. Output ``(doc_id, clean_text, n_removed,
+    n_tokens)`` for EVERY document (cleaning operates on the lowercase
+    ``[a-z0-9]+`` token stream — the same normalization the dup-gram
+    table is built on; docs with < ``n`` tokens carry no windows and
+    pass through unchanged).
+
+    Distributed shape: the memoized ``dup_ngram_spans`` table (ONE
+    gram shuffle per process, shared with ``dup_doc_fraction``) is
+    broadcast once; the cleaning pass is stateless and vectorized per
+    batch — overlapping dup windows merge via a per-doc boolean
+    coverage mask, not interval arithmetic. Same broadcast-budget
+    posture and gram-keyed-shuffle fallback as ``dup_doc_fraction``.
+    """
+    dup = dup_ngram_spans(sf_dir, n)
+    dup_ref = ray.put(frozenset(dup.column("gram").to_pylist()))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        ids, texts_out, removed, ntoks = [], [], [], []
+        for d, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TERM.findall((text or "").lower())
+            L = len(toks)
+            cov = np.zeros(L, dtype=bool)
+            if L >= n:
+                for j in range(L - n + 1):
+                    if " ".join(toks[j:j + n]) in dset:
+                        cov[j:j + n] = True
+            ids.append(d)
+            texts_out.append(" ".join(t for t, c in zip(toks, cov) if not c))
+            removed.append(int(cov.sum()))
+            ntoks.append(L)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(texts_out, pa.string()),
+                "n_removed": pa.array(removed, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+            }
+        )
+
+    tables = [
+        t
+        for t in ray.get(
+            _docs(sf_dir).map_batches(clean, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_removed": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("doc_id", "ascending")])
+
+
 # trained merge tables shared by bpe_vocab / bpe_encode (the process-
 # cache pattern of _PAIRS_CACHE / _FP_CACHE: per-query timings are only
 # meaningful for the FIRST query of the family in a process)

@@ -1190,6 +1190,9 @@ def queries() -> dict:
         # winnow Karp-Rabin kernel) + its cross-doc dedup payoff view
         "cdc_chunks": lambda sf: text_analysis.cdc_chunks(sf),
         "cdc_dup_chunks": lambda sf: text_analysis.cdc_dup_chunks(sf),
+        # exact-substring dedup with the removal APPLIED (Lee et al.):
+        # cleaned token stream + per-doc removal counts
+        "dedup_clean_docs": lambda sf: text_analysis.dedup_clean_docs(sf),
         "fingerprints": text_analysis.fingerprints,
         # MOSS winnowing (Schleimer et al. SIGMOD'03): Karp-Rabin k-gram
         # hashes + rightmost-min window selection, oracle-exact
@@ -2011,6 +2014,35 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "FROM (" + _CDC_CHUNKS_CORE + ") "
             "GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2 "
             "ORDER BY chunk_hash"
+        ),
+        # dup-window coverage cut: windows of the dup_doc_fraction CTE
+        # exploded to token coverage, survivors re-joined in order
+        # (string_agg skips the NULLed covered tokens)
+        "dedup_clean_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "pos AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, len(t))) AS j FROM toks), "
+            "win AS (SELECT doc_id, t, "
+            "unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i FROM toks), "
+            "g AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram FROM win), "
+            "dup AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "dwin AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)), "
+            "cov AS (SELECT DISTINCT doc_id, i + o AS j FROM dwin, "
+            "LATERAL (SELECT unnest(generate_series(0, 7)) AS o) x), "
+            "kept AS (SELECT p.doc_id, p.j, p.t[p.j] AS tok, "
+            "c.j IS NOT NULL AS covered FROM pos p "
+            "LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.j = p.j), "
+            "agg AS (SELECT doc_id, "
+            "string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY j) "
+            "AS clean_text, "
+            "CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_removed, "
+            "CAST(count(*) AS BIGINT) AS n_tokens FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text, "
+            "COALESCE(a.n_removed, 0) AS n_removed, "
+            "COALESCE(a.n_tokens, 0) AS n_tokens "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
         ),
         # SoftDeDup: weight = one IEEE division per row on both sides
         "soft_dedup_weights": (

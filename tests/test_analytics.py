@@ -160,7 +160,7 @@ class TestOracleEquivalence:
          "late_event_counts", "text_search_incr", "gopher_filters",
          "blocklist_hits", "dup_doc_fraction", "soft_dedup_weights",
          "ttr_scores", "pii_rates_by_source", "cdc_chunks",
-         "cdc_dup_chunks"],
+         "cdc_dup_chunks", "dedup_clean_docs"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -4067,3 +4067,61 @@ class TestCdcChunks:
         # rollup totals must equal the per-doc scrub pass totals
         assert roll["n_redactions"].sum() == red["n_redactions"].sum()
         assert roll["n_docs"].sum() == len(red)
+
+
+class TestDedupCleanDocs:
+    def test_planted_dup_removed_and_pass_through(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.text_analysis import (
+            _DUP_GRAMS_CACHE,
+            dedup_clean_docs,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+        texts = [
+            shared + " one two three",
+            shared + " four five six",
+            "seven eight nine ten eleven twelve thirteen fourteen fifteen",
+            "tiny doc",
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        _DUP_GRAMS_CACHE.clear()
+        got = dedup_clean_docs(str(tmp_path)).to_pandas().set_index("doc_id")
+        _DUP_GRAMS_CACHE.clear()
+        # docs 1/2: the 8 shared-window tokens cut, suffix survives
+        assert got.loc[1, "clean_text"] == "one two three"
+        assert got.loc[2, "clean_text"] == "four five six"
+        assert got.loc[1, "n_removed"] == 8 and got.loc[1, "n_tokens"] == 11
+        # doc 3 has no corpus dup: identity pass-through of the token join
+        assert got.loc[3, "clean_text"] == texts[2]
+        assert got.loc[3, "n_removed"] == 0
+        # short doc: no windows, unchanged
+        assert got.loc[4, "clean_text"] == "tiny doc"
+
+    def test_consistent_with_dup_doc_fraction(self):
+        from ocr_service_ray.analytics.text_analysis import (
+            dedup_clean_docs,
+            dup_doc_fraction,
+        )
+
+        clean = dedup_clean_docs(SF).to_pandas().set_index("doc_id")
+        frac = dup_doc_fraction(SF).to_pandas().set_index("doc_id")
+        # removal count is a coverage superset of the dup-window count:
+        # zero dup windows <=> zero removals; covered tokens >= windows
+        joined = clean.join(frac, how="inner", rsuffix="_f")
+        assert ((joined["n_removed"] == 0) == (joined["n_dup"] == 0)).all()
+        assert (joined.loc[joined["n_dup"] > 0, "n_removed"] >= 8).all()
+        # token accounting: clean token count + removed == original
+        ntok_clean = clean["clean_text"].str.split().map(len)
+        ntok_clean[clean["clean_text"] == ""] = 0
+        assert ((ntok_clean + clean["n_removed"]) == clean["n_tokens"]).all()
