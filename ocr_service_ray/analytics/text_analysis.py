@@ -100,6 +100,34 @@ _GOPHER_MIN_WORDS = 30
 _GOPHER_MAX_WORDS = 100_000
 
 
+def _gopher_metrics(t: str | None) -> tuple:
+    """(n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits) —
+    the ONE implementation behind gopher_filters and curation_funnel
+    (single source of truth for the rule inputs)."""
+    t = t or ""
+    words = _TOKEN.findall(t)
+    nw = len(words)
+    return (
+        nw,
+        sum(len(w) for w in words) / nw if nw else 0.0,
+        sum(1 for w in words if _ALPHA.search(w)) / nw if nw else 0.0,
+        (t.count("#") + t.count("...")) / nw if nw else 0.0,
+        len(_GOPHER_STOPS.intersection(_TERM.findall(t.lower()))),
+    )
+
+
+def gopher_passed(t: str | None) -> bool:
+    """The gopher_filters conjunction for one document."""
+    nw, ml, af, sr, sh = _gopher_metrics(t)
+    return (
+        _GOPHER_MIN_WORDS <= nw <= _GOPHER_MAX_WORDS
+        and 3.0 <= ml <= 10.0
+        and af > 0.8
+        and sr <= 0.1
+        and sh >= 2
+    )
+
+
 def gopher_filters(sf_dir: str) -> "ray.data.Dataset":
     """Gopher/MassiveText repetition-free quality rules, one boolean per
     rule plus the conjunction (Rae et al. 2021, App. A1.1): word-count
@@ -117,18 +145,12 @@ def gopher_filters(sf_dir: str) -> "ray.data.Dataset":
         texts = batch.column("text").to_pylist()
         n_words_c, mean_len_c, alpha_c, sym_c, stop_c = [], [], [], [], []
         for t in texts:
-            t = t or ""
-            words = _TOKEN.findall(t)
-            nw = len(words)
+            nw, ml, af, sr, sh = _gopher_metrics(t)
             n_words_c.append(nw)
-            mean_len_c.append(sum(len(w) for w in words) / nw if nw else 0.0)
-            alpha_c.append(
-                sum(1 for w in words if _ALPHA.search(w)) / nw if nw else 0.0
-            )
-            sym_c.append(
-                (t.count("#") + t.count("...")) / nw if nw else 0.0
-            )
-            stop_c.append(len(_GOPHER_STOPS.intersection(_TERM.findall(t.lower()))))
+            mean_len_c.append(ml)
+            alpha_c.append(af)
+            sym_c.append(sr)
+            stop_c.append(sh)
         nw_arr = pa.array(n_words_c, pa.int64())
         ml_arr = pa.array(mean_len_c, pa.float64())
         al_arr = pa.array(alpha_c, pa.float64())
