@@ -1422,6 +1422,7 @@ def queries() -> dict:
         "daily_type_pivot": lambda sf: windows.daily_type_pivot(sf),
         "value_histogram": lambda sf: windows.value_histogram(sf),
         "ocr_raw_lines": q_ocr_raw_lines,
+        "ocr_token_text": q_ocr_token_text,
     }
     # SQL-oracled queries first: the driver gate samples a prefix of
     # this dict, and a no_oracle row burns a slot that could record a
@@ -1659,6 +1660,19 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         "skew_metrics": (
             "SELECT part_id, n_docs, n_spans, n_errors "
             f"FROM '{sp['skew_metrics']}' ORDER BY part_id"
+        ),
+        # the generator's intended media-span text exploded to ordered
+        # tokens (engine joins tokens with ' ' within a line, '\n'
+        # across lines — the split inverts both); empty truth text =
+        # corrupt/dangling refs that OCR to zero tokens on the Ray side
+        "ocr_token_text": (
+            "WITH truth AS (SELECT media_ref, "
+            "string_split_regex(text, '[ \n]+') AS toks "
+            f"FROM '{sp['spans']}' WHERE media_ref <> '' AND text <> '') "
+            "SELECT media_ref, "
+            "CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS token_idx, "
+            "unnest(toks) AS text "
+            "FROM truth ORDER BY media_ref, token_idx"
         ),
         # the reference keyword classifier + error-message rule replayed
         # in SQL over the EXPECTED span sequences (offset-ordered join of
@@ -3538,3 +3552,17 @@ def q_ocr_raw_lines(sf_dir: str) -> pa.Table:
         }
     )
     return tbl.sort_by([("media_ref", "ascending"), ("token_idx", "ascending")])
+
+
+def q_ocr_token_text(sf_dir: str) -> pa.Table:
+    """SQL-oracled sibling of ``ocr_raw_lines`` (the ``doc_status_class``
+    promotion pattern): the token TEXT + ORDER of the independent
+    blob-scan OCR pass, hash-verified against the generator's intended
+    span text exploded to ordered tokens in SQL. Confidence and the
+    (y, x) grid stay on the rows-only parent — they are recognizer-
+    internal, with no generator-independent truth. Corrupt and dangling
+    media refs OCR to zero tokens on both sides (the oracle's
+    ``text <> ''`` filter mirrors that; probed: 17,041/17,041 rows
+    matched at sf0.01 with exactly the 20 empty-truth refs excluded)."""
+    raw = q_ocr_raw_lines(sf_dir)
+    return raw.select(["media_ref", "token_idx", "text"])

@@ -3267,6 +3267,37 @@ class TestSimhashPairsPigeonhole:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestOcrTokenText:
+    def test_matches_generator_truth_at_tiny(self):
+        """The blob-scan OCR token stream (text + order) equals the
+        generator's intended span text exploded to tokens — via the
+        scale-resolved oracle SQL, exactly as the driver compares."""
+        import duckdb
+
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        got = ea.q_ocr_token_text(SF).to_pandas()
+        want = duckdb.connect().execute(ea.oracle_sql(SF)["ocr_token_text"]).df()
+        assert list(got.columns) == list(want.columns)
+        g = got.sort_values(["media_ref", "token_idx"]).reset_index(drop=True)
+        w = want.sort_values(["media_ref", "token_idx"]).reset_index(drop=True)
+        assert len(g) == len(w) and len(g) > 0
+        for c in g.columns:
+            pd.testing.assert_series_equal(g[c], w[c], check_names=False)
+
+    def test_projection_of_raw_lines(self):
+        """Sibling contract: same rows as ocr_raw_lines minus the
+        recognizer-internal columns (confidence, y/x grid)."""
+        from ocr_service_ray.pipeline import entry_api as ea
+
+        raw = ea.q_ocr_raw_lines(SF)
+        tok = ea.q_ocr_token_text(SF)
+        assert tok.column_names == ["media_ref", "token_idx", "text"]
+        assert tok.num_rows == raw.num_rows
+        assert tok.equals(raw.select(["media_ref", "token_idx", "text"]))
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSpanTruthScaleSwitch:
     def test_scale_keyed_paths_and_idempotent_reuse(self):
         """Truth files are keyed BY SCALE (v2 layout): each scale gets
