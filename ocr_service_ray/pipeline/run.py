@@ -211,7 +211,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Run the extraction pipeline")
     ap.add_argument("--corpus", default="/tmp/ocr_corpus", help="corpus root (docs/blobs/expected)")
     ap.add_argument("--out", default="/tmp/ocr_out")
-    ap.add_argument("--scale", default=None, choices=["tiny", "small", "medium", "bench"],
+    ap.add_argument("--scale", default=None,
+                    choices=["tiny", "small", "medium", "bench", "huge"],
                     help="generate the corpus at this scale first if missing")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--profile", default="default")
