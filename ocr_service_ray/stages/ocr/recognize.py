@@ -142,6 +142,25 @@ class TemplateBank:
             for j, i in enumerate(robust_idx):
                 out_chars[i] = chars[j]
                 scores[i] = subscores[j]
+            # satellite-prune retry: a salt cluster whose pixels all have
+            # >= 2 8-neighbors survives despeckle(min_neighbors=2), and
+            # when it sits within the 3 px column-merge tolerance of a
+            # glyph it contaminates the patch — the crop box inflates and
+            # _embed_centered misaligns the glyph body beyond the +-1 px
+            # shift search (seen: a comma's 9x9 crop became 10x14 and
+            # XOR-matched "." 21 vs "," 39). Only glyphs the robust pass
+            # scored poorly are retried, and the pruned result replaces
+            # the original only when it scores strictly better.
+            for i in robust_idx:
+                if scores[i] >= _RETRY_SCORE:
+                    continue
+                pruned = _prune_satellites(patches[i], self.scale)
+                if pruned is None:
+                    continue
+                ch2, sc2 = self._match_robust([pruned])
+                if sc2[0] > scores[i]:
+                    out_chars[i] = ch2[0]
+                    scores[i] = float(sc2[0])
         return "".join(out_chars), scores
 
     def _match_fast(self, patch: np.ndarray) -> str | None:
@@ -376,6 +395,88 @@ def recognize_page(
                 )
             )
     return words
+
+
+# score below which a robust-matched glyph earns a satellite-prune retry;
+# clean and variant-matched glyphs score >= ~0.95 (XOR residue of a few
+# noise flips over ~100 ink px), so the gate only fires on genuinely
+# degraded patches and the hot path never pays for the retry
+_RETRY_SCORE = 0.9
+
+
+def _prune_satellites(patch: np.ndarray, scale: int) -> np.ndarray | None:
+    """Drop sub-stroke noise satellites OUTSIDE the glyph body's bbox.
+
+    The harm mechanism is alignment: a satellite beyond the dominant
+    component's bounding box inflates the crop, so the centered embedding
+    shifts the glyph body past the +-1 px search. Only such components
+    are pruned, and only when they are sub-stroke-sized (< scale*scale
+    ink). Ragged fragments of a real glyph (rotation-resampling splits)
+    lie inside or touching the body's bbox and are NEVER dropped —
+    dropping interior ink systematically favors simpler glyph classes
+    (a de-fragmented "R" reads "P"; seen at bench scale). Returns the
+    re-cropped patch, or None when nothing qualifies.
+    """
+    m = np.asarray(patch, dtype=bool)
+    comps = _components8(m)
+    if len(comps) < 2:
+        return None
+    sizes = np.array([int(c.sum()) for c in comps])
+    small = scale * scale
+    if sizes.max() < 4 * small:
+        return None
+    main = comps[int(sizes.argmax())]
+    rows = np.flatnonzero(main.any(axis=1))
+    cols = np.flatnonzero(main.any(axis=0))
+    r0, r1, c0, c1 = rows[0], rows[-1], cols[0], cols[-1]
+
+    def outside_bbox(c: np.ndarray) -> bool:
+        rr = np.flatnonzero(c.any(axis=1))
+        cc = np.flatnonzero(c.any(axis=0))
+        return rr[-1] < r0 or rr[0] > r1 or cc[-1] < c0 or cc[0] > c1
+
+    merged = np.zeros_like(m)
+    dropped = 0
+    for c, s in zip(comps, sizes):
+        if s < small and outside_bbox(c):
+            dropped += 1
+        else:
+            merged |= c
+    if dropped == 0:
+        return None
+    return _crop_patch(_crop_to_ink(merged).astype(patch.dtype))
+
+
+def _components8(m: np.ndarray) -> list[np.ndarray]:
+    """8-connected components of a small boolean mask (flood fill by
+    dilation — patches are glyph-sized, and this only runs on the rare
+    low-score retry path)."""
+    remaining = m.copy()
+    comps: list[np.ndarray] = []
+    while remaining.any():
+        seed = np.argwhere(remaining)[0]
+        comp = np.zeros_like(m)
+        comp[seed[0], seed[1]] = True
+        n = 1
+        while True:
+            comp = _dilate8(comp) & m
+            n2 = int(comp.sum())
+            if n2 == n:
+                break
+            n = n2
+        comps.append(comp)
+        remaining &= ~comp
+    return comps
+
+
+def _dilate8(m: np.ndarray) -> np.ndarray:
+    p = np.zeros((m.shape[0] + 2, m.shape[1] + 2), dtype=bool)
+    p[1:-1, 1:-1] = m
+    out = m.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out |= p[1 + dy : 1 + dy + m.shape[0], 1 + dx : 1 + dx + m.shape[1]]
+    return out
 
 
 def _crop_patch(patch: np.ndarray) -> np.ndarray:

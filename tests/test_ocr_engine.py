@@ -91,6 +91,79 @@ class TestRecognition:
         assert all(t["confidence"] >= 0.35 for t in toks)
 
 
+class TestSatellitePrune:
+    """A salt cluster whose pixels all keep >= 2 8-neighbors survives
+    despeckle(min_neighbors=2); when it lands within the 3 px column-merge
+    tolerance of a glyph it inflates the crop box and misaligns the
+    centered embedding beyond the +-1 px shift search. Found at huge
+    scale (2/262,144 docs): a comma with an attached 3-px cluster
+    XOR-matched "." (21) over "," (39). The matcher now retries
+    low-score glyphs with sub-stroke satellites pruned."""
+
+    def _comma_patch_with_satellite(self):
+        from ocr_service_ray.stages.ocr import glyphs as G
+
+        comma = G.glyph_bank(G.RENDER_SCALE)[","]  # 21x15, ink rows 12-20
+        crop_r = np.flatnonzero(comma.any(axis=1))
+        crop_c = np.flatnonzero(comma.any(axis=0))
+        body = comma[crop_r[0] : crop_r[-1] + 1, crop_c[0] : crop_c[-1] + 1]
+        h, w = body.shape  # 9x9 at scale 3
+        # embed with a 3-px L-shaped salt cluster 3 blank cols to the
+        # right of the comma head (the despeckle-stable shape observed)
+        patch = np.zeros((h + 1, w + 5), dtype=body.dtype)
+        patch[1:, :w] = body
+        patch[0, w + 3] = patch[0, w + 4] = patch[1, w + 4] = 1
+        return patch
+
+    def test_contaminated_comma_reads_comma(self, engine):
+        patch = self._comma_patch_with_satellite()
+        text, scores = engine.bank.match_patches([patch])
+        assert text == ","
+        assert scores[0] > 0.9
+
+    def test_prune_drops_only_substroke_satellites(self):
+        from ocr_service_ray.stages.ocr.recognize import _prune_satellites
+
+        patch = self._comma_patch_with_satellite()
+        pruned = _prune_satellites(patch, 3)
+        assert pruned is not None
+        assert int(pruned.sum()) == int(patch.sum()) - 3  # satellite gone
+        # single-component patch: nothing prunable
+        assert _prune_satellites(pruned, 3) is None
+        # ":" is two legitimate stroke-sized components — must NOT prune
+        from ocr_service_ray.stages.ocr import glyphs as G
+
+        colon = G.glyph_bank(G.RENDER_SCALE)[":"]
+        assert _prune_satellites(colon, 3) is None
+
+    def test_prune_never_drops_interior_fragments(self):
+        """A sub-stroke fragment INSIDE the main component's bbox is real
+        glyph ink shed by rotation resampling, not a crop-inflating
+        satellite — pruning it de-fragments the glyph toward a simpler
+        class (an "R" missing a leg fragment reads "P"; seen at bench
+        scale before the bbox guard)."""
+        from ocr_service_ray.stages.ocr import glyphs as G
+        from ocr_service_ray.stages.ocr.recognize import _prune_satellites
+
+        r = G.glyph_bank(G.RENDER_SCALE)["R"].copy()
+        # carve a 2-px moat around one interior ink pixel cluster to make
+        # it a separate small component inside the body's bbox
+        ys, xs = (r > 0).nonzero()
+        cy, cx = int(ys.mean()), int(xs.mean())
+        r[cy - 2 : cy + 3, cx - 2 : cx + 3] = 0
+        r[cy, cx] = 1  # 1-px interior island, well under scale*scale
+        assert _prune_satellites(r, 3) is None
+
+    def test_components8_diagonal_connectivity(self):
+        from ocr_service_ray.stages.ocr.recognize import _components8
+
+        m = np.zeros((4, 4), dtype=bool)
+        m[0, 0] = m[1, 1] = True  # diagonal touch -> one component
+        m[3, 3] = True  # isolated -> second component
+        comps = _components8(m)
+        assert sorted(int(c.sum()) for c in comps) == [1, 2]
+
+
 class TestYGrouping:
     # greedy running-centroid semantics of /root/reference/app/ocr_engine.py:334-354
     def _tok(self, y, x, text="t"):
