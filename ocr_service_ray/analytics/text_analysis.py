@@ -1241,6 +1241,13 @@ def distinctive_terms(sf_dir: str, top_k: int = 3) -> pa.Table:
 # (the _PAIRS_CACHE / _FP_CACHE pattern).
 _DUP_GRAMS_CACHE: dict[tuple, pa.Table] = {}
 
+# Combined-partial row count under which a single driver-side np.unique
+# merge replaces the distributed gram-keyed groupby (whose sort shuffle
+# has seconds of fixed overhead regardless of size). ~5M rows of
+# (gram, int64, int64) is a few hundred MB — well inside driver heap;
+# a 100-TB corpus blows past this and takes the shuffle leg.
+_DRIVER_MERGE_MAX_ROWS = 5_000_000
+
 
 def dup_ngram_spans(sf_dir: str, n: int = 8) -> pa.Table:
     cached = _DUP_GRAMS_CACHE.get((sf_dir, n))
@@ -1297,21 +1304,51 @@ def _dup_ngram_spans_impl(sf_dir: str, n: int) -> pa.Table:
             }
         )
 
+    partials = [
+        t
+        for t in ray.get(
+            _docs(sf_dir).map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_occ": pa.array([], pa.int64()),
+        }
+    )
+    if not partials:
+        return empty
+    tbl = pa.concat_tables(partials)
+    if tbl.num_rows <= _DRIVER_MERGE_MAX_ROWS:
+        # Small-side fast path: the per-batch-combined partials fit the
+        # driver comfortably, and Ray's sort-based groupby costs ~8s of
+        # fixed shuffle overhead on a table this small. One vectorized
+        # np.unique merge replaces the shuffle; past the threshold the
+        # distributed gram-keyed groupby below is the same plan at scale.
+        grams = np.asarray(tbl.column("gram").to_pylist(), dtype=object)
+        u, inv = np.unique(grams, return_inverse=True)
+        nd_s = np.zeros(len(u), np.int64)
+        np.add.at(nd_s, inv, tbl.column("n_docs").to_numpy(zero_copy_only=False))
+        no_s = np.zeros(len(u), np.int64)
+        np.add.at(no_s, inv, tbl.column("n_occ").to_numpy(zero_copy_only=False))
+        keep = nd_s >= 2
+        return pa.table(
+            {
+                "gram": pa.array(u[keep], pa.string()),
+                "n_docs": pa.array(nd_s[keep], pa.int64()),
+                "n_occ": pa.array(no_s[keep], pa.int64()),
+            }
+        ).sort_by([("gram", "ascending")])
     agg = (
-        _docs(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
+        ray.data.from_arrow(partials)
         .groupby("gram")
         .sum(["n_docs", "n_occ"])
     )
     tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
     if not tables:
-        return pa.table(
-            {
-                "gram": pa.array([], pa.string()),
-                "n_docs": pa.array([], pa.int64()),
-                "n_occ": pa.array([], pa.int64()),
-            }
-        )
+        return empty
     tbl = pa.concat_tables(tables)
     nd = tbl.column("sum(n_docs)").to_numpy(zero_copy_only=False)
     keep = nd >= 2

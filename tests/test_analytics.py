@@ -4156,3 +4156,14 @@ class TestDedupCleanDocs:
         ntok_clean = clean["clean_text"].str.split().map(len)
         ntok_clean[clean["clean_text"] == ""] = 0
         assert ((ntok_clean + clean["n_removed"]) == clean["n_tokens"]).all()
+
+    def test_driver_merge_and_shuffle_legs_identical(self, monkeypatch):
+        from ocr_service_ray.analytics import text_analysis as ta
+
+        ta._DUP_GRAMS_CACHE.clear()
+        merged = ta.dup_ngram_spans(SF)
+        ta._DUP_GRAMS_CACHE.clear()
+        monkeypatch.setattr(ta, "_DRIVER_MERGE_MAX_ROWS", 0)
+        shuffled = ta.dup_ngram_spans(SF)
+        ta._DUP_GRAMS_CACHE.clear()
+        assert merged.equals(shuffled)
