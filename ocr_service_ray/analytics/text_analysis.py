@@ -3092,3 +3092,328 @@ def source_divergence(sf_dir: str) -> pa.Table:
             ),
         }
     ).sort_by([("source", "ascending")])
+
+
+def ccnet_buckets(sf_dir: str) -> pa.Table:
+    """CCNet head/middle/tail corpus bucketing (Wenzek et al., LREC
+    2020): train a PER-LANGUAGE add-one-smoothed bigram LM, score every
+    document under its own language's LM (the in-corpus analog of
+    CCNet's per-language KenLM), then split each language's documents
+    into perplexity tertiles — ``head`` (most fluent third, lowest
+    perplexity = highest mean log-prob), ``middle``, ``tail``. The
+    bucket column is the published curation knob: train on head+middle,
+    drop or down-weight tail.
+
+    Exactness: per-bigram contributions use the ``lm_doc_scores``
+    int64 fixed-point contract (floor(ln(p) * 2^20), math.log == DuckDB
+    ln bit-for-bit), so per-doc integer sums are order-free; the mean
+    log-prob double is the identical IEEE expression both sides; the
+    tertile is SQL ``ntile(3) OVER (PARTITION BY lang ORDER BY
+    avg_logprob DESC, doc_id)`` — a deterministic total order — with
+    DuckDB's ntile row-allocation (first n%k buckets get one extra row)
+    replicated exactly.
+
+    Ray shape: ONE (lang, bigram)-keyed groupby over in-batch np.unique
+    count partials trains all per-lang LMs in a single shuffle (the
+    ``source_divergence`` composite-key pattern); the reduced TYPE
+    table is Zipf-bounded per language, contributions quantize on the
+    driver (memoized per distinct (c_bg, c_left, V_lang) triple) and
+    broadcast once via ray.put; the score pass streams the corpus
+    through the searchsorted+reduceat kernel. The tertile is the
+    ``value_ntiles`` rank-assignment shape on the PER-DOC score table
+    (one row per doc — 8 bytes x a few columns, not the corpus): one
+    range-partition sort on (lang, -avg, doc_id), a metadata-only pass
+    collecting per-block per-lang ROW COUNTS (never scores), per-lang
+    prefix offsets on the driver (O(blocks x langs) state), then one
+    vectorized bucket-assignment task per block. At 10^12 docs the
+    score-table sort is the one unavoidable all-to-all; everything
+    else is streaming or metadata.
+    """
+    import math
+
+    import ray
+
+    from .hashing import split_words
+
+    def gram_batch(batch: pa.Table):
+        ids: list = []
+        langs: list[str] = []
+        keys: list[str] = []
+        lens: list[int] = []
+        for doc_id, lang, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("lang").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            words = split_words(text)
+            n = max(0, len(words) - 1)
+            if n == 0:
+                continue
+            ids.append(doc_id)
+            langs.append(lang)
+            lens.append(n)
+            keys.extend(f"{lang}\x00{a} {b}" for a, b in zip(words, words[1:]))
+        return ids, langs, keys, lens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, keys, _ = gram_batch(batch)
+        if not keys:
+            return pa.table(
+                {"lb": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "lb": pa.array(list(uniq), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby("lb").sum("n")
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "logprob_fp": pa.array([], pa.int64()),
+            "avg_logprob": pa.array([], pa.float64()),
+            "bucket": pa.array([], pa.string()),
+        }
+    )
+    if not tables:
+        return empty
+    lm = pa.concat_tables(tables)
+    lb = lm.column("lb").to_pylist()
+    cbg = lm.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+    lm_langs = np.asarray([k.split("\x00", 1)[0] for k in lb], dtype=object)
+    grams = np.asarray([k.split("\x00", 1)[1] for k in lb], dtype=object)
+    lefts = np.asarray(
+        [f"{lg}\x00{g.split(' ', 1)[0]}" for lg, g in zip(lm_langs, grams)],
+        dtype=object,
+    )
+    rights = np.asarray(
+        [f"{lg}\x00{g.split(' ', 1)[1]}" for lg, g in zip(lm_langs, grams)],
+        dtype=object,
+    )
+    uls, linv = np.unique(lefts, return_inverse=True)
+    cl_per_left = np.zeros(len(uls), np.int64)
+    np.add.at(cl_per_left, linv, cbg)
+    cl = cl_per_left[linv]
+    # per-lang right-word vocabulary V
+    ulangs, lang_inv = np.unique(lm_langs, return_inverse=True)
+    v_per_lang = np.zeros(len(ulangs), np.int64)
+    ur = np.unique(rights)
+    ur_langs = np.asarray([k.split("\x00", 1)[0] for k in ur], dtype=object)
+    rl, rc = np.unique(ur_langs, return_counts=True)
+    v_per_lang[np.searchsorted(ulangs, rl)] = rc
+    v = v_per_lang[lang_inv]
+    triple = np.stack([cbg, cl, v], axis=1)
+    utriple, tinv = np.unique(triple, axis=0, return_inverse=True)
+    ufp = np.fromiter(
+        (
+            math.floor(math.log((int(a) + 1) / (int(b) + int(c))) * _LM_FP)
+            for a, b, c in utriple
+        ),
+        np.int64,
+        count=len(utriple),
+    )
+    fp = ufp[tinv]
+    keys_arr = np.asarray(lb, dtype=object)
+    order = np.argsort(keys_arr, kind="stable")
+    lm_ref = ray.put((keys_arr[order], fp[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, fps = ray.get(lm_ref)
+        ids, langs, gkeys, lens = gram_batch(batch)
+        if not ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "logprob_fp": pa.array([], pa.int64()),
+                    "avg_logprob": pa.array([], pa.float64()),
+                    "neg_avg": pa.array([], pa.float64()),
+                }
+            )
+        flat = np.asarray(gkeys, dtype=object)
+        contrib = fps[np.searchsorted(keys, flat)]
+        starts = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))[:-1]))
+        sums = np.add.reduceat(contrib, starts)
+        n = np.asarray(lens, np.int64)
+        avg = sums.astype(np.float64) / n.astype(np.float64) / _LM_FP
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_bigrams": pa.array(n, pa.int64()),
+                "logprob_fp": pa.array(sums.astype(np.int64), pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+                # ascending-sort key for DESC score order (avg < 0
+                # always — ln p < 0 — so no -0.0 ambiguity)
+                "neg_avg": pa.array(-avg, pa.float64()),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    refs = scored.sort(["lang", "neg_avg", "doc_id"]).to_arrow_refs()
+
+    @ray.remote
+    def block_lang_runs(tbl: pa.Table):
+        """Metadata only: ordered (lang, count) runs of this block."""
+        if tbl.num_rows == 0 or "lang" not in tbl.column_names:
+            return []
+        langs = np.asarray(tbl.column("lang").to_pylist(), dtype=object)
+        change = np.flatnonzero(langs[1:] != langs[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(langs)]))
+        return [(str(langs[s]), int(e - s)) for s, e in zip(starts, ends)]
+
+    runs_per_block = ray.get([block_lang_runs.remote(r) for r in refs])
+    n_per_lang: dict = {}
+    offsets_per_block: list = []
+    for runs in runs_per_block:
+        offs = []
+        for lang, cnt in runs:
+            offs.append(n_per_lang.get(lang, 0))
+            n_per_lang[lang] = n_per_lang.get(lang, 0) + cnt
+        offsets_per_block.append(offs)
+    if not n_per_lang:
+        return empty
+    names = np.asarray(["head", "middle", "tail"], dtype=object)
+
+    @ray.remote
+    def assign(tbl: pa.Table, runs, offs) -> pa.Table:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.column_names:
+            return empty
+        bucket = np.empty(tbl.num_rows, np.int64)
+        pos = 0
+        for (lang, cnt), off in zip(runs, offs):
+            nl = n_per_lang[lang]
+            base, rem = divmod(nl, 3)
+            boundary = rem * (base + 1)
+            r = off + np.arange(cnt, dtype=np.int64)
+            if base == 0:
+                b = r  # fewer rows than buckets: row i -> bucket i+1
+            else:
+                small = np.maximum(r - boundary, 0)
+                b = np.where(r < boundary, r // (base + 1), rem + small // base)
+            bucket[pos : pos + cnt] = b
+            pos += cnt
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "lang": tbl.column("lang"),
+                "n_bigrams": tbl.column("n_bigrams"),
+                "logprob_fp": tbl.column("logprob_fp"),
+                "avg_logprob": tbl.column("avg_logprob"),
+                "bucket": pa.array(names[np.minimum(bucket, 2)], pa.string()),
+            }
+        )
+
+    parts = ray.get(
+        [
+            assign.remote(ref, runs, offs)
+            for ref, runs, offs in zip(refs, runs_per_block, offsets_per_block)
+        ]
+    )
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).sort_by([("doc_id", "ascending")])
+
+
+def quality_classifier(sf_dir: str, n_buckets: int = 4096) -> pa.Table:
+    """Hashed-feature linear quality classifier APPLY — the fastText /
+    CCNet quality-model serving shape (Joulin et al. 2017: bag of
+    hashed unigram+bigram features -> linear layer). Here the weight
+    vector is a deterministic md5-derived stand-in (the sandbox has no
+    trained model; what is being exercised is the APPLY plan: vectorized
+    feature hashing, weight-table lookup, per-doc reduction, threshold
+    label), so the whole stage is SQL-reproducible and hash-verified —
+    swap ``weights`` for real trained weights and nothing else changes.
+
+        feature set  f(doc) = word unigrams + word bigrams (occurrences)
+        bucket(f)    = md5-lower64(f) % n_buckets
+        weight(b)    = (md5-lower64('qw:' || b) % 2001) - 1000
+        score_fp     = sum over occurrences of weight(bucket(f))
+        label        = 'keep' if score_fp >= 0 else 'discard'
+
+    Exactness: md5-lower64 == DuckDB ``md5_number_lower`` (the
+    ``cms_token_counts`` precedent), integer weights sum order-free,
+    and ``avg_weight`` is one shared IEEE division — hash-exact vs the
+    SQL oracle.
+
+    Ray shape: ONE stateless streaming ``map_batches`` pass — no
+    shuffle at all. The 8-byte x ``n_buckets`` weight table is built
+    once on the driver and ships inside the task closure (at a real
+    model's 2M buckets, move it to ``ray.put`` + per-actor fetch, the
+    broadcast-small-side pattern); per batch the flat feature list is
+    hashed by the vectorized single-block numpy MD5 and reduced with
+    np.add.reduceat. Trivially linear at 10^12 docs.
+    """
+    import ray
+
+    from .hashing import md5_hash_tokens, split_words
+
+    weights = (
+        md5_hash_tokens([f"qw:{b}" for b in range(n_buckets)]) % np.uint64(2001)
+    ).astype(np.int64) - 1000
+    nb = np.uint64(n_buckets)
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_feats": pa.array([], pa.int64()),
+            "score_fp": pa.array([], pa.int64()),
+            "avg_weight": pa.array([], pa.float64()),
+            "label": pa.array([], pa.string()),
+        }
+    )
+
+    def apply(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        feats: list[str] = []
+        lens: list[int] = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = split_words(text)
+            if not words:
+                continue
+            ids.append(doc_id)
+            lens.append(len(words) + max(0, len(words) - 1))
+            feats.extend(words)
+            feats.extend(f"{a} {b}" for a, b in zip(words, words[1:]))
+        if not ids:
+            return empty
+        contrib = weights[(md5_hash_tokens(feats) % nb).astype(np.int64)]
+        # reduceat needs per-doc runs contiguous: regroup (uni then bi
+        # per doc is already contiguous — feats appends per doc)
+        starts = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))[:-1]))
+        sums = np.add.reduceat(contrib, starts)
+        n = np.asarray(lens, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_feats": pa.array(n, pa.int64()),
+                "score_fp": pa.array(sums.astype(np.int64), pa.int64()),
+                "avg_weight": pa.array(
+                    sums.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+                "label": pa.array(
+                    np.where(sums >= 0, "keep", "discard").astype(object),
+                    pa.string(),
+                ),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(apply, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return empty
+    return pa.concat_tables(tbls).sort_by([("doc_id", "ascending")])

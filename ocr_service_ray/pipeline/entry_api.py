@@ -1318,6 +1318,14 @@ def queries() -> dict:
         # DSIR importance-resampling log-weights toward the lang='en'
         # target slice (Xie et al. 2023), same fixed-point contract
         "dsir_weights": lambda sf: text_analysis.dsir_weights(sf),
+        # CCNet head/middle/tail bucketing: per-LANGUAGE bigram LM +
+        # per-lang perplexity tertiles (distributed ntile on the
+        # per-doc score table; Wenzek et al. 2020)
+        "ccnet_buckets": lambda sf: text_analysis.ccnet_buckets(sf),
+        # fastText-style hashed-feature linear classifier APPLY
+        # (md5-derived deterministic weights -> SQL-exact; one
+        # shuffle-free streaming pass)
+        "quality_classifier": lambda sf: text_analysis.quality_classifier(sf),
         # per-doc word-entropy quality signal (Gopher-rule family),
         # fixed-point c*ln(c) sums -> order-free and SQL-hash-exact
         "entropy_scores": lambda sf: text_analysis.entropy_scores(sf),
@@ -3005,6 +3013,44 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "CAST(sum(c.fp) AS BIGINT) AS logweight_fp, "
             "CAST(sum(c.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1048576.0 AS avg_logweight "
             "FROM u JOIN contrib c ON u.wd = c.wd GROUP BY 1 ORDER BY u.doc_id"
+        ),
+        # CCNet tertiles: per-lang LM via (lang,bigram) grain, then
+        # ntile(3) over the deterministic (avg DESC, doc_id) order —
+        # same fixed-point ln contract as lm_doc_scores
+        "ccnet_buckets": (
+            "WITH w AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), "
+            "g AS (SELECT doc_id, lang, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2 AND words[1] <> ''), "
+            "b AS (SELECT doc_id, lang, words[i] AS w1, words[i+1] AS w2, words[i] || ' ' || words[i+1] AS bg FROM g), "
+            "cb AS (SELECT lang, bg, min(w1) AS w1, count(*) AS cbg FROM b GROUP BY 1, 2), "
+            "cl AS (SELECT lang, w1, count(*) AS c FROM b GROUP BY 1, 2), "
+            "v AS (SELECT lang, count(DISTINCT w2) AS vv FROM b GROUP BY 1), "
+            "contrib AS (SELECT cb.lang, cb.bg, CAST(floor(ln(CAST(cb.cbg + 1 AS DOUBLE) / CAST(cl.c + v.vv AS DOUBLE)) * 1048576.0) AS BIGINT) AS fp "
+            "FROM cb JOIN cl ON cl.lang = cb.lang AND cl.w1 = cb.w1 JOIN v ON v.lang = cb.lang), "
+            "s AS (SELECT b.doc_id, b.lang, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(c2.fp) AS BIGINT) AS logprob_fp, "
+            "CAST(sum(c2.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1048576.0 AS avg_logprob "
+            "FROM b JOIN contrib c2 ON c2.lang = b.lang AND c2.bg = b.bg GROUP BY 1, 2), "
+            "t AS (SELECT s.*, ntile(3) OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS nt FROM s) "
+            "SELECT doc_id, lang, n_bigrams, logprob_fp, avg_logprob, "
+            "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM t ORDER BY doc_id"
+        ),
+        # hashed-feature linear scorer: md5_number_lower both for the
+        # feature bucket and the bucket's weight (cms precedent)
+        "quality_classifier": (
+            "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), "
+            "nz AS (SELECT doc_id, words FROM w WHERE len(words) >= 1 AND words[1] <> ''), "
+            "uni AS (SELECT doc_id, unnest(words) AS f FROM nz), "
+            "bi AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS f FROM "
+            "(SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM nz WHERE len(words) >= 2)), "
+            "feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi), "
+            "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+            "CAST(sum(CAST(md5_number_lower('qw:' || CAST(md5_number_lower(f) % 4096 AS VARCHAR)) % 2001 AS BIGINT) - 1000) AS BIGINT) AS score_fp "
+            "FROM feats GROUP BY 1) "
+            "SELECT doc_id, n_feats, score_fp, "
+            "CAST(score_fp AS DOUBLE) / CAST(n_feats AS DOUBLE) AS avg_weight, "
+            "CASE WHEN score_fp >= 0 THEN 'keep' ELSE 'discard' END AS label "
+            "FROM sc ORDER BY doc_id"
         ),
         # per-doc Shannon word entropy: fixed-point c*ln(c) integer sums
         # (order-free), final entropy is one shared IEEE expression

@@ -160,7 +160,8 @@ class TestOracleEquivalence:
          "late_event_counts", "text_search_incr", "gopher_filters",
          "blocklist_hits", "dup_doc_fraction", "soft_dedup_weights",
          "ttr_scores", "pii_rates_by_source", "cdc_chunks",
-         "cdc_dup_chunks", "dedup_clean_docs"],
+         "cdc_dup_chunks", "dedup_clean_docs", "ccnet_buckets",
+         "quality_classifier"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -3536,6 +3537,190 @@ class TestLmQualityOps:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), oracle.reset_index(drop=True)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCcnetQualityClassifier:
+    """ccnet_buckets (per-lang LM + perplexity tertiles) and
+    quality_classifier (hashed-feature linear apply): pure-Python naive
+    references, the DuckDB oracle on adversarial fixtures, and ntile
+    allocation semantics."""
+
+    TEXTS = [
+        "",                                # no words -> dropped
+        "solo",                            # 1 word -> no bigram -> dropped
+        "a b", "a a a a", "x Y  z\t x y Z",
+        "the quick brown fox " * 5,
+        "\u00e9\u20ac \u03b2\u03b3 \u03b4\u03b4 \u00e9\u20ac \u03b2\u03b3",
+        "b a b c b a",
+        "m n o p q", "n o p m q", "q r s t m",          # 3-way en tie pool
+        "zz yy", "one two three", "same same same",
+    ]
+    LANGS = ["en", "de", "en", "fr", "en", "de", "zh", "en",
+             "en", "en", "en", "de", "en", "en"]
+
+    def _write_docs(self, tmp_path, texts, langs):
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        return str(tmp_path)
+
+    def _oracle(self, sf, name):
+        from ocr_service_ray.pipeline import entry_api
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        return con.execute(entry_api.oracle_sql()[name]).df()
+
+    @staticmethod
+    def _naive_ccnet(texts, langs):
+        import math
+        from collections import Counter
+
+        from ocr_service_ray.analytics.hashing import split_words
+
+        bg: Counter = Counter()
+        for t, lg in zip(texts, langs):
+            ws = split_words(t)
+            bg.update((lg, a, b) for a, b in zip(ws, ws[1:]))
+        cl: Counter = Counter()
+        for (lg, w1, _), c in bg.items():
+            cl[(lg, w1)] += c
+        vset: dict = {}
+        for lg, _, w2 in bg:
+            vset.setdefault(lg, set()).add(w2)
+        rows = {}
+        for d, (t, lg) in enumerate(zip(texts, langs)):
+            ws = split_words(t)
+            grams = list(zip(ws, ws[1:]))
+            if not grams:
+                continue
+            s = sum(
+                math.floor(
+                    math.log(
+                        (bg[(lg, a, b)] + 1) / (cl[(lg, a)] + len(vset[lg]))
+                    )
+                    * 1048576
+                )
+                for a, b in grams
+            )
+            rows[d] = (lg, len(grams), s, s / len(grams) / 1048576.0)
+        # per-lang ntile(3) over (avg DESC, doc_id)
+        by_lang: dict = {}
+        for d, (lg, n, s, avg) in rows.items():
+            by_lang.setdefault(lg, []).append((-avg, d))
+        buckets = {}
+        names = ["head", "middle", "tail"]
+        for lg, members in by_lang.items():
+            members.sort()
+            n = len(members)
+            base, rem = divmod(n, 3)
+            boundary = rem * (base + 1)
+            for r, (_, d) in enumerate(members):
+                if base == 0:
+                    b = r
+                elif r < boundary:
+                    b = r // (base + 1)
+                else:
+                    b = rem + (r - boundary) // base
+                buckets[d] = names[min(b, 2)]
+        return rows, buckets
+
+    def test_ccnet_buckets_naive_and_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import ccnet_buckets
+
+        sf = self._write_docs(tmp_path, self.TEXTS, self.LANGS)
+        got = ccnet_buckets(sf).to_pandas()
+        want, buckets = self._naive_ccnet(self.TEXTS, self.LANGS)
+        assert list(got["doc_id"]) == sorted(want)
+        for _, r in got.iterrows():
+            lg, n, s, avg = want[r["doc_id"]]
+            assert (r["lang"], r["n_bigrams"], r["logprob_fp"]) == (lg, n, s)
+            assert r["avg_logprob"] == avg
+            assert r["bucket"] == buckets[r["doc_id"]]
+        oracle = self._oracle(sf, "ccnet_buckets")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
+        # ntile allocation: en has 8 scored docs -> 3/3/2 tertiles
+        en = got[got["lang"] == "en"]
+        sizes = en["bucket"].value_counts()
+        assert (sizes["head"], sizes["middle"], sizes["tail"]) == (3, 3, 2)
+        # the boilerplate-repeat de doc must land in its lang's head
+        assert got[got["doc_id"] == 5]["bucket"].iloc[0] == "head"
+
+    def test_ccnet_buckets_degenerate_langs(self, tmp_path):
+        """Languages with fewer docs than buckets: ntile gives each row
+        its own bucket, in score order."""
+        from ocr_service_ray.analytics.text_analysis import ccnet_buckets
+
+        texts = ["a b c", "a b a b", "x y"]
+        langs = ["fr", "fr", "zh"]
+        sf = self._write_docs(tmp_path, texts, langs)
+        got = ccnet_buckets(sf).to_pandas()
+        oracle = self._oracle(sf, "ccnet_buckets")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
+        zh = got[got["lang"] == "zh"]
+        assert list(zh["bucket"]) == ["head"]
+        fr = set(got[got["lang"] == "fr"]["bucket"])
+        assert fr == {"head", "middle"}
+
+    @staticmethod
+    def _naive_quality(texts):
+        import hashlib
+
+        from ocr_service_ray.analytics.hashing import split_words
+
+        def md5_low(s):
+            return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+        rows = {}
+        for d, t in enumerate(texts):
+            ws = split_words(t)
+            if not ws:
+                continue
+            feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            s = sum(
+                (md5_low(f"qw:{md5_low(f) % 4096}") % 2001) - 1000 for f in feats
+            )
+            rows[d] = (
+                len(feats),
+                s,
+                s / len(feats),
+                "keep" if s >= 0 else "discard",
+            )
+        return rows
+
+    def test_quality_classifier_naive_and_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import quality_classifier
+
+        sf = self._write_docs(tmp_path, self.TEXTS, self.LANGS)
+        got = quality_classifier(sf).to_pandas()
+        want = self._naive_quality(self.TEXTS)
+        assert list(got["doc_id"]) == sorted(want)
+        for _, r in got.iterrows():
+            n, s, avg, label = want[r["doc_id"]]
+            assert (r["n_feats"], r["score_fp"], r["label"]) == (n, s, label)
+            assert r["avg_weight"] == avg
+        oracle = self._oracle(sf, "quality_classifier")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), oracle.reset_index(drop=True)
+        )
+        # both labels occur on this fixture (score signs split)
+        assert set(got["label"]) <= {"keep", "discard"}
 
 
 @pytest.mark.usefixtures("ray_session")
