@@ -167,6 +167,9 @@ def run_queries(num_cpus: int) -> dict:
             "fingerprint_matches": lambda: text_analysis.fingerprint_matches(sf_dir()),
             "lm_doc_scores": lambda: text_analysis.lm_doc_scores(sf_dir()),
             "dsir_weights": lambda: text_analysis.dsir_weights(sf_dir()),
+            "ccnet_buckets": lambda: text_analysis.ccnet_buckets(sf_dir()),
+            "dsir_sample": lambda: text_analysis.dsir_sample(sf_dir()),
+            "quality_classifier": lambda: text_analysis.quality_classifier(sf_dir()),
             "bm25_search": lambda: __import__("ocr_service_ray.analytics.text_index", fromlist=["bm25_search"]).bm25_search(sf_dir()),
             "pricing_summary": lambda: relational.pricing_summary(sf_dir()),
             "orders_by_nation": lambda: relational.orders_by_nation(sf_dir()),

@@ -2711,8 +2711,12 @@ def lm_doc_scores(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tbls).sort_by([("doc_id", "ascending")])
 
 
-def dsir_weights(sf_dir: str, target_lang: str = "en") -> pa.Table:
-    """DSIR importance-resampling log-weights (Xie et al., NeurIPS
+def _dsir_scored(sf_dir: str, target_lang: str = "en"):
+    """Shared DSIR scoring passes — returns ``(scored Dataset | None,
+    empty-schema table)``; ``dsir_weights`` materializes it per doc and
+    ``dsir_sample`` reduces it to a top-k without materializing.
+
+    DSIR importance-resampling log-weights (Xie et al., NeurIPS
     2023): score every document by how much more likely its unigrams
     are under the TARGET distribution (here the ``target_lang`` slice —
     the in-corpus analog of DSIR's Wikipedia-vs-CommonCrawl setup) than
@@ -2811,7 +2815,7 @@ def dsir_weights(sf_dir: str, target_lang: str = "en") -> pa.Table:
         }
     )
     if not tables:
-        return empty
+        return None, empty
     vocab_tbl = pa.concat_tables(tables)
     words = np.asarray(vocab_tbl.column("word").to_pylist(), dtype=object)
     n_raw = vocab_tbl.column("sum(n_raw)").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2858,11 +2862,106 @@ def dsir_weights(sf_dir: str, target_lang: str = "en") -> pa.Table:
             }
         )
 
-    out = docs.map_batches(score, batch_format="pyarrow")
+    return docs.map_batches(score, batch_format="pyarrow"), empty
+
+
+def dsir_weights(sf_dir: str, target_lang: str = "en") -> pa.Table:
+    """Per-doc DSIR importance log-weights — the full scored table
+    (see ``_dsir_scored`` for the algorithm, exactness contract and
+    Ray shape)."""
+    import ray
+
+    out, empty = _dsir_scored(sf_dir, target_lang)
+    if out is None:
+        return empty
     tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     if not tbls:
         return empty
     return pa.concat_tables(tbls).sort_by([("doc_id", "ascending")])
+
+
+def dsir_sample(
+    sf_dir: str, target_lang: str = "en", k: int = 64, seed: int = 42
+) -> pa.Table:
+    """DSIR importance RESAMPLING — the apply step of Xie et al. 2023:
+    draw the ``k`` documents to keep, with probability proportional to
+    the importance weight w(doc) = exp(log w), via the Gumbel-top-k
+    trick (Kool et al., ICML 2019): key(doc) = log w(doc) + G(doc)
+    with G standard Gumbel noise; the k largest keys are an exact
+    without-replacement sample ∝ w. The noise is DETERMINISTIC —
+    G = -ln(-ln(u)) with u = (md5-lower64(doc_id || ':dsir:' || seed)
+    + 1) / 2^64 — so the draw is reproducible and SQL-reproducible
+    (md5_number_lower + the same IEEE double chain; ln is libm ==
+    DuckDB ln bit-for-bit, the lm_doc_scores grid pin).
+
+    Ray shape: the shared ``_dsir_scored`` streaming pass (one
+    word-TYPE groupby + broadcast contribution map), then a per-batch
+    Gumbel-key top-k partial — each batch emits at most k candidate
+    rows, the union of per-batch top-ks provably contains the global
+    top-k — merged on the driver (O(batches × k) state). No global
+    sort, no per-doc materialization. The two libm ln calls per doc
+    are the exactness cost; at 10^12 docs swap them for np.log (1-ulp
+    drift, irrelevant to a sampling decision) or pre-quantized Gumbel
+    tables if the selection boundary need not be bit-stable.
+    """
+    import math
+
+    import ray
+
+    from .hashing import md5_hash_tokens
+
+    out, _ = _dsir_scored(sf_dir, target_lang)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "logweight_fp": pa.array([], pa.int64()),
+            "gumbel_key": pa.array([], pa.float64()),
+        }
+    )
+    if out is None:
+        return empty
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = (
+            batch.column("logweight_fp")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_hash_tokens([f"{d}:dsir:{seed}" for d in ids])
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        logw = fp.astype(np.float64) / _LM_FP
+
+        def lnln(x: float) -> float:
+            t = -math.log(x)  # x in (0,1] -> t >= 0; t == 0 only at the
+            return math.log(t) if t > 0.0 else -math.inf  # 2^-53 u==1 edge
+
+        g = logw - np.fromiter((lnln(x) for x in u), np.float64, count=len(u))
+        order = np.lexsort((ids, -g))[: int(k)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_tokens": pa.array(n[order], pa.int64()),
+                "logweight_fp": pa.array(fp[order], pa.int64()),
+                "gumbel_key": pa.array(g[order], pa.float64()),
+            }
+        )
+
+    cands = out.map_batches(topk_partial, batch_format="pyarrow")
+    tbls = [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return empty
+    merged = pa.concat_tables(tbls)
+    ids = merged.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    g = merged.column("gumbel_key").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -g))[: int(k)]
+    return merged.take(pa.array(np.sort(order))).sort_by(
+        [("doc_id", "ascending")]
+    )
 
 
 def entropy_scores(sf_dir: str) -> pa.Table:

@@ -1318,6 +1318,10 @@ def queries() -> dict:
         # DSIR importance-resampling log-weights toward the lang='en'
         # target slice (Xie et al. 2023), same fixed-point contract
         "dsir_weights": lambda sf: text_analysis.dsir_weights(sf),
+        # DSIR resampling APPLY: deterministic Gumbel-top-k draw
+        # proportional to exp(log w) (Kool et al. 2019) — per-batch
+        # top-k partials, driver merge, no global sort
+        "dsir_sample": lambda sf: text_analysis.dsir_sample(sf),
         # CCNet head/middle/tail bucketing: per-LANGUAGE bigram LM +
         # per-lang perplexity tertiles (distributed ntile on the
         # per-doc score table; Wenzek et al. 2020)
@@ -3013,6 +3017,20 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "CAST(sum(c.fp) AS BIGINT) AS logweight_fp, "
             "CAST(sum(c.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1048576.0 AS avg_logweight "
             "FROM u JOIN contrib c ON u.wd = c.wd GROUP BY 1 ORDER BY u.doc_id"
+        ),
+        # Gumbel-top-k resample over the dsir CTEs: the noise is the
+        # identical md5->double->ln chain both sides
+        "dsir_sample": (
+            "WITH w AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), "
+            "u AS (SELECT doc_id, lang, unnest(words) AS wd FROM w WHERE len(words) >= 1 AND words[1] <> ''), "
+            "cr AS (SELECT wd, count(*) AS c_raw, count(*) FILTER (WHERE lang = 'en') AS c_tgt FROM u GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS nr, CAST(sum(c_tgt) AS BIGINT) AS nt, count(*) AS vv FROM cr), "
+            "contrib AS (SELECT cr.wd, CAST(floor((ln(CAST(cr.c_tgt + 1 AS DOUBLE) / CAST(tot.nt + tot.vv AS DOUBLE)) - ln(CAST(cr.c_raw + 1 AS DOUBLE) / CAST(tot.nr + tot.vv AS DOUBLE))) * 1048576.0) AS BIGINT) AS fp FROM cr CROSS JOIN tot), "
+            "sc AS (SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(c.fp) AS BIGINT) AS logweight_fp FROM u JOIN contrib c ON u.wd = c.wd GROUP BY 1), "
+            "keys AS (SELECT doc_id, n_tokens, logweight_fp, "
+            "CAST(logweight_fp AS DOUBLE) / 1048576.0 - ln(-ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':dsir:42') AS DOUBLE) + 1.0) / 18446744073709551616.0)) AS gumbel_key FROM sc) "
+            "SELECT doc_id, n_tokens, logweight_fp, gumbel_key FROM keys "
+            "ORDER BY gumbel_key DESC, doc_id LIMIT 64"
         ),
         # CCNet tertiles: per-lang LM via (lang,bigram) grain, then
         # ntile(3) over the deterministic (avg DESC, doc_id) order —

@@ -161,7 +161,7 @@ class TestOracleEquivalence:
          "blocklist_hits", "dup_doc_fraction", "soft_dedup_weights",
          "ttr_scores", "pii_rates_by_source", "cdc_chunks",
          "cdc_dup_chunks", "dedup_clean_docs", "ccnet_buckets",
-         "quality_classifier"],
+         "quality_classifier", "dsir_sample"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -3537,6 +3537,125 @@ class TestLmQualityOps:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), oracle.reset_index(drop=True)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsirSample:
+    """dsir_sample (Gumbel-top-k importance resampling apply): naive
+    pure-Python reference, the DuckDB oracle, and proportionality
+    sanity (heavier weights are sampled first in expectation)."""
+
+    TEXTS = [
+        "aa bb cc dd", "bb cc dd ee", "aa aa aa", "zz yy xx",
+        "the and of is with", "el la los las es", "aa bb", "cc dd ee",
+        "the the the and and", "mixed aa the bb and",
+    ]
+    LANGS = ["en", "de", "en", "fr", "en", "es", "en", "de", "en", "en"]
+
+    def _write_docs(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(self.TEXTS))), pa.int64()),
+                    "text": pa.array(self.TEXTS, pa.string()),
+                    "lang": pa.array(self.LANGS, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        return str(tmp_path)
+
+    @staticmethod
+    def _naive(texts, langs, k, seed=42, target="en"):
+        import hashlib
+        import math
+        from collections import Counter
+
+        from ocr_service_ray.analytics.hashing import split_words
+
+        raw, tgt = Counter(), Counter()
+        for t, lang in zip(texts, langs):
+            ws = split_words(t)
+            raw.update(ws)
+            if lang == target:
+                tgt.update(ws)
+        v, nr, nt = len(raw), sum(raw.values()), sum(tgt.values())
+        rows = []
+        for d, t in enumerate(texts):
+            ws = split_words(t)
+            if not ws:
+                continue
+            s = sum(
+                math.floor(
+                    (math.log((tgt[w] + 1) / (nt + v))
+                     - math.log((raw[w] + 1) / (nr + v))) * 1048576
+                )
+                for w in ws
+            )
+            h = int.from_bytes(
+                hashlib.md5(f"{d}:dsir:{seed}".encode()).digest()[8:16], "little"
+            )
+            u = (float(h) + 1.0) / 18446744073709551616.0
+            g = s / 1048576.0 - math.log(-math.log(u))
+            rows.append((d, len(ws), s, g))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        return rows[:k]
+
+    def test_dsir_sample_naive_and_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import dsir_sample
+        from ocr_service_ray.pipeline import entry_api
+
+        sf = self._write_docs(tmp_path)
+        got = dsir_sample(sf, k=4).to_pandas()
+        want = self._naive(self.TEXTS, self.LANGS, k=4)
+        assert sorted(got["doc_id"]) == sorted(d for d, *_ in want)
+        by_id = {d: (n, s, g) for d, n, s, g in want}
+        for _, r in got.iterrows():
+            n, s, g = by_id[r["doc_id"]]
+            assert (r["n_tokens"], r["logweight_fp"]) == (n, s)
+            assert r["gumbel_key"] == g
+        # oracle (k=64 > n docs -> all scored docs, same key chain)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want64 = con.execute(entry_api.oracle_sql()["dsir_sample"]).df()
+        got64 = dsir_sample(sf).to_pandas()
+        g = got64.sort_values("doc_id").reset_index(drop=True)
+        w = want64.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+    def test_dsir_sample_is_topk_of_weights_plus_noise(self, tmp_path):
+        """The sample is EXACTLY the k largest (logw + Gumbel) keys of
+        the dsir_weights table — pins the partial-topk merge."""
+        from ocr_service_ray.analytics.text_analysis import (
+            dsir_sample,
+            dsir_weights,
+        )
+
+        sf = self._write_docs(tmp_path)
+        full = dsir_weights(sf).to_pandas()
+        got = dsir_sample(sf, k=3).to_pandas()
+        assert len(got) == 3
+        assert set(got["doc_id"]) <= set(full["doc_id"])
+        # recompute keys for every doc and check the chosen set matches
+        import hashlib
+        import math
+
+        keys = {}
+        for _, r in full.iterrows():
+            h = int.from_bytes(
+                hashlib.md5(f"{int(r['doc_id'])}:dsir:42".encode()).digest()[8:16],
+                "little",
+            )
+            u = (float(h) + 1.0) / 18446744073709551616.0
+            keys[int(r["doc_id"])] = (
+                r["logweight_fp"] / 1048576.0 - math.log(-math.log(u))
+            )
+        top3 = sorted(keys, key=lambda d: (-keys[d], d))[:3]
+        assert sorted(got["doc_id"]) == sorted(top3)
 
 
 @pytest.mark.usefixtures("ray_session")
