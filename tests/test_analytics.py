@@ -3797,6 +3797,32 @@ class TestCcnetQualityClassifier:
         fr = set(got[got["lang"] == "fr"]["bucket"])
         assert fr == {"head", "middle"}
 
+    def test_ccnet_buckets_block_boundary_invariance(self, tmp_path):
+        """Tertile assignment must be invariant to sort-block layout:
+        force tiny blocks so lang runs straddle block boundaries and
+        the per-block offset bookkeeping is actually exercised."""
+        import ray.data
+
+        from ocr_service_ray.analytics.text_analysis import ccnet_buckets
+
+        rng = np.random.default_rng(7)
+        words = ["w%d" % i for i in range(50)]
+        texts, langs = [], []
+        for d in range(150):
+            n = int(rng.integers(2, 12))
+            texts.append(" ".join(words[int(i)] for i in rng.integers(0, 50, n)))
+            langs.append(["en", "de", "fr"][d % 3])
+        sf = self._write_docs(tmp_path, texts, langs)
+        ctx = ray.data.DataContext.get_current()
+        old = ctx.target_max_block_size
+        ctx.target_max_block_size = 4096
+        try:
+            got = ccnet_buckets(sf).to_pandas().reset_index(drop=True)
+        finally:
+            ctx.target_max_block_size = old
+        oracle = self._oracle(sf, "ccnet_buckets")
+        pd.testing.assert_frame_equal(got, oracle.reset_index(drop=True))
+
     @staticmethod
     def _naive_quality(texts):
         import hashlib
