@@ -158,3 +158,34 @@ class TestVectorizedNorm:
                  for _ in range(2000)]
         got = _norm_text_arrow(pa.array(cases, pa.string())).to_pylist()
         assert got == [norm_text(c) for c in cases]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJobSubmitEntry:
+    """jobs/run_extract.py — the ray-job-submit driver: same pipeline,
+    cluster-attach handled by env, corpus generation refused."""
+
+    def _main(self):
+        import importlib.util
+        import pathlib
+
+        path = pathlib.Path(__file__).parent.parent / "jobs" / "run_extract.py"
+        spec = importlib.util.spec_from_file_location("jobs_run_extract", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.main
+
+    def test_job_entry_runs_and_verifies(self, tiny_corpus, tmp_path):
+        out = str(tmp_path / "job_out")
+        root = os.path.dirname(tiny_corpus["docs"])
+        rc = self._main()(
+            ["--corpus", root, "--out", out, "--no-resume", "--verify"]
+        )
+        assert rc == 0
+        assert storage.committed_parts(out)
+
+    def test_job_entry_refuses_missing_corpus(self, tmp_path):
+        rc = self._main()(
+            ["--corpus", str(tmp_path / "nope"), "--out", str(tmp_path / "o")]
+        )
+        assert rc == 2
