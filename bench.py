@@ -169,6 +169,7 @@ def run_queries(num_cpus: int) -> dict:
             "dsir_weights": lambda: text_analysis.dsir_weights(sf_dir()),
             "ccnet_buckets": lambda: text_analysis.ccnet_buckets(sf_dir()),
             "dsir_sample": lambda: text_analysis.dsir_sample(sf_dir()),
+            "source_overlap": lambda: text_analysis.source_overlap(sf_dir()),
             "quality_classifier": lambda: text_analysis.quality_classifier(sf_dir()),
             "bm25_search": lambda: __import__("ocr_service_ray.analytics.text_index", fromlist=["bm25_search"]).bm25_search(sf_dir()),
             "pricing_summary": lambda: relational.pricing_summary(sf_dir()),

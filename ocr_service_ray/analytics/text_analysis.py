@@ -3516,3 +3516,103 @@ def quality_classifier(sf_dir: str, n_buckets: int = 4096) -> pa.Table:
     if not tbls:
         return empty
     return pa.concat_tables(tbls).sort_by([("doc_id", "ascending")])
+
+
+def source_overlap(sf_dir: str) -> pa.Table:
+    """Cross-source vocabulary overlap — the corpus-comparison view of
+    a WIMBD-style audit (Elazar et al., 2024): for every unordered pair
+    of sources, the exact word-TYPE intersection size and Jaccard
+    similarity. High overlap between two crawls flags redundant
+    acquisition; near-zero overlap flags a domain outlier. Pairs with
+    zero shared words are emitted too (a dashboard needs the zeros).
+
+    Exactness: all counts are integers from one distinct-(source,word)
+    reduction; ``jaccard`` is one shared IEEE division — hash-exact vs
+    the SQL oracle.
+
+    Ray shape: in-batch np.unique distinct partials -> ONE
+    (source,word)-keyed groupby (the ``source_divergence`` composite-key
+    pattern); the reduced table is Zipf-bounded x S sources and lands
+    on the driver, where per-word source BITMASKS collapse it to a
+    histogram of distinct masks (driver pair math is O(distinct_masks
+    x S^2), S = #sources). Web-scale: keep the same first shuffle but
+    fold the bitmask OR into an AggregateFn and reduce the mask
+    HISTOGRAM per block so the driver never sees the word table —
+    O(2^S) state, with S bounded by catalog design.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .hashing import split_words
+
+        keys: list[str] = []
+        for source, text in zip(
+            batch.column("source").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w in set(split_words(text)):
+                keys.append(f"{source}\x00{w}")
+        if not keys:
+            return pa.table(
+                {"sk": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq = np.unique(np.asarray(keys, dtype=object))
+        return pa.table(
+            {
+                "sk": pa.array(list(uniq), pa.string()),
+                "n": pa.array(np.ones(len(uniq), np.int64), pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby("sk").sum("n")
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_words_a": pa.array([], pa.int64()),
+            "n_words_b": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not tables:
+        return empty
+    sk = pa.concat_tables(tables).column("sk").to_pylist()
+    srcs = np.asarray([k.split("\x00", 1)[0] for k in sk], dtype=object)
+    words = np.asarray([k.split("\x00", 1)[1] for k in sk], dtype=object)
+    usrc, sinv = np.unique(srcs, return_inverse=True)
+    s = len(usrc)
+    if s < 2:
+        return empty
+    if s > 64:
+        raise ValueError(f"source_overlap: bitmask path supports <= 64 sources, got {s}")
+    uw, winv = np.unique(words, return_inverse=True)
+    mask = np.zeros(len(uw), np.uint64)
+    np.bitwise_or.at(mask, winv, np.uint64(1) << sinv.astype(np.uint64))
+    umask, mcount = np.unique(mask, return_counts=True)
+    bits = (umask[:, None] >> np.arange(s, dtype=np.uint64)[None, :]) & np.uint64(1)
+    per_source = (bits * mcount[:, None]).sum(axis=0).astype(np.int64)
+    rows = {k: [] for k in empty.column_names}
+    for i in range(s):
+        for j in range(i + 1, s):
+            both = ((bits[:, i] & bits[:, j]) * mcount).sum()
+            na, nb = int(per_source[i]), int(per_source[j])
+            rows["source_a"].append(str(usrc[i]))
+            rows["source_b"].append(str(usrc[j]))
+            rows["n_words_a"].append(na)
+            rows["n_words_b"].append(nb)
+            rows["n_shared"].append(int(both))
+            rows["jaccard"].append(float(both) / float(na + nb - both))
+    return pa.table(
+        {
+            "source_a": pa.array(rows["source_a"], pa.string()),
+            "source_b": pa.array(rows["source_b"], pa.string()),
+            "n_words_a": pa.array(rows["n_words_a"], pa.int64()),
+            "n_words_b": pa.array(rows["n_words_b"], pa.int64()),
+            "n_shared": pa.array(rows["n_shared"], pa.int64()),
+            "jaccard": pa.array(rows["jaccard"], pa.float64()),
+        }
+    )

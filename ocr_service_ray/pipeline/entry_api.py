@@ -1318,6 +1318,9 @@ def queries() -> dict:
         # DSIR importance-resampling log-weights toward the lang='en'
         # target slice (Xie et al. 2023), same fixed-point contract
         "dsir_weights": lambda sf: text_analysis.dsir_weights(sf),
+        # WIMBD-style cross-source vocabulary overlap (exact pairwise
+        # type Jaccard; zero-overlap pairs included)
+        "source_overlap": lambda sf: text_analysis.source_overlap(sf),
         # DSIR resampling APPLY: deterministic Gumbel-top-k draw
         # proportional to exp(log w) (Kool et al. 2019) — per-batch
         # top-k partials, driver merge, no global sort
@@ -3017,6 +3020,20 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "CAST(sum(c.fp) AS BIGINT) AS logweight_fp, "
             "CAST(sum(c.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1048576.0 AS avg_logweight "
             "FROM u JOIN contrib c ON u.wd = c.wd GROUP BY 1 ORDER BY u.doc_id"
+        ),
+        # exact pairwise source-vocabulary Jaccard; the distinct
+        # (source,word) CTE mirrors the Ray reduction
+        "source_overlap": (
+            "WITH w AS (SELECT source, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words FROM documents), "
+            "u AS (SELECT DISTINCT source, wd FROM (SELECT source, unnest(words) AS wd FROM w WHERE len(words) >= 1 AND words[1] <> '')), "
+            "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM u GROUP BY 1), "
+            "inter AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_shared FROM u a JOIN u b ON a.wd = b.wd AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT p.sa AS source_a, p.sb AS source_b, p.na AS n_words_a, p.nb AS n_words_b, "
+            "CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared, "
+            "CAST(COALESCE(i.n_shared, 0) AS DOUBLE) / CAST(p.na + p.nb - COALESCE(i.n_shared, 0) AS DOUBLE) AS jaccard "
+            "FROM (SELECT x.source AS sa, y.source AS sb, x.nv AS na, y.nv AS nb FROM sizes x JOIN sizes y ON x.source < y.source) p "
+            "LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb "
+            "ORDER BY source_a, source_b"
         ),
         # Gumbel-top-k resample over the dsir CTEs: the noise is the
         # identical md5->double->ln chain both sides

@@ -161,7 +161,7 @@ class TestOracleEquivalence:
          "blocklist_hits", "dup_doc_fraction", "soft_dedup_weights",
          "ttr_scores", "pii_rates_by_source", "cdc_chunks",
          "cdc_dup_chunks", "dedup_clean_docs", "ccnet_buckets",
-         "quality_classifier", "dsir_sample"],
+         "quality_classifier", "dsir_sample", "source_overlap"],
     )
     def test_query_matches_oracle(self, con, name):
         from ocr_service_ray.pipeline import entry_api
@@ -3537,6 +3537,72 @@ class TestLmQualityOps:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), oracle.reset_index(drop=True)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceOverlap:
+    """source_overlap (cross-source vocabulary Jaccard): naive set
+    reference, zero-overlap pairs included, DuckDB oracle."""
+
+    def _write(self, tmp_path, texts, sources):
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        return str(tmp_path)
+
+    def test_source_overlap_naive_and_oracle(self, tmp_path):
+        from ocr_service_ray.analytics.hashing import split_words
+        from ocr_service_ray.analytics.text_analysis import source_overlap
+        from ocr_service_ray.pipeline import entry_api
+
+        texts = [
+            "aa bb cc", "bb cc dd",          # s0
+            "cc dd ee", "",                   # s1 (shares cc dd with s0)
+            "zz yy",                          # s2 (disjoint from s0/s1)
+            "aa zz",                          # s3 (bridges s0 and s2)
+        ]
+        sources = ["s0", "s0", "s1", "s1", "s2", "s3"]
+        sf = self._write(tmp_path, texts, sources)
+        got = source_overlap(sf).to_pandas()
+        # naive sets
+        vocab: dict = {}
+        for t_, s_ in zip(texts, sources):
+            vocab.setdefault(s_, set()).update(split_words(t_))
+        srcs = sorted(vocab)
+        assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+        for _, r in got.iterrows():
+            va, vb = vocab[r["source_a"]], vocab[r["source_b"]]
+            inter, union = len(va & vb), len(va | vb)
+            assert (r["n_words_a"], r["n_words_b"], r["n_shared"]) == (
+                len(va), len(vb), inter
+            )
+            assert r["jaccard"] == float(inter) / float(union)
+        # the disjoint pair is present with zero overlap
+        z = got[(got["source_a"] == "s1") & (got["source_b"] == "s2")]
+        assert len(z) == 1 and z["n_shared"].iloc[0] == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = con.execute(entry_api.oracle_sql()["source_overlap"]).df()
+        g = got.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+        w = want.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+    def test_source_overlap_single_source_empty(self, tmp_path):
+        from ocr_service_ray.analytics.text_analysis import source_overlap
+
+        sf = self._write(tmp_path, ["aa bb"], ["only"])
+        assert source_overlap(sf).num_rows == 0
 
 
 @pytest.mark.usefixtures("ray_session")
