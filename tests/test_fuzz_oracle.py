@@ -158,6 +158,12 @@ DOC_QUERIES = [
     "bm25_search", "text_search_incr",
     "token_canonical_map", "skyline_docs", "dataset_mixture",
     "table_checksum", "vocab_coverage", "dataset_card", "shuffle_shards",
+    # round-5 additions over the plain documents table
+    "gopher_filters", "blocklist_hits", "ttr_scores",
+    "pii_rates_by_source", "cdc_chunks", "cdc_dup_chunks",
+    "dedup_clean_docs", "soft_dedup_weights", "dup_doc_fraction",
+    "ccnet_buckets", "quality_classifier", "dsir_sample",
+    "source_overlap",
 ]
 
 TPCH_QUERIES = [
@@ -268,7 +274,7 @@ def _gen_tpch(rng: np.random.Generator, d: str) -> None:
 
 EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
                "ann_topk_quantized", "knn_join", "dbscan_clusters",
-               "embedding_drift"]
+               "embedding_drift", "ann_lsh_topk"]
 
 
 @pytest.mark.usefixtures("ray_session")
