@@ -126,6 +126,7 @@ EVENT_QUERIES = [
     "funnel_counts", "user_journeys", "props_k_stats", "purchaser_clicks",
     "approx_distinct_users", "approx_quantiles_kmv",
     "purchaser_clicks_salted", "purchaser_clicks_auto",
+    "purchaser_clicks_bloom",
     "user_purchase_error_profile", "rolling_active_users",
     "top_values_with_ties", "throttled_events", "event_transitions",
     "debounced_events", "interval_coverage", "item_cooccurrence",
@@ -163,7 +164,8 @@ DOC_QUERIES = [
     "pii_rates_by_source", "cdc_chunks", "cdc_dup_chunks",
     "dedup_clean_docs", "soft_dedup_weights", "dup_doc_fraction",
     "ccnet_buckets", "quality_classifier", "dsir_sample",
-    "source_overlap",
+    "source_overlap", "cross_snapshot_neardup",
+    "docs_in_char_range", "docs_in_char_lang_box",
 ]
 
 TPCH_QUERIES = [
@@ -274,7 +276,8 @@ def _gen_tpch(rng: np.random.Generator, d: str) -> None:
 
 EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
                "ann_topk_quantized", "knn_join", "dbscan_clusters",
-               "embedding_drift", "ann_lsh_topk"]
+               "embedding_drift", "ann_lsh_topk", "ann_topk_filtered",
+               "ann_ivf_exhaustive", "graph_pagerank"]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -344,6 +347,7 @@ class TestFuzzOracle:
         rng = np.random.default_rng(seed)
         d = tempfile.mkdtemp(prefix=f"fuzz_emb_{seed}_")
         pq.write_table(_gen_embeddings(rng), f"{d}/embeddings.parquet")
+        pq.write_table(_gen_documents(rng, n=40), f"{d}/documents.parquet")
         self._run(d, EMB_QUERIES)
 
 
