@@ -147,6 +147,9 @@ def run_queries(num_cpus: int) -> dict:
             "knn_join": lambda: similarity.knn_join(sf_dir()),
             "triangle_count": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["triangle_count"]).triangle_count(sf_dir()),
             "graph_pagerank": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_pagerank"]).graph_pagerank(sf_dir()),
+            "graph_hits": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_hits"]).graph_hits(sf_dir()),
+            "embedding_components": lambda: dedup.embedding_components(sf_dir()),
+            "sorted_neighborhood_pairs": lambda: dedup.sorted_neighborhood_pairs(sf_dir()),
             "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),
             "ann_lsh_topk": lambda: similarity.lsh_topk(sf_dir()),
             "lang_id": lambda: text_analysis.lang_id(sf_dir()).materialize(),

@@ -933,6 +933,57 @@ def neardup_clusters(sf_dir: str, stats: dict | None = None, **lsh_kwargs) -> pa
     ).sort_by([("doc_id", "ascending")])
 
 
+def embedding_components(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """Single-linkage embedding clustering: connected components over
+    the cosine-threshold pair graph — the cluster-ASSIGNMENT step the
+    ``embedding_neardup`` pair list feeds (the vector-space analog of
+    ``neardup_clusters``, which assigns over text-shingle pairs).
+    Returns one row per VECTOR: (vec_id, cluster_rep) with cluster_rep
+    = min vec_id of the component; a vector with no threshold neighbor
+    is its own singleton cluster.
+
+    Distributed shape — pure composition of two existing scale shapes:
+    the exact block-pair cosine join (``embedding_neardup_pairs``,
+    object-store block refs, driver holds only the pair list) feeds the
+    BSP min-label-propagation components of ``neardup_clusters`` (every
+    step a Ray groupby, label table bounded by pair MEMBERS); the full-
+    domain fill is a broadcast map — the assignment dict is
+    O(pair members) = O(duplicate rate), ``ray.put`` once, and the
+    embeddings id column streams through a vectorized lookup, so no
+    corpus-sized driver state and no extra shuffle.
+    """
+    pairs = embedding_neardup_pairs(sf_dir, threshold)
+    cc = neardup_clusters(
+        sf_dir,
+        pairs=pa.table(
+            {"doc_a": pairs.column("vec_a"), "doc_b": pairs.column("vec_b")}
+        ),
+    )
+    rep = dict(
+        zip(
+            np.asarray(cc.column("doc_id"), dtype=np.int64).tolist(),
+            np.asarray(cc.column("cluster_rep"), dtype=np.int64).tolist(),
+        )
+    )
+    rep_ref = ray.put(rep)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        out = np.fromiter(
+            (m.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "cluster_rep": pa.array(out, pa.int64())}
+        )
+
+    out = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(assign, batch_format="pyarrow")
+    tbl = _collect(out, pa.schema([("vec_id", pa.int64()), ("cluster_rep", pa.int64())]))
+    return tbl.sort_by([("vec_id", "ascending")])
+
+
 def singleton_docs(sf_dir: str, **lsh_kwargs) -> pa.Table:
     """Broadcast ANTI-join: doc_ids with NO verified near-duplicate —
     the keep-side complement of the pair list. The pair-member set is
@@ -1912,3 +1963,138 @@ def containment_pairs(
         }
     )
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# ----------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995)
+
+
+@ray.remote
+def _block_num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _snm_block(
+    target: pa.Table, carries: list, window: int, threshold: float
+) -> pa.Table:
+    """Pairs whose HIGHER-ranked member lives in ``target``: the carry
+    blocks supply the ``window`` rows ranked immediately before the
+    target block, so rank distance == index distance in the combined
+    array (ranks are consecutive) and no cross-task pair is missed or
+    duplicated (each pair is owned by the task holding its second row)."""
+    from .hashing import jaccard, shingles
+
+    # carries arrive as a LIST of refs (Ray resolves only top-level
+    # args): fetch explicitly — still zero-copy from the object store
+    tail = pa.concat_tables(ray.get(list(carries))) if carries else None
+    if tail is not None and tail.num_rows > window:
+        tail = tail.slice(tail.num_rows - window, window)
+    combined = pa.concat_tables([tail, target]) if tail is not None else target
+    base = combined.num_rows - target.num_rows
+    ids = np.asarray(combined.column("doc_id"), dtype=np.int64)
+    sets = [frozenset(shingles(t)) for t in combined.column("text").to_pylist()]
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_j: list[float] = []
+    for j in range(base, combined.num_rows):
+        if not sets[j]:
+            continue
+        for i in range(max(0, j - window), j):
+            if not sets[i]:
+                continue
+            jc = jaccard(sets[i], sets[j])
+            if jc >= threshold:
+                a, b = int(ids[i]), int(ids[j])
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jc)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
+def sorted_neighborhood_pairs(
+    sf_dir: str, prefix_len: int = 24, window: int = 8, threshold: float = 0.6
+) -> pa.Table:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995
+    'The merge/purge problem') — the third candidate-generation
+    mechanism next to LSH banding (``minhash_lsh_pairs``) and the
+    inverted-index join (``ngram_jaccard_pairs``): sort the corpus by a
+    blocking key (first ``prefix_len`` chars of the dedup-normalized
+    text), slide a ``window``-row neighborhood over the GLOBAL rank
+    order, and exact-verify only pairs within the window (word-5-
+    shingle Jaccard >= ``threshold``, the corpus-wide pair contract).
+    By construction it finds near-dups whose normalized texts share a
+    prefix — the method's documented recall trade-off (a mutation in
+    the first words hides a pair; LSH covers that regime) in exchange
+    for a SHUFFLE-FREE verify: candidate count is O(n * window), no
+    posting lists, no bucket skew — hot keys cost nothing because the
+    neighborhood is fixed-width regardless of key multiplicity.
+
+    Ray shape: one vectorized key map -> ONE range-partition sort on
+    (key, doc_id) — the same single all-to-all every rank op here pays
+    (``ccnet_buckets``/``value_ntiles``) -> a metadata pass collecting
+    per-block ROW COUNTS (never rows) -> one task per sorted block,
+    handed refs to just enough preceding blocks to cover the ``window``
+    rows before its boundary (rank distance == index distance, so
+    cross-block pairs are exact, each owned by its second row's task).
+    At 100 TB the sort would carry (key, doc_id, shingle-hash array)
+    instead of raw text — same plan, lighter payload; pairs per task
+    stay O(block_rows * window).
+
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b, sorted. Pairs where
+    either side has no shingles (empty normalized text) are excluded —
+    matching the SQL oracle, whose shingle relation drops empty docs.
+    """
+    from .hashing import normalize_text
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keys = [normalize_text(t)[:prefix_len] for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "key": pa.array(keys, pa.string()),
+            }
+        )
+
+    ds = (
+        _docs(sf_dir)
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["key", "doc_id"])
+        .materialize()
+    )
+    refs = [r for r in ds.to_arrow_refs()]
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    live = [(r, c) for r, c in zip(refs, counts) if c > 0]
+    futs = []
+    for i, (ref, _c) in enumerate(live):
+        carry_refs: list = []
+        need = window
+        j = i - 1
+        while need > 0 and j >= 0:
+            carry_refs.insert(0, live[j][0])
+            need -= live[j][1]
+            j -= 1
+        futs.append(_snm_block.remote(ref, carry_refs, window, threshold))
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    parts = [t for t in ray.get(futs) if t.num_rows] if futs else []
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
+    )

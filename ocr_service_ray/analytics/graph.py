@@ -42,6 +42,43 @@ def pagerank_reference(
     return r
 
 
+def _knn_edge_setup(sf_dir: str, k: int) -> tuple[list, int]:
+    """Edge blocks of the exact kNN cosine graph over the embeddings
+    table (the `knn_join` edge set) + the verified node count — the
+    shared front end of graph_pagerank / graph_hits.
+
+    Edge build is the `_knn_block` block tasks; the returned refs stay
+    in the OBJECT STORE (callers wrap them with ``from_arrow_refs`` or
+    map over them) — edges never gather on the driver. Node ids are
+    the contiguous 0..n-1 vec_id domain, verified here rather than
+    assumed (per-block unique partials merged on the driver: the ids
+    end up driver-resident either way for the contiguity check, so a
+    Ray groupby would only pre-sort what the driver is about to hold).
+    """
+    from .similarity import _emb, _knn_block
+
+    refs = _emb(sf_dir).to_arrow_refs()
+    edge_refs = [_knn_block.remote(r, refs, k) for r in refs]
+    ids_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"vec_id": pa.array(np.unique(np.asarray(t.column("vec_id"), dtype=np.int64)))}
+        ),
+        batch_format="pyarrow",
+    )
+    parts = [
+        np.asarray(t.column("vec_id"))
+        for t in ray.get(ids_ds.to_arrow_refs())
+        if t.num_rows
+    ]
+    ids = np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+    n = len(ids)
+    if n and not (ids[0] == 0 and ids[-1] == n - 1):
+        raise ValueError("kNN graph ops expect a contiguous vec_id domain")
+    return edge_refs, n
+
+
 def graph_pagerank(
     sf_dir: str,
     k: int = 5,
@@ -84,30 +121,7 @@ def graph_pagerank(
     (vec_id, score_micros, rank) with rank 1 = highest centrality
     (ties -> ascending vec_id).
     """
-    from .similarity import _emb, _knn_block
-
-    refs = _emb(sf_dir).to_arrow_refs()
-    edge_refs = [_knn_block.remote(r, refs, k) for r in refs]
-    # node ids are the contiguous 0..n-1 vec_id domain of the table;
-    # verified here rather than assumed
-    # per-block unique partials merged on the driver: the ids end up
-    # driver-resident either way (the contiguity check below), so a
-    # Ray groupby would only pre-sort what the driver is about to hold
-    ids_ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-    ).map_batches(
-        lambda t: pa.table(
-            {"vec_id": pa.array(np.unique(np.asarray(t.column("vec_id"), dtype=np.int64)))}
-        ),
-        batch_format="pyarrow",
-    )
-    parts = [
-        np.asarray(t.column("vec_id"))
-        for t in ray.get(ids_ds.to_arrow_refs())
-        if t.num_rows
-    ]
-    ids = np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
-    n = len(ids)
+    edge_refs, n = _knn_edge_setup(sf_dir, k)
     if n == 0:
         return pa.table(
             {
@@ -116,9 +130,6 @@ def graph_pagerank(
                 "rank": pa.array([], pa.int64()),
             }
         )
-    if not (ids[0] == 0 and ids[-1] == n - 1):
-        raise ValueError("graph_pagerank expects a contiguous vec_id domain")
-
     edges_ds = ray.data.from_arrow_refs(edge_refs)
     if n > broadcast_max_nodes:
         return _pagerank_dataset_leg(edges_ds, n, k, iters)
@@ -430,3 +441,125 @@ def triangle_count(sf_dir: str, min_support: int = 2) -> pa.Table:
             ),
         }
     ).sort_by([("k", "ascending")])
+
+
+# ----------------------------------------------------------------------
+# HITS hubs & authorities
+
+
+def hits_reference(
+    edges: list[tuple[int, int]], n_nodes: int, iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy single-process reference of the exact integer
+    recurrence ``graph_hits`` computes (Kleinberg 1999, JACM 46(5),
+    re-based on scaled int64 instead of L2 normalization):
+
+        a_raw(v) = sum_{u->v} h(u);  a = a_raw // max(1, max(a_raw) // 10^6)
+        h_raw(u) = sum_{u->v} a(v);  h = h_raw // max(1, max(h_raw) // 10^6)
+
+    starting from h = 10^6. The per-iteration max-rescale replaces the
+    paper's float normalization: scores stay in ~[0, 2*10^6] so int64
+    never overflows for ANY degree distribution, every reduction is an
+    order-free integer sum, and ranking is unchanged (floor division
+    by a positive global constant is monotone).
+    """
+    src = np.asarray([e[0] for e in edges], dtype=np.int64)
+    dst = np.asarray([e[1] for e in edges], dtype=np.int64)
+    h = np.full(n_nodes, 1_000_000, dtype=np.int64)
+    a = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        a = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(a, dst, h[src])
+        a //= max(1, int(a.max(initial=0)) // 1_000_000)
+        h = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(h, src, a[dst])
+        h //= max(1, int(h.max(initial=0)) // 1_000_000)
+    return a, h
+
+
+def graph_hits(sf_dir: str, k: int = 5, iters: int = 4) -> pa.Table:
+    """HITS hubs/authorities over the exact kNN cosine graph — the
+    second classic link-analysis centrality next to ``graph_pagerank``:
+    an *authority* is a vector many hubs point at (a density/prototype
+    signal on a similarity graph), a *hub* is one whose out-neighbors
+    are authorities. The reference has no graph capability (SURVEY.md
+    §2.9); see ``hits_reference`` for the exact integer recurrence and
+    why the max-rescale makes it overflow-safe and order-free.
+
+    Distributed shape — the ``graph_pagerank`` broadcast-leg BSP, two
+    half-steps per iteration (authority from hubs, hubs from
+    authorities). Per half-step the O(n) score vector is broadcast once
+    via ``ray.put``; each edge block reduces its contributions per
+    target INSIDE the block (TableGroupBy combiner) and the driver sums
+    the tiny per-block partials — the regime where the dense int64
+    vector fits a worker heap (200M nodes = 1.6 GB). Beyond that the
+    ``_pagerank_dataset_leg`` union-tag + hash-bucket-join shape
+    applies verbatim (scores as a Dataset, per-superstep materialize);
+    not duplicated here. The global max per half-step is the BSP
+    aggregator: each partial's max folds into the driver reduce at no
+    extra pass.
+
+    Returns (vec_id, authority, hub, rank): rank 1 = highest authority
+    (ties -> ascending vec_id). SQL-oracled via unrolled CTEs (the
+    ``graph_pagerank`` technique): all arithmetic is BIGINT sum / floor
+    division / max on non-negatives, so DuckDB replicates it exactly.
+    """
+    edge_refs, n = _knn_edge_setup(sf_dir, k)
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "authority": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    edges_ds = ray.data.from_arrow_refs(edge_refs).materialize()
+
+    def half_step(vec: np.ndarray, out_key: str, in_key: str) -> np.ndarray:
+        """One propagation: new[target] = sum over edges of vec[source],
+        where (source, target) = (out_key, in_key) columns."""
+        vec_ref = ray.put(vec)
+
+        def contrib(batch: pa.Table, _v=vec_ref) -> pa.Table:
+            if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+                return pa.table(
+                    {"t": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+                )
+            v = ray.get(_v)
+            src = np.asarray(batch.column(out_key), dtype=np.int64)
+            tgt = np.asarray(batch.column(in_key), dtype=np.int64)
+            t = pa.table(
+                {"t": pa.array(tgt, pa.int64()), "c": pa.array(v[src], pa.int64())}
+            )
+            g = pa.TableGroupBy(t, ["t"]).aggregate([("c", "sum")])
+            return g.rename_columns(["t", "c"])
+
+        s = np.zeros(n, dtype=np.int64)
+        for ref in edges_ds.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                d = np.asarray(t.column("t"), dtype=np.int64)
+                c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+                s[d] += c  # t is unique within a combined partial
+        s //= max(1, int(s.max(initial=0)) // 1_000_000)
+        return s
+
+    h = np.full(n, 1_000_000, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        a = half_step(h, "vec_id", "neighbor_id")
+        h = half_step(a, "neighbor_id", "vec_id")
+
+    order = np.lexsort((np.arange(n), -a))
+    ordinal = np.empty(n, dtype=np.int64)
+    ordinal[order] = np.arange(1, n + 1)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "authority": pa.array(a, pa.int64()),
+            "hub": pa.array(h, pa.int64()),
+            "rank": pa.array(ordinal, pa.int64()),
+        }
+    )

@@ -1059,6 +1059,12 @@ def _q_triangle_count(sf_dir: str):
     return triangle_count(sf_dir)
 
 
+def _q_graph_hits(sf_dir: str):
+    from ..analytics.graph import graph_hits
+
+    return graph_hits(sf_dir)
+
+
 def _q_text_search(sf_dir: str):
     from ..analytics.text_index import text_search
 
@@ -1119,6 +1125,12 @@ def queries() -> dict:
         # band buckets — EXACT by pigeonhole (4 bands > 3 differing bits)
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf),
         "embedding_neardup": lambda sf: dedup.embedding_neardup_pairs(sf),
+        # single-linkage embedding clustering: components over the
+        # cosine-threshold pairs, full vector domain (singletons = self)
+        "embedding_components": lambda sf: dedup.embedding_components(sf),
+        # sorted-neighborhood blocking (Hernandez-Stolfo): rank-window
+        # candidates over a prefix-key sort, exact shingle verify
+        "sorted_neighborhood_pairs": lambda sf: dedup.sorted_neighborhood_pairs(sf),
         # SemDeDup: kmeans-bucketed within-cluster cosine dedup — the
         # sub-quadratic semantic route (no SQL oracle: kmeans
         # assignment; pinned by a same-algorithm numpy reference test)
@@ -1138,6 +1150,9 @@ def queries() -> dict:
         # as chained CTEs (_pagerank_unrolled_sql), on top of the
         # pure-Python reference pin
         "graph_pagerank": _q_graph_pagerank,
+        # HITS hubs/authorities over the same kNN graph (overflow-safe
+        # integer recurrence; SQL-oracled via _hits_unrolled_sql)
+        "graph_hits": _q_graph_hits,
         # degree-oriented wedge triangle counting on the co-occurrence
         # graph (broadcast closure check; corner combiner)
         "triangle_count": _q_triangle_count,
@@ -1575,6 +1590,58 @@ def _pagerank_unrolled_sql(iters: int = 8, k: int = 5) -> str:
     )
 
 
+def _hits_unrolled_sql(iters: int = 4, k: int = 5) -> str:
+    """SQL oracle for graph_hits: the overflow-safe integer HITS
+    recurrence (see ``graph.hits_reference``) unrolled as chained CTEs
+    over the same exact kNN edge set as ``_pagerank_unrolled_sql``.
+    Each half-step is a BIGINT sum + a scalar-subquery global max
+    rescale — all non-negative integer arithmetic, so DuckDB replicates
+    the distributed plan bit-for-bit."""
+    edge = (
+        "SELECT vec_id AS src, neighbor_id AS dst FROM ("
+        "SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) AS sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY sim DESC, neighbor_id) <= {k}"
+    )
+    ctes = [
+        f"e AS MATERIALIZED ({edge})",
+        "nodes AS MATERIALIZED (SELECT vec_id FROM embeddings)",
+        "h0 AS MATERIALIZED (SELECT vec_id, CAST(1000000 AS BIGINT) AS h FROM nodes)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"a{t + 1}r AS MATERIALIZED (SELECT n.vec_id AS vec_id, "
+            f"CAST(COALESCE(SUM(h{t}.h), 0) AS BIGINT) AS a "
+            "FROM nodes n LEFT JOIN e ON e.dst = n.vec_id "
+            f"LEFT JOIN h{t} ON h{t}.vec_id = e.src GROUP BY n.vec_id)"
+        )
+        ctes.append(
+            f"a{t + 1} AS MATERIALIZED (SELECT vec_id, a // GREATEST(1, "
+            f"(SELECT MAX(a) FROM a{t + 1}r) // 1000000) AS a FROM a{t + 1}r)"
+        )
+        ctes.append(
+            f"h{t + 1}r AS MATERIALIZED (SELECT n.vec_id AS vec_id, "
+            f"CAST(COALESCE(SUM(a{t + 1}.a), 0) AS BIGINT) AS h "
+            "FROM nodes n LEFT JOIN e ON e.src = n.vec_id "
+            f"LEFT JOIN a{t + 1} ON a{t + 1}.vec_id = e.dst GROUP BY n.vec_id)"
+        )
+        ctes.append(
+            f"h{t + 1} AS MATERIALIZED (SELECT vec_id, h // GREATEST(1, "
+            f"(SELECT MAX(h) FROM h{t + 1}r) // 1000000) AS h FROM h{t + 1}r)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT a{iters}.vec_id AS vec_id, "
+        f"a{iters}.a AS authority, h{iters}.h AS hub, "
+        f"CAST(row_number() OVER (ORDER BY a{iters}.a DESC, a{iters}.vec_id) "
+        "AS BIGINT) AS rank "
+        f"FROM a{iters} JOIN h{iters} ON h{iters}.vec_id = a{iters}.vec_id "
+        "ORDER BY vec_id"
+    )
+
+
 def _lsh_topk_sql(
     n_queries: int = 8,
     k: int = 10,
@@ -1789,6 +1856,54 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
             "CAST(b.embedding AS DOUBLE[])) > 0.45 "
             "ORDER BY vec_a, vec_b"
         ),
+        # sorted-neighborhood: row_number over the prefix-key sort,
+        # rank-window self-join, the corpus-wide shingle-Jaccard verify
+        "sorted_neighborhood_pairs": (
+            "WITH nt AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext "
+            "FROM documents), "
+            "rk AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY substr(ntext, 1, 24), doc_id) AS r FROM nt), "
+            "cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS doc_a, "
+            "GREATEST(a.doc_id, b.doc_id) AS doc_b "
+            "FROM rk a JOIN rk b ON b.r > a.r AND b.r - a.r <= 8), "
+            "w AS (SELECT doc_id, "
+            "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') "
+            "AS words FROM documents), "
+            "g AS (SELECT doc_id, words, "
+            "unnest(generate_series(1, greatest(len(words) - 4, 1))) AS i "
+            "FROM w WHERE len(words) > 0 AND words[1] <> ''), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(words[i:least(i + 4, len(words))], ' ') AS shingle "
+            "FROM g), "
+            "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c FROM cand c "
+            "JOIN sh a ON a.doc_id = c.doc_a "
+            "JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle "
+            "GROUP BY 1, 2) "
+            "SELECT i.doc_a, i.doc_b, "
+            "CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS jaccard "
+            "FROM inter i JOIN cnt na ON na.doc_id = i.doc_a "
+            "JOIN cnt nb ON nb.doc_id = i.doc_b "
+            "WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.6 "
+            "ORDER BY doc_a, doc_b"
+        ),
+        # single-linkage components over the same threshold pairs:
+        # recursive closure + min-reachable label, full-domain fill
+        "embedding_components": (
+            "WITH RECURSIVE p AS (SELECT a.vec_id AS va, b.vec_id AS vb "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) > 0.45), "
+            "e AS (SELECT va AS x, vb AS y FROM p UNION SELECT vb, va FROM p), "
+            "reach AS (SELECT x, y FROM e "
+            "UNION SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x), "
+            "m AS (SELECT x AS vec_id, LEAST(x, MIN(y)) AS rep "
+            "FROM reach GROUP BY x) "
+            "SELECT v.vec_id, CAST(COALESCE(m.rep, v.vec_id) AS BIGINT) "
+            "AS cluster_rep FROM embeddings v "
+            "LEFT JOIN m ON m.vec_id = v.vec_id ORDER BY v.vec_id"
+        ),
         "ann_topk": _BRUTE_TOPK_SQL,
         # DBSCAN: closure over core-core edges (+ core self-edges so
         # isolated cores self-label) + border min-attach + noise -1
@@ -1827,6 +1942,7 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         ),
         "ann_ivf_exhaustive": _BRUTE_TOPK_SQL,
         "graph_pagerank": _pagerank_unrolled_sql(),
+        "graph_hits": _hits_unrolled_sql(),
         "ann_lsh_topk": _lsh_topk_sql(),
         # the filtered variant: neighbors restricted to lang='en' docs
         "ann_topk_filtered": (

@@ -4563,3 +4563,199 @@ class TestDedupCleanDocs:
         shuffled = ta.dup_ngram_spans(SF)
         ta._DUP_GRAMS_CACHE.clear()
         assert merged.equals(shuffled)
+
+
+def _oracle_sqls():
+    """Side-effect-free oracle dict (placeholder truth paths): the
+    graph/dedup oracles under test reference only real tables."""
+    from ocr_service_ray.pipeline import entry_api
+
+    sp = {k: "" for k in entry_api._SPAN_TRUTH_KEYS}
+    mm = {"multimodal_features": "", "multimodal_segments": ""}
+    return entry_api._oracle_queries(sp, mm)
+
+
+def _duck(sf, name, tables=("documents", "embeddings")):
+    import os
+
+    con = duckdb.connect()
+    for t in tables:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con.execute(_oracle_sqls()[name]).df()
+
+
+class TestGraphHits:
+    """Integer HITS: pinned three ways — the pure-numpy reference, the
+    unrolled-CTE SQL oracle, and a hand-built hub fixture."""
+
+    def test_matches_reference_and_oracle_sf(self):
+        from ocr_service_ray.analytics.graph import graph_hits, hits_reference
+        from ocr_service_ray.analytics.similarity import knn_join
+
+        t = graph_hits(SF)
+        e = knn_join(SF, k=5)
+        edges = list(zip(e.column("vec_id").to_pylist(),
+                         e.column("neighbor_id").to_pylist()))
+        a, h = hits_reference(edges, t.num_rows, 4)
+        assert np.array_equal(np.asarray(t.column("authority")), a)
+        assert np.array_equal(np.asarray(t.column("hub")), h)
+        # scores vary and the rescale keeps them bounded
+        assert a.min() < a.max()
+        assert int(a.max()) < 2_000_000 and int(h.max()) < 2_000_000
+        want = _duck(SF, "graph_hits").sort_values("vec_id").reset_index(drop=True)
+        got = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_hub_graph_authority(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.graph import graph_hits
+
+        # node 0: every other vector's nearest neighbor -> top authority
+        rng = np.random.default_rng(5)
+        hub = np.array([1.0] + [0.0] * 7)
+        vecs = [hub] + [hub + rng.normal(0, 0.01, 8) for _ in range(9)]
+        tbl = pa.table({
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+            "label": pa.array([0] * 10, pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        out = graph_hits(str(tmp_path), k=3).to_pandas()
+        assert int(out.loc[out["rank"] == 1, "vec_id"].iloc[0]) == 0
+
+    def test_identical_vectors_overflow_safe(self, tmp_path):
+        """Degenerate corpus (all vectors identical): maximal in-degree
+        concentration — the regime the per-iteration max-rescale exists
+        for. Must terminate with bounded int64 scores and match the
+        reference."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.graph import graph_hits, hits_reference
+        from ocr_service_ray.analytics.similarity import knn_join
+
+        n = 60
+        tbl = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([[1.0, 0.0, 0.0]] * n, pa.list_(pa.float64())),
+            "label": pa.array([0] * n, pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        t = graph_hits(str(tmp_path), k=5, iters=6)
+        e = knn_join(str(tmp_path), k=5)
+        edges = list(zip(e.column("vec_id").to_pylist(),
+                         e.column("neighbor_id").to_pylist()))
+        a, h = hits_reference(edges, n, 6)
+        assert np.array_equal(np.asarray(t.column("authority")), a)
+        assert int(np.asarray(t.column("authority")).max()) < 2_000_000
+
+
+class TestEmbeddingComponents:
+    def test_closure_of_pairs_and_oracle(self):
+        from ocr_service_ray.analytics.dedup import (
+            embedding_components,
+            embedding_neardup_pairs,
+        )
+
+        got = embedding_components(SF).to_pandas()
+        want = _duck(SF, "embedding_components").sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+        # independent union-find over the pair list
+        pairs = embedding_neardup_pairs(SF)
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs.column("vec_a").to_pylist(),
+                        pairs.column("vec_b").to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict[int, list[int]] = {}
+        for v in got["vec_id"]:
+            comp.setdefault(find(int(v)), []).append(int(v))
+        expect = {v: min(comp[find(int(v))]) for v in got["vec_id"]}
+        assert got.set_index("vec_id")["cluster_rep"].to_dict() == expect
+        # full domain: one row per vector, singletons rep themselves
+        assert len(got) == 500
+        members = set(pairs.column("vec_a").to_pylist()) | set(
+            pairs.column("vec_b").to_pylist())
+        singles = got[~got["vec_id"].isin(members)]
+        assert (singles["vec_id"] == singles["cluster_rep"]).all()
+
+
+class TestSortedNeighborhood:
+    def test_oracle_sf(self):
+        from ocr_service_ray.analytics.dedup import sorted_neighborhood_pairs
+
+        got = sorted_neighborhood_pairs(SF).to_pandas().reset_index(drop=True)
+        want = _duck(SF, "sorted_neighborhood_pairs").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        assert len(got) > 0  # the sf corpus near-dups share prefixes
+
+    def _write(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_block_boundary_invariance(self, tmp_path):
+        """Force tiny sort blocks so rank windows straddle block
+        boundaries: the carry hand-off must reproduce the single-node
+        oracle exactly."""
+        import ray.data
+
+        from ocr_service_ray.analytics.dedup import sorted_neighborhood_pairs
+
+        rng = np.random.default_rng(11)
+        words = ["tok%02d" % i for i in range(40)]
+        texts = []
+        for d in range(90):
+            base = " ".join(words[int(i)] for i in rng.integers(0, 40, 12))
+            texts.append(f"group{d:03d} {base}")
+            if d % 3 == 0:  # a same-prefix near-dup right next in sort order
+                texts.append(f"group{d:03d} {base} extra")
+        texts.append("")        # empty docs are excluded, not crashed on
+        texts.append("   ")
+        sf = self._write(tmp_path, texts)
+        ctx = ray.data.DataContext.get_current()
+        old = ctx.target_max_block_size
+        ctx.target_max_block_size = 2048
+        try:
+            got = sorted_neighborhood_pairs(sf).to_pandas().reset_index(drop=True)
+        finally:
+            ctx.target_max_block_size = old
+        want = _duck(sf, "sorted_neighborhood_pairs").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        assert len(got) >= 30
+
+    def test_prefix_mutation_recall_tradeoff(self, tmp_path):
+        """The documented miss: a near-dup whose FIRST words differ
+        sorts far away and is not windowed — while the same edit at the
+        end is found. (LSH banding covers the head-edit regime.)"""
+        from ocr_service_ray.analytics.dedup import sorted_neighborhood_pairs
+
+        body = " ".join("w%02d" % i for i in range(30))
+        texts = [
+            f"aaa {body}",
+            f"aaa {body} tail-edit",        # same prefix -> adjacent -> found
+            f"zzz {body}",                  # head edit -> sorts away
+        ]
+        # spacer docs push 'zzz' beyond the window from 'aaa'
+        texts += [f"mid{i:02d} spacer doc {i}" for i in range(20)]
+        sf = self._write(tmp_path, texts)
+        got = sorted_neighborhood_pairs(sf).to_pandas()
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
