@@ -166,6 +166,7 @@ DOC_QUERIES = [
     "ccnet_buckets", "quality_classifier", "dsir_sample",
     "source_overlap", "cross_snapshot_neardup",
     "docs_in_char_range", "docs_in_char_lang_box",
+    "sorted_neighborhood_pairs",
 ]
 
 TPCH_QUERIES = [
@@ -277,7 +278,8 @@ def _gen_tpch(rng: np.random.Generator, d: str) -> None:
 EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
                "ann_topk_quantized", "knn_join", "dbscan_clusters",
                "embedding_drift", "ann_lsh_topk", "ann_topk_filtered",
-               "ann_ivf_exhaustive", "graph_pagerank"]
+               "ann_ivf_exhaustive", "graph_pagerank", "graph_hits",
+               "embedding_components"]
 
 
 @pytest.mark.usefixtures("ray_session")
