@@ -42,23 +42,9 @@ def pagerank_reference(
     return r
 
 
-def _knn_edge_setup(sf_dir: str, k: int) -> tuple[list, int]:
-    """Edge blocks of the exact kNN cosine graph over the embeddings
-    table (the `knn_join` edge set) + the verified node count — the
-    shared front end of graph_pagerank / graph_hits.
-
-    Edge build is the `_knn_block` block tasks; the returned refs stay
-    in the OBJECT STORE (callers wrap them with ``from_arrow_refs`` or
-    map over them) — edges never gather on the driver. Node ids are
-    the contiguous 0..n-1 vec_id domain, verified here rather than
-    assumed (per-block unique partials merged on the driver: the ids
-    end up driver-resident either way for the contiguity check, so a
-    Ray groupby would only pre-sort what the driver is about to hold).
-    """
-    from .similarity import _emb, _knn_block
-
-    refs = _emb(sf_dir).to_arrow_refs()
-    edge_refs = [_knn_block.remote(r, refs, k) for r in refs]
+def _vec_count(sf_dir: str) -> int:
+    """Verified-contiguous node count of the embeddings table (the
+    0..n-1 vec_id domain every graph op here indexes by)."""
     ids_ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
     ).map_batches(
@@ -76,7 +62,27 @@ def _knn_edge_setup(sf_dir: str, k: int) -> tuple[list, int]:
     n = len(ids)
     if n and not (ids[0] == 0 and ids[-1] == n - 1):
         raise ValueError("kNN graph ops expect a contiguous vec_id domain")
-    return edge_refs, n
+    return n
+
+
+def _knn_edge_setup(sf_dir: str, k: int) -> tuple[list, int]:
+    """Edge blocks of the exact kNN cosine graph over the embeddings
+    table (the `knn_join` edge set) + the verified node count — the
+    shared front end of graph_pagerank / graph_hits.
+
+    Edge build is the `_knn_block` block tasks; the returned refs stay
+    in the OBJECT STORE (callers wrap them with ``from_arrow_refs`` or
+    map over them) — edges never gather on the driver. Node ids are
+    the contiguous 0..n-1 vec_id domain, verified here rather than
+    assumed (per-block unique partials merged on the driver: the ids
+    end up driver-resident either way for the contiguity check, so a
+    Ray groupby would only pre-sort what the driver is about to hold).
+    """
+    from .similarity import _emb, _knn_block
+
+    refs = _emb(sf_dir).to_arrow_refs()
+    edge_refs = [_knn_block.remote(r, refs, k) for r in refs]
+    return edge_refs, _vec_count(sf_dir)
 
 
 def graph_pagerank(
@@ -562,4 +568,131 @@ def graph_hits(sf_dir: str, k: int = 5, iters: int = 4) -> pa.Table:
             "hub": pa.array(h, pa.int64()),
             "rank": pa.array(ordinal, pa.int64()),
         }
+    )
+
+
+# ----------------------------------------------------------------------
+# k-core peeling
+
+
+def kcore_reference(
+    und_edges: list[tuple[int, int]], n_nodes: int, kmin: int, rounds: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy reference of the exact fixed-round peel
+    ``kcore_members`` computes: simultaneous removal — each round every
+    node whose degree among the CURRENTLY alive nodes is < ``kmin``
+    drops (all at once, so the result is deterministic and order-free);
+    after ``rounds`` rounds (or earlier stability, which yields the
+    identical state) returns (alive mask, degree among alive).
+    """
+    a = np.asarray([e[0] for e in und_edges], dtype=np.int64)
+    b = np.asarray([e[1] for e in und_edges], dtype=np.int64)
+    alive = np.ones(n_nodes, dtype=bool)
+    for _ in range(rounds):
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        live = alive[a] & alive[b]
+        np.add.at(deg, a[live], 1)
+        np.add.at(deg, b[live], 1)
+        new_alive = alive & (deg >= kmin)
+        if np.array_equal(new_alive, alive):
+            break
+        alive = new_alive
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    live = alive[a] & alive[b]
+    np.add.at(deg, a[live], 1)
+    np.add.at(deg, b[live], 1)
+    return alive, deg
+
+
+def kcore_members(
+    sf_dir: str, threshold: float = 0.35, kmin: int = 2, rounds: int = 32
+) -> pa.Table:
+    """k-core of the cosine-THRESHOLD similarity graph (Seidman 1983,
+    'Network structure and minimum degree') — the fourth classic graph
+    op here next to PageRank / HITS / triangles: iteratively peel
+    nodes with fewer than ``kmin`` alive neighbors; what survives is
+    the dense similarity core (for curation: high-redundancy regions
+    worth aggressive dedup; the complement of the long tail). The
+    THRESHOLD graph is the right substrate — the kNN graph guarantees
+    out-degree k for every node, so its cores are degenerate (all or
+    nothing, verified on the sf corpora); threshold degrees vary with
+    true local density (``dbscan_clusters`` uses the same 0.35 edge
+    set).
+
+    Semantics are FIXED-ROUND (exactly ``rounds`` simultaneous-removal
+    rounds; early stability yields the identical state), so the
+    distributed plan, the numpy reference and the unrolled SQL oracle
+    agree with no convergence caveat — the ``graph_hits`` contract.
+    The sf corpora converge in <= 9 rounds; an unconverged round cap
+    still matches the oracle exactly (both sides compute round 32).
+
+    Distributed shape: the edge list is ``embedding_neardup_pairs``
+    (exact block-pair join over object-store refs; O(threshold-pair)
+    output, the dup-rate-bounded regime); then the ``graph_pagerank``
+    broadcast-leg BSP — per round the O(n) alive bitmask is
+    ``ray.put`` once, each edge block counts both-alive endpoint
+    degrees INSIDE the block (per-node combiner) and the driver sums
+    the tiny partials. Beyond the broadcast regime the
+    ``_pagerank_dataset_leg`` union-tag join applies to the alive
+    table verbatim. Returns surviving (vec_id, deg) — degree among
+    members — sorted by vec_id.
+    """
+    from .dedup import embedding_neardup_pairs
+
+    n = _vec_count(sf_dir)
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+    )
+    if n == 0:
+        return empty
+    pairs = embedding_neardup_pairs(sf_dir, threshold)
+    if len(pairs) == 0:
+        return empty
+    und = ray.data.from_arrow(
+        pa.table({"a": pairs.column("vec_a"), "b": pairs.column("vec_b")})
+    ).materialize()
+
+    alive = np.ones(n, dtype=bool)
+
+    def degrees(mask: np.ndarray) -> np.ndarray:
+        mask_ref = ray.put(mask)
+
+        def contrib(batch: pa.Table, _m=mask_ref) -> pa.Table:
+            if batch.num_rows == 0 or "a" not in batch.column_names:
+                return pa.table(
+                    {"t": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+                )
+            m = ray.get(_m)
+            a = np.asarray(batch.column("a"), dtype=np.int64)
+            b = np.asarray(batch.column("b"), dtype=np.int64)
+            live = m[a] & m[b]
+            ends = np.concatenate([a[live], b[live]])
+            t = pa.table(
+                {
+                    "t": pa.array(ends, pa.int64()),
+                    "c": pa.array(np.ones(len(ends), np.int64)),
+                }
+            )
+            g = pa.TableGroupBy(t, ["t"]).aggregate([("c", "sum")])
+            return g.rename_columns(["t", "c"])
+
+        deg = np.zeros(n, dtype=np.int64)
+        for ref in und.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                d = np.asarray(t.column("t"), dtype=np.int64)
+                c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+                deg[d] += c  # t is unique within a combined partial
+        return deg
+
+    for _ in range(rounds):
+        deg = degrees(alive)
+        new_alive = alive & (deg >= kmin)
+        if np.array_equal(new_alive, alive):
+            break
+        alive = new_alive
+    deg = degrees(alive)
+    ids = np.flatnonzero(alive).astype(np.int64)
+    return pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "deg": pa.array(deg[ids], pa.int64())}
     )

@@ -1065,6 +1065,12 @@ def _q_graph_hits(sf_dir: str):
     return graph_hits(sf_dir)
 
 
+def _q_kcore_members(sf_dir: str):
+    from ..analytics.graph import kcore_members
+
+    return kcore_members(sf_dir)
+
+
 def _q_text_search(sf_dir: str):
     from ..analytics.text_index import text_search
 
@@ -1153,6 +1159,9 @@ def queries() -> dict:
         # HITS hubs/authorities over the same kNN graph (overflow-safe
         # integer recurrence; SQL-oracled via _hits_unrolled_sql)
         "graph_hits": _q_graph_hits,
+        # k-core peel of the cosine-threshold graph (fixed-round
+        # simultaneous removal; SQL-oracled via _kcore_unrolled_sql)
+        "kcore_members": _q_kcore_members,
         # degree-oriented wedge triangle counting on the co-occurrence
         # graph (broadcast closure check; corner combiner)
         "triangle_count": _q_triangle_count,
@@ -1642,6 +1651,45 @@ def _hits_unrolled_sql(iters: int = 4, k: int = 5) -> str:
     )
 
 
+def _kcore_unrolled_sql(rounds: int = 32, threshold: float = 0.35, kmin: int = 2) -> str:
+    """SQL oracle for kcore_members: the fixed-round simultaneous-
+    removal peel unrolled as MATERIALIZED CTE rounds over the cosine-
+    threshold pair graph (the ``embedding_neardup``/``dbscan`` edge
+    expression). Each round is one alive-alive join + per-node count —
+    pure integer arithmetic, so DuckDB replicates the distributed plan
+    exactly; early stability makes later rounds no-ops on both sides."""
+    ctes = [
+        "p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) > {threshold})",
+        "sym AS MATERIALIZED (SELECT va AS v, vb AS o FROM p "
+        "UNION ALL SELECT vb, va FROM p)",
+        "a0 AS MATERIALIZED (SELECT vec_id FROM embeddings)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT s.v AS vec_id, COUNT(*) AS deg "
+            f"FROM sym s JOIN a{t} x ON x.vec_id = s.v "
+            f"JOIN a{t} y ON y.vec_id = s.o GROUP BY s.v)"
+        )
+        ctes.append(
+            f"a{t + 1} AS MATERIALIZED (SELECT vec_id FROM d{t} "
+            f"WHERE deg >= {kmin})"
+        )
+    ctes.append(
+        f"df AS MATERIALIZED (SELECT s.v AS vec_id, COUNT(*) AS deg "
+        f"FROM sym s JOIN a{rounds} x ON x.vec_id = s.v "
+        f"JOIN a{rounds} y ON y.vec_id = s.o GROUP BY s.v)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT x.vec_id, "
+        "CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg "
+        f"FROM a{rounds} x LEFT JOIN df d ON d.vec_id = x.vec_id "
+        "ORDER BY x.vec_id"
+    )
+
+
 def _lsh_topk_sql(
     n_queries: int = 8,
     k: int = 10,
@@ -1943,6 +1991,7 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         "ann_ivf_exhaustive": _BRUTE_TOPK_SQL,
         "graph_pagerank": _pagerank_unrolled_sql(),
         "graph_hits": _hits_unrolled_sql(),
+        "kcore_members": _kcore_unrolled_sql(),
         "ann_lsh_topk": _lsh_topk_sql(),
         # the filtered variant: neighbors restricted to lang='en' docs
         "ann_topk_filtered": (

@@ -4759,3 +4759,55 @@ class TestSortedNeighborhood:
         pairs = set(zip(got["doc_a"], got["doc_b"]))
         assert (0, 1) in pairs
         assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+class TestKcoreMembers:
+    def test_oracle_and_reference_sf(self):
+        from ocr_service_ray.analytics.dedup import embedding_neardup_pairs
+        from ocr_service_ray.analytics.graph import kcore_members, kcore_reference
+
+        got = kcore_members(SF).to_pandas().reset_index(drop=True)
+        want = _duck(SF, "kcore_members").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        assert 0 < len(got) < 500  # non-trivial peel on the sf corpus
+        pairs = embedding_neardup_pairs(SF, 0.35)
+        edges = list(zip(pairs.column("vec_a").to_pylist(),
+                         pairs.column("vec_b").to_pylist()))
+        alive, deg = kcore_reference(edges, 500, 2, 32)
+        assert np.flatnonzero(alive).tolist() == got["vec_id"].tolist()
+        assert deg[alive].tolist() == got["deg"].tolist()
+        # every member keeps >= kmin member-neighbors (converged core)
+        assert (got["deg"] >= 2).all()
+
+    def test_triangle_with_pendant_chain(self, tmp_path):
+        """Hand graph (edge set pinned by the cosines): triangle
+        {0,1,2}, node 3 tied to all three, pendant chain 3-4-5. The
+        2-core is {0,1,2,3}: 5 peels (deg 1), THEN 4 peels (deg 1 only
+        after 5 is gone) — the cascade takes two rounds, exercising
+        the iterated removal, while 3 survives on its triangle ties."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.graph import kcore_members
+
+        # triangle: three near-identical vectors; chain: each step
+        # close only to its predecessor, drifting away from the core
+        base = np.array([1.0, 0.0, 0.0, 0.0])
+        vecs = [base, base + 0.01, base + 0.02]
+        drift = np.array([0.0, 1.0, 0.0, 0.0])
+        cur = base
+        for i in range(3):
+            cur = 0.55 * cur / np.linalg.norm(cur) + 0.85 * drift
+            drift = np.roll(drift, 1)
+            vecs.append(cur.copy())
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+            "label": pa.array([0] * len(vecs), pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        got = kcore_members(str(tmp_path)).to_pandas()
+        want = _duck(str(tmp_path), "kcore_members").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+        assert set(got["vec_id"]) == {0, 1, 2, 3}
+        assert got.set_index("vec_id")["deg"].to_dict() == {0: 3, 1: 3, 2: 3, 3: 3}
