@@ -149,6 +149,7 @@ def run_queries(num_cpus: int) -> dict:
             "graph_pagerank": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_pagerank"]).graph_pagerank(sf_dir()),
             "graph_hits": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_hits"]).graph_hits(sf_dir()),
             "kcore_members": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["kcore_members"]).kcore_members(sf_dir()),
+            "clustering_coefficients": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["clustering_coefficients"]).clustering_coefficients(sf_dir()),
             "embedding_components": lambda: dedup.embedding_components(sf_dir()),
             "sorted_neighborhood_pairs": lambda: dedup.sorted_neighborhood_pairs(sf_dir()),
             "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),

@@ -696,3 +696,128 @@ def kcore_members(
     return pa.table(
         {"vec_id": pa.array(ids, pa.int64()), "deg": pa.array(deg[ids], pa.int64())}
     )
+
+
+# ----------------------------------------------------------------------
+# Local clustering coefficients
+
+
+def clustering_coefficients(sf_dir: str, threshold: float = 0.35) -> pa.Table:
+    """Local clustering coefficient per vector over the cosine-
+    threshold similarity graph (Watts & Strogatz 1998): coeff(v) =
+    2 * triangles(v) / (deg(v) * (deg(v) - 1)) — how close v's
+    similarity neighborhood is to a clique. The curation read: high
+    coeff = v sits in a tight near-dup/community pocket (pair it with
+    ``kcore_members``); coeff ~ 0 at high degree = a hub bridging
+    unrelated regions. Same 0.35 edge set as ``kcore_members`` /
+    ``dbscan_clusters``.
+
+    Distributed shape — the ``triangle_count`` degree-orientation
+    wedge plan applied to the ``embedding_neardup_pairs`` edge list
+    (O(dup-rate) edges, the bounded regime): orient low-degree ->
+    high-degree so out-adjacencies are O(sqrt(m)), one src-keyed
+    groupby emits triu wedge pairs, closure is a broadcast sorted
+    packed-key ``searchsorted`` (no second shuffle), per-corner +1
+    partials combine per node. Degrees fall out of the same pair list
+    with one bincount. Full domain output: every vector, zero-degree
+    rows included.
+
+    Returns (vec_id, deg, n_tri, coeff) sorted by vec_id; coeff is the
+    IEEE-double expression ``2.0 * n_tri / (deg * (deg - 1))`` (0.0
+    when deg < 2) — identical in the SQL oracle, so hash-exact.
+    """
+    from .dedup import embedding_neardup_pairs
+
+    n = _vec_count(sf_dir)
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+            "n_tri": pa.array([], pa.int64()),
+            "coeff": pa.array([], pa.float64()),
+        }
+    )
+    if n == 0:
+        return empty
+    pairs = embedding_neardup_pairs(sf_dir, threshold)
+    a = np.asarray(pairs.column("vec_a"), dtype=np.int64)
+    b = np.asarray(pairs.column("vec_b"), dtype=np.int64)
+    deg_full = np.zeros(n, dtype=np.int64)
+    np.add.at(deg_full, a, 1)
+    np.add.at(deg_full, b, 1)
+    tri = np.zeros(n, dtype=np.int64)
+    if len(a):
+        # degree-ordered orientation (the triangle_count plan; vec_ids
+        # are verified non-negative so max+1 packing is injective)
+        da, db = deg_full[a], deg_full[b]
+        lower_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(lower_first, a, b)
+        dst = np.where(lower_first, b, a)
+        shift = n
+        edge_keys = np.sort(src * shift + dst)
+        keys_ref = ray.put(edge_keys)
+        deg_ref = ray.put(deg_full)
+
+        oriented = ray.data.from_arrow(
+            pa.table(
+                {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+            )
+        )
+
+        def wedges(group: pa.Table, _keys=keys_ref, _deg=deg_ref, _shift=shift) -> pa.Table:
+            s = int(group.column("src")[0].as_py())
+            outs = np.asarray(group.column("dst"), dtype=np.int64)
+            if len(outs) < 2:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+                )
+            dv = ray.get(_deg)
+            # out-neighbors sorted by the same (degree, id) total order
+            # so the wedge (lo -> hi) matches the oriented closing edge
+            order = np.lexsort((outs, dv[outs]))
+            outs = outs[order]
+            ia, ib = np.triu_indices(len(outs), 1)
+            w_lo, w_hi = outs[ia], outs[ib]
+            keys = ray.get(_keys)
+            want = w_lo * _shift + w_hi
+            hit = np.clip(np.searchsorted(keys, want), 0, len(keys) - 1)
+            closed = keys[hit] == want
+            if not closed.any():
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+                )
+            corners = np.concatenate(
+                [np.full(int(closed.sum()), s, np.int64), w_lo[closed], w_hi[closed]]
+            )
+            t = pa.table(
+                {
+                    "k": pa.array(corners, pa.int64()),
+                    "n": pa.array(np.ones(len(corners), np.int64)),
+                }
+            )
+            g = pa.TableGroupBy(t, ["k"]).aggregate([("n", "sum")])
+            return g.rename_columns(["k", "n"])
+
+        agg = (
+            oriented.groupby("src")
+            .map_groups(wedges, batch_format="pyarrow")
+            .groupby("k")
+            .sum("n")
+        )
+        for t in ray.get(agg.to_arrow_refs()):
+            if t.num_rows:
+                k = np.asarray(t.column("k"), dtype=np.int64)
+                c = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+                tri[k] += c
+
+    coeff = np.zeros(n, dtype=np.float64)
+    m2 = deg_full >= 2
+    coeff[m2] = 2.0 * tri[m2] / (deg_full[m2] * (deg_full[m2] - 1))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "deg": pa.array(deg_full, pa.int64()),
+            "n_tri": pa.array(tri, pa.int64()),
+            "coeff": pa.array(coeff, pa.float64()),
+        }
+    )

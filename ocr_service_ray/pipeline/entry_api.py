@@ -1071,6 +1071,12 @@ def _q_kcore_members(sf_dir: str):
     return kcore_members(sf_dir)
 
 
+def _q_clustering_coefficients(sf_dir: str):
+    from ..analytics.graph import clustering_coefficients
+
+    return clustering_coefficients(sf_dir)
+
+
 def _q_text_search(sf_dir: str):
     from ..analytics.text_index import text_search
 
@@ -1162,6 +1168,9 @@ def queries() -> dict:
         # k-core peel of the cosine-threshold graph (fixed-round
         # simultaneous removal; SQL-oracled via _kcore_unrolled_sql)
         "kcore_members": _q_kcore_members,
+        # local clustering coefficients on the same threshold graph
+        # (degree-orientation wedge plan; SQL-oracled outright)
+        "clustering_coefficients": _q_clustering_coefficients,
         # degree-oriented wedge triangle counting on the co-occurrence
         # graph (broadcast closure check; corner combiner)
         "triangle_count": _q_triangle_count,
@@ -1690,6 +1699,33 @@ def _kcore_unrolled_sql(rounds: int = 32, threshold: float = 0.35, kmin: int = 2
     )
 
 
+def _clustering_coeff_sql(threshold: float = 0.35) -> str:
+    """SQL oracle for clustering_coefficients: per-node triangle count
+    via the direct neighbor-pair join on the cosine-threshold edge set
+    (no unrolling — this one is a single fixpoint-free query); the
+    coeff expression is the identical IEEE-double arithmetic the numpy
+    side computes, so the driver hash matches exactly."""
+    return (
+        "WITH p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) > {threshold}), "
+        "e AS MATERIALIZED (SELECT va AS v, vb AS o FROM p "
+        "UNION ALL SELECT vb, va FROM p), "
+        "dg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM e GROUP BY v), "
+        "tr AS MATERIALIZED (SELECT e1.v AS v, COUNT(*) AS t FROM e e1 "
+        "JOIN e e2 ON e2.v = e1.v AND e2.o > e1.o "
+        "JOIN p ON p.va = e1.o AND p.vb = e2.o GROUP BY e1.v) "
+        "SELECT emb.vec_id, CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg, "
+        "CAST(COALESCE(tr.t, 0) AS BIGINT) AS n_tri, "
+        "CASE WHEN COALESCE(dg.deg, 0) >= 2 THEN "
+        "2.0 * COALESCE(tr.t, 0) / (dg.deg * (dg.deg - 1)) "
+        "ELSE 0.0 END AS coeff "
+        "FROM embeddings emb LEFT JOIN dg ON dg.v = emb.vec_id "
+        "LEFT JOIN tr ON tr.v = emb.vec_id ORDER BY emb.vec_id"
+    )
+
+
 def _lsh_topk_sql(
     n_queries: int = 8,
     k: int = 10,
@@ -1992,6 +2028,7 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         "graph_pagerank": _pagerank_unrolled_sql(),
         "graph_hits": _hits_unrolled_sql(),
         "kcore_members": _kcore_unrolled_sql(),
+        "clustering_coefficients": _clustering_coeff_sql(),
         "ann_lsh_topk": _lsh_topk_sql(),
         # the filtered variant: neighbors restricted to lang='en' docs
         "ann_topk_filtered": (

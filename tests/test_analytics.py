@@ -4811,3 +4811,48 @@ class TestKcoreMembers:
         pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
         assert set(got["vec_id"]) == {0, 1, 2, 3}
         assert got.set_index("vec_id")["deg"].to_dict() == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+class TestClusteringCoefficients:
+    def test_oracle_sf(self):
+        from ocr_service_ray.analytics.graph import clustering_coefficients
+
+        got = clustering_coefficients(SF).to_pandas().reset_index(drop=True)
+        want = _duck(SF, "clustering_coefficients").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        assert len(got) == 500 and (got["n_tri"] > 0).any()
+        # triangle identity: each triangle contributes 3 corner counts
+        assert got["n_tri"].sum() % 3 == 0
+
+    def test_k4_with_pendant_chain(self, tmp_path):
+        """Same fixture as the k-core test (K4 on {0,1,2,3}, chain
+        3-4-5): K4-only nodes are fully clustered (coeff 1.0), the
+        articulation node 3 is diluted by its chain edge (3/C(4,2) =
+        0.5), chain nodes have no closed wedge (0.0)."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.graph import clustering_coefficients
+
+        base = np.array([1.0, 0.0, 0.0, 0.0])
+        vecs = [base, base + 0.01, base + 0.02]
+        drift = np.array([0.0, 1.0, 0.0, 0.0])
+        cur = base
+        for i in range(3):
+            cur = 0.55 * cur / np.linalg.norm(cur) + 0.85 * drift
+            drift = np.roll(drift, 1)
+            vecs.append(cur.copy())
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+            "label": pa.array([0] * len(vecs), pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        got = clustering_coefficients(str(tmp_path)).to_pandas()
+        want = _duck(str(tmp_path), "clustering_coefficients").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+        by = got.set_index("vec_id")
+        assert by.loc[[0, 1, 2], "coeff"].tolist() == [1.0, 1.0, 1.0]
+        assert by.loc[3, "coeff"] == 0.5
+        assert by.loc[[4, 5], "coeff"].tolist() == [0.0, 0.0]
+        assert by.loc[[0, 1, 2, 3], "n_tri"].tolist() == [3, 3, 3, 3]

@@ -279,7 +279,7 @@ EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
                "ann_topk_quantized", "knn_join", "dbscan_clusters",
                "embedding_drift", "ann_lsh_topk", "ann_topk_filtered",
                "ann_ivf_exhaustive", "graph_pagerank", "graph_hits",
-               "embedding_components", "kcore_members"]
+               "embedding_components", "kcore_members", "clustering_coefficients"]
 
 
 @pytest.mark.usefixtures("ray_session")
