@@ -2072,9 +2072,19 @@ def sorted_neighborhood_pairs(
         .sort(["key", "doc_id"])
         .materialize()
     )
-    refs = [r for r in ds.to_arrow_refs()]
-    counts = ray.get([_block_num_rows.remote(r) for r in refs])
-    live = [(r, c) for r, c in zip(refs, counts) if c > 0]
+    # metadata-only row counts: the materialized dataset's block
+    # metadata already carries num_rows (no task per block, no block
+    # touch); fall back to a counting task only if a count is unknown
+    blocks = [
+        (r, m.num_rows)
+        for bundle in ds.iter_internal_ref_bundles()
+        for r, m in bundle.blocks
+    ]
+    live = [
+        (r, c if c is not None else ray.get(_block_num_rows.remote(r)))
+        for r, c in blocks
+    ]
+    live = [(r, c) for r, c in live if c > 0]
     futs = []
     for i, (ref, _c) in enumerate(live):
         carry_refs: list = []

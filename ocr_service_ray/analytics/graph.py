@@ -65,6 +65,23 @@ def _vec_count(sf_dir: str) -> int:
     return n
 
 
+def _sum_partials(mapped: "ray.data.Dataset", n: int) -> np.ndarray:
+    """Driver reduce of per-block (key, count) partials into a dense
+    int64 vector — the merge half of every broadcast-leg superstep
+    here. ``np.add.at`` (unbuffered) rather than fancy-index ``+=``:
+    keys are unique within one combiner output, but if the executor
+    ever bundles several map outputs into a single block a repeated
+    key must accumulate, not silently last-write."""
+    out = np.zeros(n, dtype=np.int64)
+    for ref in mapped.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            d = np.asarray(t.column(0), dtype=np.int64)
+            c = t.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(out, d, c)
+    return out
+
+
 def _knn_edge_setup(sf_dir: str, k: int) -> tuple[list, int]:
     """Edge blocks of the exact kNN cosine graph over the embeddings
     table (the `knn_join` edge set) + the verified node count — the
@@ -164,13 +181,7 @@ def graph_pagerank(
         # dst-keyed groupby whose output the driver was about to pull
         # anyway. Integer adds are order-free — bit-identical across
         # block layouts (reference-equality test).
-        s = np.zeros(n, dtype=np.int64)
-        for ref in edges_ds.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
-            if t.num_rows:
-                d = np.asarray(t.column("dst"), dtype=np.int64)
-                c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-                s[d] += c  # d is unique within a combined partial
+        s = _sum_partials(edges_ds.map_batches(contrib, batch_format="pyarrow"), n)
         rank = 150_000 + (85 * s) // 100
 
     order = np.lexsort((np.arange(n), -rank))
@@ -542,13 +553,7 @@ def graph_hits(sf_dir: str, k: int = 5, iters: int = 4) -> pa.Table:
             g = pa.TableGroupBy(t, ["t"]).aggregate([("c", "sum")])
             return g.rename_columns(["t", "c"])
 
-        s = np.zeros(n, dtype=np.int64)
-        for ref in edges_ds.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
-            if t.num_rows:
-                d = np.asarray(t.column("t"), dtype=np.int64)
-                c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-                s[d] += c  # t is unique within a combined partial
+        s = _sum_partials(edges_ds.map_batches(contrib, batch_format="pyarrow"), n)
         s //= max(1, int(s.max(initial=0)) // 1_000_000)
         return s
 
@@ -676,22 +681,18 @@ def kcore_members(
             g = pa.TableGroupBy(t, ["t"]).aggregate([("c", "sum")])
             return g.rename_columns(["t", "c"])
 
-        deg = np.zeros(n, dtype=np.int64)
-        for ref in und.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
-            if t.num_rows:
-                d = np.asarray(t.column("t"), dtype=np.int64)
-                c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-                deg[d] += c  # t is unique within a combined partial
-        return deg
+        return _sum_partials(und.map_batches(contrib, batch_format="pyarrow"), n)
 
+    stable = False
     for _ in range(rounds):
         deg = degrees(alive)
         new_alive = alive & (deg >= kmin)
         if np.array_equal(new_alive, alive):
+            stable = True  # deg already describes the final alive set
             break
         alive = new_alive
-    deg = degrees(alive)
+    if not stable:  # round cap hit with the last peel unapplied to deg
+        deg = degrees(alive)
     ids = np.flatnonzero(alive).astype(np.int64)
     return pa.table(
         {"vec_id": pa.array(ids, pa.int64()), "deg": pa.array(deg[ids], pa.int64())}
@@ -808,7 +809,7 @@ def clustering_coefficients(sf_dir: str, threshold: float = 0.35) -> pa.Table:
             if t.num_rows:
                 k = np.asarray(t.column("k"), dtype=np.int64)
                 c = t.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
-                tri[k] += c
+                np.add.at(tri, k, c)
 
     coeff = np.zeros(n, dtype=np.float64)
     m2 = deg_full >= 2
