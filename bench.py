@@ -150,6 +150,7 @@ def run_queries(num_cpus: int) -> dict:
             "graph_hits": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_hits"]).graph_hits(sf_dir()),
             "kcore_members": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["kcore_members"]).kcore_members(sf_dir()),
             "clustering_coefficients": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["clustering_coefficients"]).clustering_coefficients(sf_dir()),
+            "graph_communities": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_communities"]).graph_communities(sf_dir()),
             "embedding_components": lambda: dedup.embedding_components(sf_dir()),
             "sorted_neighborhood_pairs": lambda: dedup.sorted_neighborhood_pairs(sf_dir()),
             "ann_ivf_exhaustive": lambda: similarity.ivf_topk(sf_dir(), nprobe=16),

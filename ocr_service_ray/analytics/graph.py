@@ -822,3 +822,157 @@ def clustering_coefficients(sf_dir: str, threshold: float = 0.35) -> pa.Table:
             "coeff": pa.array(coeff, pa.float64()),
         }
     )
+
+
+# ----------------------------------------------------------------------
+# Label-propagation communities
+
+
+def lpa_reference(
+    und_edges: list[tuple[int, int]], n_nodes: int, rounds: int
+) -> np.ndarray:
+    """Pure-numpy reference of the exact synchronous label-propagation
+    recurrence ``graph_communities`` computes: labels start as node
+    ids; each round EVERY node simultaneously adopts the mode of its
+    neighbors' labels (ties -> smallest label; isolated nodes keep
+    their own). Synchronous LPA can oscillate on bipartite structures
+    — the FIXED-ROUND semantics make that a non-issue for exactness
+    (all three implementations compute the identical round-``rounds``
+    state).
+    """
+    a = np.asarray([e[0] for e in und_edges], dtype=np.int64)
+    b = np.asarray([e[1] for e in und_edges], dtype=np.int64)
+    v = np.concatenate([a, b])
+    o = np.concatenate([b, a])
+    lbl = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(rounds):
+        if len(v) == 0:
+            break
+        nl = lbl[o]
+        # mode per node, ties -> smallest label: sort (v, label), run-
+        # length counts, then lexicographic argmax on (count, -label)
+        order = np.lexsort((nl, v))
+        sv, sl = v[order], nl[order]
+        new_run = np.concatenate([[True], (sv[1:] != sv[:-1]) | (sl[1:] != sl[:-1])])
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, len(sv)))
+        rv, rl = sv[starts], sl[starts]
+        best = np.full(n_nodes, -1, dtype=np.int64)
+        best_c = np.zeros(n_nodes, dtype=np.int64)
+        for node, label, c in zip(rv, rl, counts):
+            if c > best_c[node] or (c == best_c[node] and (best[node] == -1 or label < best[node])):
+                best_c[node] = c
+                best[node] = label
+        nxt = lbl.copy()
+        has = best != -1
+        nxt[has] = best[has]
+        if np.array_equal(nxt, lbl):
+            break
+        lbl = nxt
+    return lbl
+
+
+def graph_communities(sf_dir: str, threshold: float = 0.35, rounds: int = 4) -> pa.Table:
+    """Synchronous label-propagation communities (Raghavan, Albert &
+    Kumara 2007, Phys. Rev. E 76) over the cosine-threshold similarity
+    graph — the sixth graph op: unlike ``embedding_components`` (which
+    merges everything reachable), LPA's majority rule splits a
+    connected component into DENSE pockets, the community grain a
+    mixture/diversity sampler wants. Deterministic variant: labels
+    start as vec_ids, every node simultaneously adopts its neighbors'
+    mode label (ties -> smallest; isolated nodes keep their own), and
+    semantics are FIXED-ROUND (the ``graph_hits``/``kcore`` contract)
+    so synchronous oscillation cannot break oracle equality.
+
+    Distributed shape: per round the O(n) label vector broadcasts once
+    (``ray.put``); each edge block of the ``embedding_neardup_pairs``
+    list emits per-(node, label) count partials combined IN-block
+    (TableGroupBy), and the driver's run-length mode pick works on the
+    O(m)-bounded partial stream — the same domain-bounded driver-merge
+    regime as the pagerank broadcast leg (m = threshold pairs = dup-
+    rate bounded). Beyond the broadcast regime the mode pick becomes a
+    (node)-keyed groupby over the same partials — one shuffle per
+    round, the `_pagerank_dataset_leg` shape. Returns full-domain
+    (vec_id, community) sorted by vec_id.
+    """
+    from .dedup import embedding_neardup_pairs
+
+    n = _vec_count(sf_dir)
+    if n == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "community": pa.array([], pa.int64())}
+        )
+    pairs = embedding_neardup_pairs(sf_dir, threshold)
+    lbl = np.arange(n, dtype=np.int64)
+    if len(pairs):
+        a = np.asarray(pairs.column("vec_a"), dtype=np.int64)
+        b = np.asarray(pairs.column("vec_b"), dtype=np.int64)
+        sym = ray.data.from_arrow(
+            pa.table(
+                {
+                    "v": pa.array(np.concatenate([a, b]), pa.int64()),
+                    "o": pa.array(np.concatenate([b, a]), pa.int64()),
+                }
+            )
+        ).materialize()
+
+        for _ in range(rounds):
+            lbl_ref = ray.put(lbl)
+
+            def contrib(batch: pa.Table, _l=lbl_ref) -> pa.Table:
+                if batch.num_rows == 0 or "v" not in batch.column_names:
+                    return pa.table(
+                        {"v": pa.array([], pa.int64()),
+                         "lbl": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())}
+                    )
+                labels = ray.get(_l)
+                v = np.asarray(batch.column("v"), dtype=np.int64)
+                o = np.asarray(batch.column("o"), dtype=np.int64)
+                t = pa.table(
+                    {
+                        "v": pa.array(v, pa.int64()),
+                        "lbl": pa.array(labels[o], pa.int64()),
+                        "c": pa.array(np.ones(len(v), np.int64)),
+                    }
+                )
+                g = pa.TableGroupBy(t, ["v", "lbl"]).aggregate([("c", "sum")])
+                return g.rename_columns(["v", "lbl", "c"])
+
+            # driver merge of the O(m)-bounded (v, lbl, c) partials:
+            # run-length reduce + lexicographic mode pick
+            vs, ls, cs = [], [], []
+            for ref in sym.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
+                t = ray.get(ref)
+                if t.num_rows:
+                    vs.append(np.asarray(t.column("v"), dtype=np.int64))
+                    ls.append(np.asarray(t.column("lbl"), dtype=np.int64))
+                    cs.append(t.column("c").to_numpy(zero_copy_only=False).astype(np.int64))
+            if not vs:
+                break
+            v = np.concatenate(vs)
+            l = np.concatenate(ls)
+            c = np.concatenate(cs)
+            order = np.lexsort((l, v))
+            v, l, c = v[order], l[order], c[order]
+            new_run = np.concatenate([[True], (v[1:] != v[:-1]) | (l[1:] != l[:-1])])
+            grp = np.cumsum(new_run) - 1
+            csum = np.zeros(grp[-1] + 1, dtype=np.int64)
+            np.add.at(csum, grp, c)
+            rv, rl = v[new_run], l[new_run]
+            # per node: max count, tie -> smallest label (rl ascending
+            # within a node, so stable first-hit on sorted -count wins)
+            nxt = lbl.copy()
+            ordp = np.lexsort((rl, -csum, rv))
+            rv2 = rv[ordp]
+            first = np.concatenate([[True], rv2[1:] != rv2[:-1]])
+            nxt[rv2[first]] = rl[ordp][first]
+            if np.array_equal(nxt, lbl):
+                break
+            lbl = nxt
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "community": pa.array(lbl, pa.int64()),
+        }
+    )

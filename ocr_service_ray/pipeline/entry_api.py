@@ -1077,6 +1077,12 @@ def _q_clustering_coefficients(sf_dir: str):
     return clustering_coefficients(sf_dir)
 
 
+def _q_graph_communities(sf_dir: str):
+    from ..analytics.graph import graph_communities
+
+    return graph_communities(sf_dir)
+
+
 def _q_text_search(sf_dir: str):
     from ..analytics.text_index import text_search
 
@@ -1171,6 +1177,9 @@ def queries() -> dict:
         # local clustering coefficients on the same threshold graph
         # (degree-orientation wedge plan; SQL-oracled outright)
         "clustering_coefficients": _q_clustering_coefficients,
+        # synchronous label-propagation communities (fixed-round mode
+        # update; SQL-oracled via _lpa_unrolled_sql)
+        "graph_communities": _q_graph_communities,
         # degree-oriented wedge triangle counting on the co-occurrence
         # graph (broadcast closure check; corner combiner)
         "triangle_count": _q_triangle_count,
@@ -1699,6 +1708,44 @@ def _kcore_unrolled_sql(rounds: int = 32, threshold: float = 0.35, kmin: int = 2
     )
 
 
+def _lpa_unrolled_sql(rounds: int = 4, threshold: float = 0.35) -> str:
+    """SQL oracle for graph_communities: the synchronous label-
+    propagation mode update unrolled as MATERIALIZED CTE rounds over
+    the cosine-threshold pair graph — per round one (node, label)
+    count aggregate + a row_number mode pick (count DESC, label ASC),
+    isolated nodes carried by COALESCE. Fixed-round semantics (early
+    stability is a fixpoint, so extra SQL rounds are no-ops)."""
+    ctes = [
+        "p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) > {threshold})",
+        "sym AS MATERIALIZED (SELECT va AS v, vb AS o FROM p "
+        "UNION ALL SELECT vb, va FROM p)",
+        "l0 AS MATERIALIZED (SELECT vec_id, vec_id AS l FROM embeddings)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"cnt{t} AS MATERIALIZED (SELECT s.v AS v, l.l AS lbl, COUNT(*) AS c "
+            f"FROM sym s JOIN l{t} l ON l.vec_id = s.o GROUP BY s.v, l.l)"
+        )
+        ctes.append(
+            f"pick{t} AS MATERIALIZED (SELECT v, lbl FROM ("
+            "SELECT v, lbl, row_number() OVER (PARTITION BY v "
+            f"ORDER BY c DESC, lbl) AS rn FROM cnt{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{t + 1} AS MATERIALIZED (SELECT n.vec_id AS vec_id, "
+            "CAST(COALESCE(p2.lbl, lt.l) AS BIGINT) AS l "
+            f"FROM embeddings n JOIN l{t} lt ON lt.vec_id = n.vec_id "
+            f"LEFT JOIN pick{t} p2 ON p2.v = n.vec_id)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, l AS community FROM l{rounds} ORDER BY vec_id"
+    )
+
+
 def _clustering_coeff_sql(threshold: float = 0.35) -> str:
     """SQL oracle for clustering_coefficients: per-node triangle count
     via the direct neighbor-pair join on the cosine-threshold edge set
@@ -2029,6 +2076,7 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         "graph_hits": _hits_unrolled_sql(),
         "kcore_members": _kcore_unrolled_sql(),
         "clustering_coefficients": _clustering_coeff_sql(),
+        "graph_communities": _lpa_unrolled_sql(),
         "ann_lsh_topk": _lsh_topk_sql(),
         # the filtered variant: neighbors restricted to lang='en' docs
         "ann_topk_filtered": (

@@ -4856,3 +4856,47 @@ class TestClusteringCoefficients:
         assert by.loc[3, "coeff"] == 0.5
         assert by.loc[[4, 5], "coeff"].tolist() == [0.0, 0.0]
         assert by.loc[[0, 1, 2, 3], "n_tri"].tolist() == [3, 3, 3, 3]
+
+
+class TestGraphCommunities:
+    def test_oracle_and_reference_sf(self):
+        from ocr_service_ray.analytics.dedup import embedding_neardup_pairs
+        from ocr_service_ray.analytics.graph import graph_communities, lpa_reference
+
+        got = graph_communities(SF).to_pandas().reset_index(drop=True)
+        want = _duck(SF, "graph_communities").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        pairs = embedding_neardup_pairs(SF, 0.35)
+        edges = list(zip(pairs.column("vec_a").to_pylist(),
+                         pairs.column("vec_b").to_pylist()))
+        ref = lpa_reference(edges, 500, 4)
+        assert np.array_equal(ref, got["community"].to_numpy())
+        # non-trivial: some labels propagated, isolated nodes kept
+        assert 1 < got["community"].nunique() < 500
+
+    def test_path_oscillation_fixed_round(self, tmp_path):
+        """Path 0-1-2 (cos edges 0-1 and 1-2 only): synchronous LPA
+        oscillates with period 2, and round 1 exercises the mode TIE
+        (node 1 sees {0, 2} -> smallest wins). The fixed-round state
+        after 4 rounds is [0, 1, 0] — all three implementations (Ray,
+        numpy reference, SQL oracle) must agree on it exactly."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.graph import graph_communities
+
+        import math
+        vecs = [
+            [1.0, 0.0],
+            [math.cos(math.radians(60)), math.sin(math.radians(60))],
+            [math.cos(math.radians(120)), math.sin(math.radians(120))],
+        ]
+        tbl = pa.table({
+            "vec_id": pa.array(range(3), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            "label": pa.array([0] * 3, pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        got = graph_communities(str(tmp_path)).to_pandas()
+        want = _duck(str(tmp_path), "graph_communities").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+        assert got["community"].tolist() == [0, 1, 0]

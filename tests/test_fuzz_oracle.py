@@ -279,7 +279,8 @@ EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
                "ann_topk_quantized", "knn_join", "dbscan_clusters",
                "embedding_drift", "ann_lsh_topk", "ann_topk_filtered",
                "ann_ivf_exhaustive", "graph_pagerank", "graph_hits",
-               "embedding_components", "kcore_members", "clustering_coefficients"]
+               "embedding_components", "kcore_members", "clustering_coefficients",
+               "graph_communities"]
 
 
 @pytest.mark.usefixtures("ray_session")
