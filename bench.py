@@ -144,6 +144,7 @@ def run_queries(num_cpus: int) -> dict:
             "ann_topk_filtered": lambda: similarity.filtered_topk(sf_dir()),
             "ann_topk_quantized": lambda: similarity.quantized_topk(sf_dir()),
             "ann_ivf_topk": lambda: similarity.ivf_topk(sf_dir()),
+            "mmr_diverse_topk": lambda: similarity.mmr_diverse_topk(sf_dir()),
             "knn_join": lambda: similarity.knn_join(sf_dir()),
             "triangle_count": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["triangle_count"]).triangle_count(sf_dir()),
             "graph_pagerank": lambda: __import__("ocr_service_ray.analytics.graph", fromlist=["graph_pagerank"]).graph_pagerank(sf_dir()),

@@ -1199,3 +1199,193 @@ def embedding_drift(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ----------------------------------------------------------------------
+# MMR diversified selection
+
+
+def mmr_diverse_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998) — the training-data verb behind "pick k
+    samples RELEVANT to an anchor but not redundant with each other"
+    (diverse few-shot/eval-set selection). Greedy: each step selects
+    the candidate maximizing ``lambda*rel - (1-lambda)*maxdiv``; with
+    lambda = 1/2 that order is the all-integer ``2*rel(d) -
+    max_{s in S} sim(d, s)`` — ties break to the smallest vec_id.
+
+    Similarity is the int64 inner product of the corpus-min/max
+    uint8-QUANTIZED codes (the ``quantized_topk`` contract): inputs
+    are exact parquet floats, the quantization expression is
+    replicated token-for-token in SQL, and everything after it is
+    integer arithmetic — so the greedy cascade (where a 1-ulp float
+    difference would snowball into different selections) is bit-exact
+    against the unrolled oracle. Anchor = vec_id 0; candidates = all
+    other vectors; fewer than ``k`` candidates yields that many rows
+    (both sides degrade identically).
+
+    Distributed shape: one per-dim (min, max) pass (shared expression
+    with ``embedding_quantize``); per step the newly selected quantized
+    vector broadcasts via ``ray.put`` and each block emits the integer
+    dot for its rows (a matvec partial, the broadcast-BSP shape) —
+    the driver keeps only O(n) rel/runmax vectors, the broadcast-leg
+    regime. Returns (step, vec_id, rel, div_penalty, score), step
+    1-based in selection order.
+    """
+    empty = pa.table(
+        {
+            "step": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "rel": pa.array([], pa.int64()),
+            "div_penalty": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+        }
+    )
+
+    def to_matrix(batch: pa.Table) -> np.ndarray:
+        col = batch.column("embedding").combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        return flat.reshape(batch.num_rows, -1)
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.float64()),
+                 "mx": pa.array([], pa.float64())}
+            )
+        m = to_matrix(batch)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0), pa.float64()),
+                "mx": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            _emb(sf_dir).map_batches(minmax, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return empty
+    mm = pa.concat_tables(parts).to_pandas().groupby("dim").agg(
+        mn=("mn", "min"), mx=("mx", "max")
+    )
+    mn, mx = mm["mn"].to_numpy(), mm["mx"].to_numpy()
+    span = mx - mn
+    ok = span > 0
+
+    def quantize(m: np.ndarray) -> np.ndarray:
+        # EXACT oracle expression: floor((x - mn) * 255 / span + 0.5)
+        q = np.zeros_like(m, dtype=np.int64)
+        q[:, ok] = np.floor((m[:, ok] - mn[ok]) * 255.0 / span[ok] + 0.5).astype(
+            np.int64
+        )
+        return q
+
+    state_ref = ray.put((mn, mx))
+
+    def dots_for(vec: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Integer <q(row), vec> for every row — one broadcast matvec."""
+        vec_ref = ray.put(vec)
+
+        def matvec(batch: pa.Table, _s=state_ref, _v=vec_ref) -> pa.Table:
+            if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "dot": pa.array([], pa.int64())}
+                )
+            b_mn, b_mx = ray.get(_s)
+            b_span = b_mx - b_mn
+            b_ok = b_span > 0
+            m = to_matrix(batch)
+            q = np.zeros_like(m, dtype=np.int64)
+            q[:, b_ok] = np.floor(
+                (m[:, b_ok] - b_mn[b_ok]) * 255.0 / b_span[b_ok] + 0.5
+            ).astype(np.int64)
+            v = ray.get(_v)
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
+                    "dot": pa.array(q @ v, pa.int64()),
+                }
+            )
+
+        ids_l, dots_l = [], []
+        for ref in _emb(sf_dir).map_batches(matvec, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                ids_l.append(np.asarray(t.column("vec_id"), dtype=np.int64))
+                dots_l.append(np.asarray(t.column("dot"), dtype=np.int64))
+        if not ids_l:
+            return np.array([], np.int64), np.array([], np.int64)
+        return np.concatenate(ids_l), np.concatenate(dots_l)
+
+    # anchor vector (vec_id 0), quantized on the driver
+    import pyarrow.compute as pc
+
+    q0_tbl = (
+        _emb(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("vec_id"), 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(q0_tbl) == 0:
+        return empty
+    q0 = quantize(np.vstack(q0_tbl["embedding"].to_numpy()).astype(np.float64))[0]
+
+    ids, rel_d = dots_for(q0)
+    order = np.argsort(ids, kind="stable")
+    ids, rel_d = ids[order], rel_d[order]
+    n = int(ids.max()) + 1 if len(ids) else 0
+    rel = np.zeros(n, dtype=np.int64)
+    rel[ids] = rel_d
+    cand = np.ones(n, dtype=bool)
+    cand[0] = False  # the anchor is never a candidate
+    runmax = np.zeros(n, dtype=np.int64)
+    out_step, out_id, out_rel, out_div, out_score = [], [], [], [], []
+    emb_cache: dict[int, np.ndarray] = {}
+    for step in range(1, k + 1):
+        if not cand.any():
+            break
+        score = 2 * rel - runmax
+        # argmax over the candidate SUBSET (never negate a sentinel:
+        # -int64.min overflows back to int64.min and sorts masked rows
+        # first); ties -> smallest vec_id
+        idx = np.flatnonzero(cand)
+        pick = int(idx[np.lexsort((idx, -score[idx]))[0]])
+        out_step.append(step)
+        out_id.append(pick)
+        out_rel.append(int(rel[pick]))
+        out_div.append(int(runmax[pick]))
+        out_score.append(int(score[pick]))
+        cand[pick] = False
+        if step < k and cand.any():
+            sel_tbl = (
+                _emb(sf_dir)
+                .map_batches(
+                    lambda t, _p=pick: t.filter(pc.equal(t.column("vec_id"), _p)),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()
+            )
+            qs = quantize(np.vstack(sel_tbl["embedding"].to_numpy()).astype(np.float64))[0]
+            d_ids, d_dots = dots_for(qs)
+            dv = np.zeros(n, dtype=np.int64)
+            dv[d_ids] = d_dots
+            runmax = np.maximum(runmax, dv)
+    return pa.table(
+        {
+            "step": pa.array(out_step, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "rel": pa.array(out_rel, pa.int64()),
+            "div_penalty": pa.array(out_div, pa.int64()),
+            "score": pa.array(out_score, pa.int64()),
+        }
+    )

@@ -1161,6 +1161,9 @@ def queries() -> dict:
         # int8-quantized max-inner-product search: integer-exact scores
         "ann_topk_quantized": lambda sf: similarity.quantized_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+        # MMR diversified selection over quantized inner products
+        # (integer-exact greedy; SQL-oracled via _mmr_unrolled_sql)
+        "mmr_diverse_topk": lambda sf: similarity.mmr_diverse_topk(sf),
         # exact k-NN GRAPH build (top-k for every vector, self excluded)
         "knn_join": lambda sf: similarity.knn_join(sf),
         # iterative BSP PageRank over the kNN graph (fixed-point int64);
@@ -1708,6 +1711,66 @@ def _kcore_unrolled_sql(rounds: int = 32, threshold: float = 0.35, kmin: int = 2
     )
 
 
+def _mmr_unrolled_sql(k: int = 10) -> str:
+    """SQL oracle for mmr_diverse_topk: the greedy MMR selection
+    unrolled as MATERIALIZED CTE steps over the uint8-quantized codes
+    (the exact ``ann_topk_quantized`` quantization expression). Each
+    step = one argmax pick (score DESC, id ASC, LIMIT 1), one integer
+    matvec against the picked vector, one running-max merge — all
+    BIGINT after quantization, so the greedy cascade is bit-exact."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, "
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings)",
+        "m AS MATERIALIZED (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1)",
+        "q AS MATERIALIZED (SELECT vec_id, dim, CASE WHEN mx - mn > 0 THEN "
+        "CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT) "
+        "ELSE 0 END AS qv FROM e JOIN m USING (dim))",
+        "q0 AS MATERIALIZED (SELECT dim, qv FROM q WHERE vec_id = 0)",
+        "rel AS MATERIALIZED (SELECT qd.vec_id AS d, "
+        "CAST(SUM(q0.qv * qd.qv) AS BIGINT) AS rel "
+        "FROM q qd JOIN q0 ON q0.dim = qd.dim "
+        "WHERE qd.vec_id <> 0 GROUP BY qd.vec_id)",
+        "p1 AS MATERIALIZED (SELECT d, rel, CAST(0 AS BIGINT) AS dv, "
+        "CAST(2 * rel AS BIGINT) AS score FROM rel "
+        "ORDER BY 2 * rel DESC, d LIMIT 1)",
+        "sv1 AS MATERIALIZED (SELECT dim, qv FROM q "
+        "WHERE vec_id = (SELECT d FROM p1))",
+        "rm1 AS MATERIALIZED (SELECT qd.vec_id AS d, "
+        "CAST(SUM(sv1.qv * qd.qv) AS BIGINT) AS mx "
+        "FROM q qd JOIN sv1 ON sv1.dim = qd.dim GROUP BY qd.vec_id)",
+    ]
+    for t in range(2, k + 1):
+        excl = " UNION ALL ".join(f"SELECT d FROM p{i}" for i in range(1, t))
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT r.d, r.rel, rm{t - 1}.mx AS dv, "
+            f"CAST(2 * r.rel - rm{t - 1}.mx AS BIGINT) AS score "
+            f"FROM rel r JOIN rm{t - 1} ON rm{t - 1}.d = r.d "
+            f"WHERE r.d NOT IN ({excl}) "
+            "ORDER BY score DESC, r.d LIMIT 1)"
+        )
+        if t < k:
+            ctes.append(
+                f"sv{t} AS MATERIALIZED (SELECT dim, qv FROM q "
+                f"WHERE vec_id = (SELECT d FROM p{t}))"
+            )
+            ctes.append(
+                f"dv{t} AS MATERIALIZED (SELECT qd.vec_id AS d, "
+                f"CAST(SUM(sv{t}.qv * qd.qv) AS BIGINT) AS v "
+                f"FROM q qd JOIN sv{t} ON sv{t}.dim = qd.dim GROUP BY qd.vec_id)"
+            )
+            ctes.append(
+                f"rm{t} AS MATERIALIZED (SELECT rm{t - 1}.d AS d, "
+                f"GREATEST(rm{t - 1}.mx, COALESCE(dv{t}.v, rm{t - 1}.mx)) AS mx "
+                f"FROM rm{t - 1} LEFT JOIN dv{t} ON dv{t}.d = rm{t - 1}.d)"
+            )
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, d AS vec_id, rel, "
+        f"dv AS div_penalty, score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ", ".join(ctes) + f" SELECT * FROM ({picks}) ORDER BY step"
+
+
 def _lpa_unrolled_sql(rounds: int = 4, threshold: float = 0.35) -> str:
     """SQL oracle for graph_communities: the synchronous label-
     propagation mode update unrolled as MATERIALIZED CTE rounds over
@@ -2077,6 +2140,7 @@ def _oracle_queries(sp: dict, mm: dict) -> dict:
         "kcore_members": _kcore_unrolled_sql(),
         "clustering_coefficients": _clustering_coeff_sql(),
         "graph_communities": _lpa_unrolled_sql(),
+        "mmr_diverse_topk": _mmr_unrolled_sql(),
         "ann_lsh_topk": _lsh_topk_sql(),
         # the filtered variant: neighbors restricted to lang='en' docs
         "ann_topk_filtered": (

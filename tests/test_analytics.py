@@ -4900,3 +4900,52 @@ class TestGraphCommunities:
         want = _duck(str(tmp_path), "graph_communities").reset_index(drop=True)
         pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
         assert got["community"].tolist() == [0, 1, 0]
+
+
+class TestMmrDiverseTopk:
+    def test_oracle_sf(self):
+        from ocr_service_ray.analytics.similarity import mmr_diverse_topk
+
+        got = mmr_diverse_topk(SF).to_pandas().reset_index(drop=True)
+        want = _duck(SF, "mmr_diverse_topk").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        assert len(got) == 10
+        # greedy invariants: steps 1..10, no repeats, anchor excluded
+        assert got["step"].tolist() == list(range(1, 11))
+        assert got["vec_id"].is_unique and (got["vec_id"] != 0).all()
+        assert int(got.loc[0, "div_penalty"]) == 0
+
+    def test_diversity_beats_redundancy(self, tmp_path):
+        """Three near-clones share a strong off-axis component (their
+        mutual similarity EXCEEDS their anchor relevance), one diverse
+        candidate is nearly as relevant, one is orthogonal. Relevance
+        order is 1,2,3,4,5; MMR must demote the clones: after clone 1
+        the diverse vector AND the orthogonal one both outscore the
+        remaining clones (whose 2*rel - div goes negative)."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.analytics.similarity import mmr_diverse_topk
+
+        vecs = [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.80, 0.0, 0.0, 0.60],
+            [0.80, 0.01, 0.0, 0.60],
+            [0.80, 0.0, 0.01, 0.60],
+            [0.75, 0.66, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0],
+        ]
+        tbl = pa.table({
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            "label": pa.array([0] * 6, pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        got = mmr_diverse_topk(str(tmp_path), k=5).to_pandas()
+        assert got["vec_id"].tolist() == [1, 4, 5, 2, 3]
+        # the redundant clones end with negative marginal scores
+        assert (got.loc[got["vec_id"].isin([2, 3]), "score"] < 0).all()
+        # k=10 default vs 5 candidates: both sides emit 5 rows
+        full = mmr_diverse_topk(str(tmp_path)).to_pandas()
+        want = _duck(str(tmp_path), "mmr_diverse_topk").reset_index(drop=True)
+        pd.testing.assert_frame_equal(full.reset_index(drop=True), want)
+        assert len(full) == 5

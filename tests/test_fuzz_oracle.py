@@ -280,7 +280,7 @@ EMB_QUERIES = ["embedding_quantize", "ann_topk", "embedding_neardup",
                "embedding_drift", "ann_lsh_topk", "ann_topk_filtered",
                "ann_ivf_exhaustive", "graph_pagerank", "graph_hits",
                "embedding_components", "kcore_members", "clustering_coefficients",
-               "graph_communities"]
+               "graph_communities", "mmr_diverse_topk"]
 
 
 @pytest.mark.usefixtures("ray_session")
