@@ -1205,6 +1205,31 @@ def embedding_drift(sf_dir: str) -> pa.Table:
 # MMR diversified selection
 
 
+@ray.remote
+def _mmr_matvec_block(block: pa.Table, vec: np.ndarray) -> tuple:
+    """Integer matvec of one quantized-code block against ``vec``."""
+    if block.num_rows == 0 or "vec_id" not in block.column_names:
+        return (np.array([], np.int64), np.array([], np.int64))
+    col = block.column("codes").combine_chunks()
+    q = np.asarray(col.values, dtype=np.int64).reshape(block.num_rows, -1)
+    ids = np.asarray(block.column("vec_id"), dtype=np.int64)
+    return (ids, q @ vec)
+
+
+@ray.remote
+def _mmr_row_of(block: pa.Table, vec_id: int):
+    """The quantized row of ``vec_id`` if it lives in this block."""
+    if block.num_rows == 0 or "vec_id" not in block.column_names:
+        return None
+    ids = np.asarray(block.column("vec_id"), dtype=np.int64)
+    hit = np.flatnonzero(ids == vec_id)
+    if len(hit) == 0:
+        return None
+    col = block.column("codes").combine_chunks()
+    q = np.asarray(col.values, dtype=np.int64).reshape(block.num_rows, -1)
+    return q[int(hit[0])].copy()
+
+
 def mmr_diverse_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR 1998) — the training-data verb behind "pick k
@@ -1289,56 +1314,61 @@ def mmr_diverse_topk(sf_dir: str, k: int = 10) -> pa.Table:
 
     state_ref = ray.put((mn, mx))
 
-    def dots_for(vec: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Integer <q(row), vec> for every row — one broadcast matvec."""
-        vec_ref = ray.put(vec)
-
-        def matvec(batch: pa.Table, _s=state_ref, _v=vec_ref) -> pa.Table:
-            if batch.num_rows == 0 or "vec_id" not in batch.column_names:
-                return pa.table(
-                    {"vec_id": pa.array([], pa.int64()),
-                     "dot": pa.array([], pa.int64())}
-                )
-            b_mn, b_mx = ray.get(_s)
-            b_span = b_mx - b_mn
-            b_ok = b_span > 0
-            m = to_matrix(batch)
-            q = np.zeros_like(m, dtype=np.int64)
-            q[:, b_ok] = np.floor(
-                (m[:, b_ok] - b_mn[b_ok]) * 255.0 / b_span[b_ok] + 0.5
-            ).astype(np.int64)
-            v = ray.get(_v)
+    # quantize ONCE into a materialized integer-code dataset: the k
+    # greedy steps then touch only int64 codes (no parquet re-read, no
+    # re-quantize per step)
+    def to_codes(batch: pa.Table, _s=state_ref) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
             return pa.table(
-                {
-                    "vec_id": batch.column("vec_id").cast(pa.int64()),
-                    "dot": pa.array(q @ v, pa.int64()),
-                }
+                {"vec_id": pa.array([], pa.int64()),
+                 "codes": pa.array([], pa.list_(pa.int64()))}
             )
+        b_mn, b_mx = ray.get(_s)
+        b_span = b_mx - b_mn
+        b_ok = b_span > 0
+        m = to_matrix(batch)
+        q = np.zeros_like(m, dtype=np.int64)
+        q[:, b_ok] = np.floor(
+            (m[:, b_ok] - b_mn[b_ok]) * 255.0 / b_span[b_ok] + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "codes": pa.array(list(q), pa.list_(pa.int64())),
+            }
+        )
 
-        ids_l, dots_l = [], []
-        for ref in _emb(sf_dir).map_batches(matvec, batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
-            if t.num_rows:
-                ids_l.append(np.asarray(t.column("vec_id"), dtype=np.int64))
-                dots_l.append(np.asarray(t.column("dot"), dtype=np.int64))
+    # the k greedy steps run as raw tasks over the materialized code
+    # block refs (the embedding_neardup pattern): no per-step Dataset
+    # pipeline overhead, blocks stay in the object store
+    code_refs = (
+        _emb(sf_dir)
+        .map_batches(to_codes, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    def dots_for(vec: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Integer <codes(row), vec> for every row — one broadcast matvec."""
+        vec_ref = ray.put(vec)
+        parts = ray.get([_mmr_matvec_block.remote(r, vec_ref) for r in code_refs])
+        ids_l = [p[0] for p in parts if len(p[0])]
+        dots_l = [p[1] for p in parts if len(p[0])]
         if not ids_l:
             return np.array([], np.int64), np.array([], np.int64)
         return np.concatenate(ids_l), np.concatenate(dots_l)
 
-    # anchor vector (vec_id 0), quantized on the driver
-    import pyarrow.compute as pc
+    def fetch_codes(vec_id: int) -> np.ndarray | None:
+        """The quantized row of one vector: point tasks over the code
+        block refs (no parquet, no floats)."""
+        for row in ray.get([_mmr_row_of.remote(r, vec_id) for r in code_refs]):
+            if row is not None:
+                return row
+        return None
 
-    q0_tbl = (
-        _emb(sf_dir)
-        .map_batches(
-            lambda t: t.filter(pc.equal(t.column("vec_id"), 0)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
-    if len(q0_tbl) == 0:
+    q0 = fetch_codes(0)
+    if q0 is None:
         return empty
-    q0 = quantize(np.vstack(q0_tbl["embedding"].to_numpy()).astype(np.float64))[0]
 
     ids, rel_d = dots_for(q0)
     order = np.argsort(ids, kind="stable")
@@ -1367,15 +1397,7 @@ def mmr_diverse_topk(sf_dir: str, k: int = 10) -> pa.Table:
         out_score.append(int(score[pick]))
         cand[pick] = False
         if step < k and cand.any():
-            sel_tbl = (
-                _emb(sf_dir)
-                .map_batches(
-                    lambda t, _p=pick: t.filter(pc.equal(t.column("vec_id"), _p)),
-                    batch_format="pyarrow",
-                )
-                .to_pandas()
-            )
-            qs = quantize(np.vstack(sel_tbl["embedding"].to_numpy()).astype(np.float64))[0]
+            qs = fetch_codes(pick)
             d_ids, d_dots = dots_for(qs)
             dv = np.zeros(n, dtype=np.int64)
             dv[d_ids] = d_dots
